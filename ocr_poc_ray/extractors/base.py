@@ -1,0 +1,79 @@
+"""Shared extraction primitives: envelope, whitespace normalizer, noise filter.
+
+Envelope mirrors the reference's result envelope
+``{success, quality_score, confidence, data}``
+(``cni_extractor_18_f.py:514-520``; failure variant ``:456-462``).
+The noise filter is the P2 analog (``cni_extractor_25_b.py:121-129``:
+MRZ lines ``I<…`` / ``<<<`` and bare country codes are dropped).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# Single place where whitespace semantics are frozen (SURVEY.md §7.4.1:
+# byte-for-byte equality requires one normalization rule everywhere).
+_WS_RE = re.compile(r"\s+")
+
+#: Request-size validator threshold — P12 analog of the reference's
+#: 16 MB ``MAX_CONTENT_LENGTH`` (``api_server.py:48``).  Oversized turns
+#: fail as data, never as exceptions.
+MAX_TEXT_CHARS = 262_144
+
+
+def normalize_ws(s: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip.
+
+    The analog of the reference's ``" ".join(rec_texts)`` flattening
+    (``ocr/id_card_data_extractor.py:44``).  Must be bit-identical
+    between the single-process oracle and every distributed path.
+    """
+    return _WS_RE.sub(" ", s).strip()
+
+
+_MRZ_PREFIX = "I<"
+_MRZ_FILLER = "<<<"
+_COUNTRY_CODE_RE = re.compile(r"^[A-Z]{3}$")
+
+
+def is_noise_line(line: str) -> bool:
+    """Line-level noise predicate (P2 analog).
+
+    Drops machine-readable-zone-style lines and bare 3-letter country
+    codes — cf. ``cni_extractor_25_b.py:121-129`` (``startswith('I<')``,
+    ``'<<<' in text``, bare ``CMR``).
+    """
+    s = line.strip()
+    if not s:
+        return True
+    if s.startswith(_MRZ_PREFIX) or _MRZ_FILLER in s:
+        return True
+    if _COUNTRY_CODE_RE.match(s):
+        return True
+    return False
+
+
+@dataclass(frozen=True)
+class ExtractionResult:
+    """Per-turn extraction envelope (always produced, even on failure)."""
+
+    extracted_text: str
+    success: bool
+    quality_score: float  # mean per-block content score (P1 analog)
+    confidence: float  # kept/total ratio (P10 analog, :504-506)
+    n_blocks: int
+    n_kept: int
+    error: str = ""
+
+    @staticmethod
+    def failure(error: str, *, n_blocks: int = 0, quality_score: float = 0.0) -> "ExtractionResult":
+        return ExtractionResult(
+            extracted_text="",
+            success=False,
+            quality_score=quality_score,
+            confidence=0.0,
+            n_blocks=n_blocks,
+            n_kept=0,
+            error=error,
+        )

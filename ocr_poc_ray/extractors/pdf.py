@@ -1,0 +1,81 @@
+"""PDF-layout parser: span geometry → reading order → joined text.
+
+Re-targets the reference's geometric stages at a serialized span layout
+(SURVEY.md §7.2 step 4).  Input payload is one span per line:
+
+    x0,y0,x1,y1|glyph-run-text
+
+in arbitrary (scrambled) order — the analog of the reference's
+``rec_polys`` polygon geometry (``ocr/paddle_extractor.py:34``,
+centroids ``cni_extractor_18_f.py:353-357``).  Stages:
+
+- parse + validity accounting (malformed lines are counted, not fatal);
+- margin-furniture filter: spans in the header/footer bands (running
+  heads, page numbers) are dropped — noise filter P2 analog;
+- MRZ/noise line filter (``cni_extractor_25_b.py:121-129`` analog);
+- column assignment by x-midpoint, then reading-order sort
+  (column, y0, x0) — the positional y-sort fallback P9 analog
+  (``cni_extractor_18_f.py:417-438``) generalized to two columns;
+- consolidation with the frozen whitespace join.
+
+The sort is row-local (tens-to-thousands of spans per turn), so it
+stays inside ``map_batches`` — no shuffle.
+"""
+
+from __future__ import annotations
+
+from ocr_poc_ray.extractors.base import ExtractionResult, is_noise_line, normalize_ws
+
+# Letter-page geometry constants shared with the synthetic generator.
+PAGE_WIDTH = 612.0
+PAGE_MID = PAGE_WIDTH / 2.0  # column split
+MARGIN_TOP_Y = 50.0  # y0 < this → running head / furniture
+MARGIN_BOTTOM_Y = 720.0  # y0 > this → footer / page number
+
+
+def extract_pdf(text: str) -> ExtractionResult:
+    spans: list[tuple[int, float, float, str]] = []
+    n_lines = 0
+    n_invalid = 0
+    for raw in text.split("\n"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        n_lines += 1
+        head, sep, body = raw.partition("|")
+        if not sep:
+            n_invalid += 1
+            continue
+        parts = head.split(",")
+        if len(parts) != 4:
+            n_invalid += 1
+            continue
+        try:
+            x0, y0, _x1, _y1 = (float(p) for p in parts)
+        except ValueError:
+            n_invalid += 1
+            continue
+        t = body.strip()
+        if not t or is_noise_line(t):
+            continue
+        if y0 < MARGIN_TOP_Y or y0 > MARGIN_BOTTOM_Y:
+            continue  # margin furniture
+        col = 0 if x0 < PAGE_MID else 1
+        spans.append((col, y0, x0, t))
+
+    if not spans:
+        # Quality gate (P1 analog): no valid content spans.
+        reason = "no_valid_spans" if n_invalid else "no_content_spans"
+        return ExtractionResult.failure(reason, n_blocks=n_lines)
+
+    spans.sort(key=lambda s: (s[0], s[1], s[2]))
+    out = normalize_ws(" ".join(s[3] for s in spans))
+    valid = n_lines - n_invalid
+    return ExtractionResult(
+        extracted_text=out,
+        success=True,
+        quality_score=valid / n_lines if n_lines else 0.0,
+        confidence=len(spans) / valid if valid else 0.0,
+        n_blocks=n_lines,
+        n_kept=len(spans),
+    )

@@ -1,0 +1,39 @@
+"""Extractor registry + dispatch on the ``tool`` column.
+
+The analog of the reference's pre-built 2x2 extractor registry and its
+per-request dispatch (``ocr/id_card_data_extractor.py:25-35`` build,
+``:49`` dispatch), with the request validators (P12,
+``api_server.py:193-248``) folded in: an unknown tool value or null
+text yields a structured failure row, never an exception.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from ocr_poc_ray.extractors.base import MAX_TEXT_CHARS, ExtractionResult
+from ocr_poc_ray.extractors.html import extract_html
+from ocr_poc_ray.extractors.pdf import extract_pdf
+from ocr_poc_ray.extractors.plain import extract_plain
+
+EXTRACTORS: dict[str, Callable[[str], ExtractionResult]] = {
+    "": extract_plain,
+    "html": extract_html,
+    "pdf": extract_pdf,
+}
+
+
+def extract_turn(text: str | None, tool: str | None) -> ExtractionResult:
+    """Pure per-turn extraction: validate → dispatch → envelope."""
+    if text is None:
+        return ExtractionResult.failure("null_text")
+    if len(text) > MAX_TEXT_CHARS:
+        return ExtractionResult.failure("oversized")
+    tool = tool or ""
+    fn = EXTRACTORS.get(tool)
+    if fn is None:
+        return ExtractionResult.failure(f"unknown_tool:{tool}")
+    try:
+        return fn(text)
+    except Exception as exc:  # per-row failure containment (SURVEY.md §7.4.4)
+        return ExtractionResult.failure(f"extractor_error:{type(exc).__name__}")

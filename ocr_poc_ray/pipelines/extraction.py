@@ -1,0 +1,160 @@
+"""The flagship pipeline: read → validate → extract → order → write.
+
+Streaming end-to-end (SURVEY.md §7.1): the only materialization points
+are the sinks; the only all-to-all exchange is the optional final sort.
+Two deployment shapes:
+
+- ``extract_transcripts``: composable Dataset → Dataset transform.
+- ``resumable_extract``:  the checkpointed driver loop — shard plan →
+  per-partition streaming runs with atomic commit + manifest lineage
+  (north_rule resume semantics).  Each partition is a group of shards
+  large enough to keep the whole cluster busy, so partitions run
+  sequentially while everything inside a partition is parallel.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data import Dataset
+
+from ocr_poc_ray.sources.parquet_shards import ParquetShard, plan_shards, read_shards
+from ocr_poc_ray.stages.extract import EXTRACTOR_VERSION, ExtractTurns
+from ocr_poc_ray.stages.ordering import sort_by_turn
+from ocr_poc_ray.stages.validate import validate_transcripts_batch
+from ocr_poc_ray.state.manifest import Manifest, PartitionRecord
+
+#: rows per extraction batch — text payloads are KBs each, so a few
+#: hundred rows keeps batches in the single-MB range and the actor pool
+#: load-balanced even when one batch holds several heavy HTML turns.
+DEFAULT_BATCH_SIZE = 512
+
+
+def extract_transcripts(
+    source: str | list[str] | Dataset,
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    ordered: bool = False,
+) -> Dataset:
+    """Transcripts (path or Dataset) → extraction-envelope Dataset."""
+    if isinstance(source, Dataset):
+        ds = source
+    else:
+        ds = ray.data.read_parquet(source)
+    ds = ds.map_batches(validate_transcripts_batch, batch_format="pyarrow")
+    if concurrency is None:
+        # Stateless tasks: elastic, no pool sizing to get wrong.  Pass a
+        # concurrency to switch to the actor-pool shape (model slot).
+        ds = ds.map_batches(
+            ExtractTurns(), batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        ds = ds.map_batches(
+            ExtractTurns,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    if ordered:
+        ds = sort_by_turn(ds)
+    return ds
+
+
+def run_extraction(
+    input_path: str | list[str],
+    output_dir: str,
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    ordered: bool = True,
+) -> dict:
+    """One-shot (non-checkpointed) run; returns summary metrics."""
+    t0 = time.perf_counter()
+    ds = extract_transcripts(
+        input_path, batch_size=batch_size, concurrency=concurrency, ordered=ordered
+    )
+    ds.write_parquet(output_dir)
+    wall = time.perf_counter() - t0
+    return {"output_dir": output_dir, "wall_time_s": wall}
+
+
+def _partition_metrics(files: list[str]) -> dict:
+    """Success/failure counts from the written files' `success` column
+    (columnar read of one bool column — no recompute)."""
+    n_rows = 0
+    n_success = 0
+    for f in files:
+        t = pq.read_table(f, columns=["success"])
+        n_rows += t.num_rows
+        n_success += t["success"].combine_chunks().sum().as_py() or 0
+    return {"rows": n_rows, "success": n_success, "failed": n_rows - n_success}
+
+
+def resumable_extract(
+    input_path: str | list[str],
+    output_dir: str,
+    *,
+    num_partitions: int = 16,
+    shard_rows: int = 250_000,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    max_partitions_this_run: int | None = None,
+) -> dict:
+    """Checkpointed extraction: skip committed partitions, commit atomically.
+
+    ``max_partitions_this_run`` exists for the kill/resume test: stop
+    after k commits and a rerun finishes the rest without reprocessing.
+    """
+    shards = plan_shards(input_path, target_rows=shard_rows)
+    # Deterministic partition assignment: contiguous shard ranges.
+    parts: dict[int, list[ParquetShard]] = {}
+    np_ = min(num_partitions, len(shards)) or 1
+    for s in shards:
+        parts.setdefault(s.shard_id % np_, []).append(s)
+
+    manifest = Manifest(output_dir)
+    done = manifest.completed(EXTRACTOR_VERSION)
+    ran: list[int] = []
+    skipped = sorted(done)
+    for pid in sorted(parts):
+        if pid in done:
+            continue
+        if max_partitions_this_run is not None and len(ran) >= max_partitions_this_run:
+            break
+        t0 = time.perf_counter()
+        tmp = manifest.begin(pid)
+        ds = read_shards(parts[pid])
+        ds = extract_transcripts(
+            ds, batch_size=batch_size, concurrency=concurrency, ordered=False
+        )
+        # Order within the partition so output files are deterministic.
+        ds = sort_by_turn(ds)
+        ds.write_parquet(tmp)
+        import os
+
+        files = sorted(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        metrics = _partition_metrics(files)
+        manifest.commit(
+            PartitionRecord(
+                partition_id=pid,
+                input_lineage=[s.lineage() for s in parts[pid]],
+                extractor_version=EXTRACTOR_VERSION,
+                row_count=metrics["rows"],
+                metrics=metrics,
+                wall_time_s=time.perf_counter() - t0,
+            )
+        )
+        ran.append(pid)
+    return {
+        "output_dir": output_dir,
+        "partitions_total": len(parts),
+        "partitions_ran": ran,
+        "partitions_skipped": skipped,
+        "manifest": manifest.path,
+    }

@@ -1,0 +1,285 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1–2).
+
+Builds clean prose FIRST, then wraps it in noise (HTML boilerplate /
+scrambled PDF span layout / whitespace + MRZ junk), so the expected
+extraction is known exactly by construction — the golden table is
+generated forward with the inputs, never re-derived (FIXTURES.md §2).
+
+Conventions (seed-stable):
+- conversation lengths are Zipfian (a few conversations hold ~10% of
+  turns) and the file row order is globally shuffled, so the ordering
+  shuffle in the pipeline has real work to do;
+- ~60% plain turns, ~30% html, ~10% pdf, ~2% pathological rows that
+  must produce ``success=false`` envelopes (empty, MRZ-only, all-
+  boilerplate html, malformed pdf spans, unknown tool, oversized).
+
+No external data; everything derives from the word list below.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_poc_ray.extractors.base import MAX_TEXT_CHARS
+from ocr_poc_ray.extractors.pdf import MARGIN_TOP_Y, PAGE_MID
+from ocr_poc_ray.schemas import EXPECTED_SCHEMA, TRANSCRIPTS_SCHEMA
+
+_WORDS = (
+    "the quick brown river flows past ancient stone bridges while merchants "
+    "carry woven baskets toward crowded market squares where travelers trade "
+    "copper coins for fresh bread salted fish ripe olives sweet honey local "
+    "wine painted pottery silk ribbons iron tools carved figures rare spices "
+    "mountain herbs and stories about distant harbors stormy crossings lost "
+    "maps patient scholars quiet libraries burning candles careful letters "
+    "written during long winters beside warm hearths under heavy snow"
+).split()
+
+_LABELS = (
+    "Nom / Name",
+    "Prénom / Given name",
+    "Date de naissance / Birth date",
+    "Lieu de naissance / Birth place",
+    "Sexe / Sex",
+    "Taille / Height",
+    "Profession / Occupation",
+)
+
+_MRZ_SAMPLES = (
+    "I<CMR0123456789<<<<<<<<<<<<<<<",
+    "<<<<<<<<<<<<<<<<<<<<",
+    "I<CMRDOE<<JOHN<<<<<<<<<<<<<<",
+)
+
+BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
+
+
+def _sentence(rng: random.Random, min_chars: int = 30) -> str:
+    while True:
+        n = rng.randint(5, 11)
+        words = [rng.choice(_WORDS) for _ in range(n)]
+        s = " ".join(words)
+        s = s[0].upper() + s[1:] + "."
+        if len(s) >= min_chars:
+            return s
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng) for _ in range(rng.randint(1, 3)))
+
+
+def _clean_paragraphs(rng: random.Random) -> list[str]:
+    return [_paragraph(rng) for _ in range(rng.randint(1, 3))]
+
+
+# ---------------------------------------------------------------------------
+# Payload wrappers: clean text -> noisy payload whose extraction is clean text.
+# ---------------------------------------------------------------------------
+
+def _wrap_plain(rng: random.Random, paragraphs: list[str]) -> str:
+    """Inject whitespace noise + MRZ junk lines; extraction renormalizes."""
+    chunks: list[str] = []
+    for p in paragraphs:
+        words = p.split(" ")
+        noisy: list[str] = []
+        for w in words:
+            noisy.append(w)
+            r = rng.random()
+            if r < 0.08:
+                noisy.append(" ")  # double space
+            elif r < 0.12:
+                noisy.append("\t")
+        chunks.append(" ".join(noisy))
+    sep = ["\n\n", "\n", "  \n"]
+    text = rng.choice(sep).join(chunks)
+    if rng.random() < 0.3:
+        text = rng.choice(_MRZ_SAMPLES) + "\n" + text
+    if rng.random() < 0.3:
+        text = text + "\n" + rng.choice(_MRZ_SAMPLES)
+    return text
+
+
+def _nav_list(rng: random.Random, n: int) -> str:
+    items = "".join(
+        f'<li><a href="/{rng.choice(_WORDS)}">{rng.choice(_WORDS).title()}</a></li>'
+        for _ in range(n)
+    )
+    return f"<ul>{items}</ul>"
+
+
+def _wrap_html(rng: random.Random, paragraphs: list[str]) -> str:
+    """Clean paragraphs wrapped in boilerplate the extractor must strip."""
+    title = rng.choice(_WORDS).title()
+    nav = f"<nav>{_nav_list(rng, rng.randint(3, 8))}</nav>"
+    header = f"<header><h1>{title} Site</h1>{nav}</header>"
+    aside = f"<aside><h3>Related</h3>{_nav_list(rng, rng.randint(2, 6))}</aside>"
+    labels = "".join(
+        f'<div class="field-label">{rng.choice(_LABELS)}:</div>' for _ in range(rng.randint(0, 3))
+    )
+    menu = f'<div class="menu">{_nav_list(rng, rng.randint(2, 5))}</div>'
+    promo = f"<div class=\"promo\">{rng.choice(_WORDS).title()} now!</div>"
+    content = "".join(f"<p>{p}</p>" for p in paragraphs)
+    footer = (
+        f"<footer>{_nav_list(rng, 3)}<p>© 2025 {title} Corp. All rights reserved.</p></footer>"
+    )
+    script = "<script>var x = 1; function f() { return x; }</script>"
+    style = "<style>.menu { display: none; } p { margin: 0; }</style>"
+    return (
+        f"<html><head><title>{title}</title>{style}{script}</head>"
+        f"<body>{header}{menu}{aside}{labels}"
+        f'<article class="content">{content}</article>'
+        f"{promo}{footer}</body></html>"
+    )
+
+
+def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
+    """Serialize clean text as scrambled x0,y0,x1,y1|text span lines."""
+    words = " ".join(paragraphs).split(" ")
+    runs: list[str] = []
+    i = 0
+    while i < len(words):
+        k = rng.randint(4, 8)
+        runs.append(" ".join(words[i : i + k]))
+        i += k
+    two_col = len(runs) >= 6 and rng.random() < 0.5
+    spans: list[str] = []
+    y_step = 14.0
+
+    def emit(col_runs: list[str], x_base: float) -> None:
+        y = MARGIN_TOP_Y + 10.0
+        for run in col_runs:
+            x0 = x_base + rng.randint(0, 18)
+            x1 = x0 + 8.0 * len(run)
+            spans.append(f"{x0:.1f},{y:.1f},{x1:.1f},{y + 11:.1f}|{run}")
+            y += y_step
+
+    if two_col:
+        half = (len(runs) + 1) // 2
+        emit(runs[:half], 72.0)
+        emit(runs[half:], PAGE_MID + 20.0)
+    else:
+        emit(runs, 72.0)
+    # Margin furniture + MRZ noise the extractor must drop.
+    spans.append(f"72.0,30.0,300.0,41.0|{rng.choice(_WORDS).title()} Quarterly Report")
+    spans.append(f"290.0,742.0,322.0,753.0|Page {rng.randint(1, 99)}")
+    if rng.random() < 0.4:
+        spans.append(f"72.0,{MARGIN_TOP_Y + 12.0:.1f},300.0,300.0|{rng.choice(_MRZ_SAMPLES)}")
+    rng.shuffle(spans)
+    return "\n".join(spans)
+
+
+_PATHOLOGICAL_KINDS = (
+    "empty", "whitespace", "mrz_only", "html_boilerplate_only",
+    "pdf_malformed", "pdf_furniture_only", "unknown_tool", "oversized",
+)
+
+
+def _pathological(rng: random.Random) -> tuple[str, str, str]:
+    """Return (text, tool, expected_error_class). Always success=False."""
+    kind = rng.choice(_PATHOLOGICAL_KINDS)
+    if kind == "empty":
+        return "", "", "empty_after_filter"
+    if kind == "whitespace":
+        return "  \n\t  \n ", "", "empty_after_filter"
+    if kind == "mrz_only":
+        return "\n".join(rng.choice(_MRZ_SAMPLES) for _ in range(3)), "", "empty_after_filter"
+    if kind == "html_boilerplate_only":
+        nav = f"<nav>{_nav_list(rng, 5)}</nav>"
+        menu = f'<div class="m">{_nav_list(rng, 4)}</div>'
+        label = f'<div>{rng.choice(_LABELS)}:</div>'
+        return f"<html><body>{nav}{menu}{label}</body></html>", "html", "no_content_blocks"
+    if kind == "pdf_malformed":
+        lines = [f"{rng.choice(_WORDS)} garbled line {i}" for i in range(4)]
+        lines += [f"1,2,3|missing coord {i}" for i in range(2)]
+        return "\n".join(lines), "pdf", "no_valid_spans"
+    if kind == "pdf_furniture_only":
+        return "72.0,30.0,200.0,41.0|Running Head\n300.0,745.0,330.0,756.0|Page 9", "pdf", "no_content_spans"
+    if kind == "unknown_tool":
+        return _paragraph(rng), "img", "unknown_tool:img"
+    # oversized: exceeds the request-size validator (P12 analog)
+    return "x" * (MAX_TEXT_CHARS + 1), "", "oversized"
+
+
+def _conv_weights(n_convs: int) -> list[float]:
+    # Zipf(1.1): head conversations hold a large share of turns.
+    return [1.0 / (i + 1) ** 1.1 for i in range(n_convs)]
+
+
+def generate_transcripts(
+    n_turns: int = 1_000, n_convs: int = 50, seed: int = 42
+) -> tuple[pa.Table, pa.Table]:
+    """Return (transcripts, expected) Arrow tables, row order shuffled."""
+    rng = random.Random(seed)
+    convs = [f"conv-{i:06d}" for i in range(n_convs)]
+    weights = _conv_weights(n_convs)
+    turn_counters = [0] * n_convs
+
+    rows: list[tuple] = []
+    expected: list[tuple] = []
+    for _ in range(n_turns):
+        ci = rng.choices(range(n_convs), weights=weights, k=1)[0]
+        turn_idx = turn_counters[ci]
+        turn_counters[ci] += 1
+        ts = BASE_TS_US + ci * 86_400_000_000 + turn_idx * 7_000_000
+
+        r = rng.random()
+        if r < 0.02:
+            text, tool, _err = _pathological(rng)
+            role = "tool" if tool else ("user" if turn_idx % 2 == 0 else "assistant")
+            rows.append((convs[ci], turn_idx, role, text, tool, ts))
+            expected.append((convs[ci], turn_idx, "", False))
+            continue
+
+        paragraphs = _clean_paragraphs(rng)
+        clean = " ".join(paragraphs)
+        if r < 0.62:
+            text, tool = _wrap_plain(rng, paragraphs), ""
+            role = "user" if turn_idx % 2 == 0 else "assistant"
+        elif r < 0.92:
+            text, tool = _wrap_html(rng, paragraphs), "html"
+            role = "tool"
+        else:
+            text, tool = _wrap_pdf(rng, paragraphs), "pdf"
+            role = "tool"
+        rows.append((convs[ci], turn_idx, role, text, tool, ts))
+        expected.append((convs[ci], turn_idx, clean, True))
+
+    order = list(range(len(rows)))
+    rng.shuffle(order)  # force the ordering shuffle to do real work
+    rows = [rows[i] for i in order]
+    expected_sorted = sorted(expected)  # golden table in canonical order
+
+    transcripts = pa.Table.from_arrays(
+        [pa.array([r[j] for r in rows], type=TRANSCRIPTS_SCHEMA.types[j]) for j in range(6)],
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+    expected_tbl = pa.Table.from_arrays(
+        [
+            pa.array([e[j] for e in expected_sorted], type=EXPECTED_SCHEMA.types[j])
+            for j in range(4)
+        ],
+        schema=EXPECTED_SCHEMA,
+    )
+    return transcripts, expected_tbl
+
+
+def write_fixtures(
+    out_dir: str, n_turns: int = 1_000, n_convs: int = 50, seed: int = 42,
+    row_group_size: int | None = None,
+) -> dict[str, str]:
+    """Write transcripts.parquet + expected.parquet under `out_dir`.
+
+    `row_group_size` controls Parquet fragment granularity so Ray can
+    parallelize the read (defaults to ~32 row groups).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    transcripts, expected = generate_transcripts(n_turns, n_convs, seed)
+    rgs = row_group_size or max(1_000, n_turns // 32)
+    t_path = os.path.join(out_dir, "transcripts.parquet")
+    e_path = os.path.join(out_dir, "expected.parquet")
+    pq.write_table(transcripts, t_path, row_group_size=rgs)
+    pq.write_table(expected, e_path, row_group_size=rgs)
+    return {"transcripts": t_path, "expected": e_path}

@@ -1,0 +1,134 @@
+"""Operator-level unit tests for the extraction core (SURVEY.md §5.1).
+
+Threshold/semantics cases mirror the reference's stages: quality gate
+(P1), noise filter incl. MRZ analogs (P2), regex/label classification
+(P7), geometric reading order (P8/P9), normalizers (P11), validators
+(P12).
+"""
+
+from __future__ import annotations
+
+from ocr_poc_ray.extractors import extract_turn, is_noise_line, normalize_ws
+from ocr_poc_ray.extractors.html import extract_html
+from ocr_poc_ray.extractors.pdf import extract_pdf
+from ocr_poc_ray.extractors.plain import extract_plain
+
+
+# -- normalizer (P11) --------------------------------------------------------
+def test_normalize_ws():
+    assert normalize_ws("  a \t b\n\nc ") == "a b c"
+    assert normalize_ws("") == ""
+    assert normalize_ws(" \n\t ") == ""
+
+
+# -- noise filter (P2 / MRZ analog, cni_extractor_25_b.py:121-129) ----------
+def test_noise_lines():
+    assert is_noise_line("I<CMR0123<<<<")
+    assert is_noise_line("abc<<<def")
+    assert is_noise_line("CMR")
+    assert is_noise_line("   ")
+    assert not is_noise_line("normal text line")
+    assert not is_noise_line("CMRX")  # 4 letters: not a country code
+
+
+# -- plain path --------------------------------------------------------------
+def test_plain_normalizes_and_filters():
+    r = extract_plain("Hello   world\nI<CMR000<<<\nsecond  line")
+    assert r.success
+    assert r.extracted_text == "Hello world second line"
+    assert r.n_blocks == 3 and r.n_kept == 2
+
+
+def test_plain_empty_fails_not_raises():
+    r = extract_plain("   \n  ")
+    assert not r.success and r.error == "empty_after_filter"
+    r2 = extract_plain("I<CMR<<<\n<<<")
+    assert not r2.success
+
+
+# -- html path (boilerplate classifier, P7 analog) ---------------------------
+def test_html_strips_chrome_and_labels():
+    html = (
+        "<html><head><style>p{}</style><script>x=1</script></head><body>"
+        "<nav><ul><li><a href='/x'>Home</a></li><li><a href='/y'>About</a></li></ul></nav>"
+        "<div>Nom / Name:</div>"
+        "<p>This paragraph carries the actual long-form content of the page.</p>"
+        "<footer><p>© 2025 Corp</p></footer></body></html>"
+    )
+    r = extract_html(html)
+    assert r.success
+    assert r.extracted_text == (
+        "This paragraph carries the actual long-form content of the page."
+    )
+
+
+def test_html_link_density_block_dropped():
+    html = (
+        "<body><div><a href='/a'>one two three four five six seven eight</a></div>"
+        "<p>Real content sentence that is clearly long enough to keep here.</p></body>"
+    )
+    r = extract_html(html)
+    assert r.extracted_text == (
+        "Real content sentence that is clearly long enough to keep here."
+    )
+
+
+def test_html_all_boilerplate_fails():
+    r = extract_html("<body><nav><a href='/'>Home</a></nav><div>Menu:</div></body>")
+    assert not r.success and r.error == "no_content_blocks"
+
+
+def test_html_short_block_dropped():
+    r = extract_html("<body><p>tiny</p><p>A properly long content paragraph kept.</p></body>")
+    assert r.extracted_text == "A properly long content paragraph kept."
+
+
+# -- pdf path (reading order, P8/P9 analog) ----------------------------------
+def test_pdf_reading_order_two_columns():
+    # right column listed first, scrambled rows; left column must come first.
+    text = "\n".join(
+        [
+            "330.0,88.0,400.0,99.0|right two",
+            "72.0,88.0,200.0,99.0|left two",
+            "330.0,74.0,400.0,85.0|right one",
+            "72.0,74.0,200.0,85.0|left one",
+        ]
+    )
+    r = extract_pdf(text)
+    assert r.success
+    assert r.extracted_text == "left one left two right one right two"
+
+
+def test_pdf_drops_furniture_and_mrz():
+    text = "\n".join(
+        [
+            "72.0,30.0,200.0,41.0|Running Head",
+            "72.0,74.0,200.0,85.0|body span",
+            "300.0,745.0,330.0,756.0|Page 7",
+            "72.0,90.0,200.0,101.0|I<CMR000<<<",
+        ]
+    )
+    r = extract_pdf(text)
+    assert r.extracted_text == "body span"
+    assert r.n_kept == 1
+
+
+def test_pdf_malformed_fails():
+    r = extract_pdf("not a span at all\n1,2|still bad")
+    assert not r.success and r.error == "no_valid_spans"
+
+
+# -- dispatch + validators (P12 analog) --------------------------------------
+def test_dispatch_and_validators():
+    assert extract_turn("plain  text here", "").extracted_text == "plain text here"
+    assert extract_turn("x", "img").error == "unknown_tool:img"
+    assert not extract_turn(None, "").success
+    from ocr_poc_ray.extractors.base import MAX_TEXT_CHARS
+
+    assert extract_turn("x" * (MAX_TEXT_CHARS + 1), "").error == "oversized"
+
+
+def test_failures_never_raise():
+    for text, tool in [("", ""), ("<<<", ""), ("<a", "html"), ("1,2,3,4|", "pdf")]:
+        r = extract_turn(text, tool)
+        assert r.success is False and r.extracted_text == ""

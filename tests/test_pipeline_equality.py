@@ -1,0 +1,93 @@
+"""Golden E2E equality: distributed pipeline vs expected table & oracle.
+
+SURVEY.md §5.2: the per-turn text-equality gate.  Keyed by
+``(conv_id, turn_idx)``, byte-for-byte on ``extracted_text``, and
+cardinality-exact (no dropped or duplicated turns), at multiple batch
+sizes — equality must hold at any parallelism.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_poc_ray.extractors import extract_turn
+from ocr_poc_ray.pipelines.extraction import extract_transcripts
+
+
+def _key_sorted(table: pa.Table) -> pa.Table:
+    return table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def oracle_extract(transcripts: pa.Table) -> pa.Table:
+    """Single-process oracle: the same pure function, no distribution."""
+    rows = sorted(
+        zip(
+            transcripts["conv_id"].to_pylist(),
+            transcripts["turn_idx"].to_pylist(),
+            transcripts["text"].to_pylist(),
+            transcripts["tool"].to_pylist(),
+        )
+    )
+    out = [(c, i, extract_turn(t, tool).extracted_text, extract_turn(t, tool).success)
+           for c, i, t, tool in rows]
+    return pa.table(
+        {
+            "conv_id": [r[0] for r in out],
+            "turn_idx": pa.array([r[1] for r in out], pa.int32()),
+            "extracted_text": [r[2] for r in out],
+            "success": [r[3] for r in out],
+        }
+    )
+
+
+@pytest.mark.parametrize("batch_size", [32, 512])
+def test_pipeline_matches_golden(fixture_dir, batch_size):
+    expected = pq.read_table(fixture_dir["expected"])
+    result = extract_transcripts(
+        fixture_dir["transcripts"], batch_size=batch_size, ordered=True
+    ).to_arrow_refs()
+    import ray
+
+    got = _key_sorted(pa.concat_tables([ray.get(r) for r in result]))
+
+    assert got.num_rows == expected.num_rows  # no dropped/dup turns
+    assert got["conv_id"].to_pylist() == expected["conv_id"].to_pylist()
+    assert got["turn_idx"].to_pylist() == expected["turn_idx"].to_pylist()
+    assert got["extracted_text"].to_pylist() == expected["extracted_text"].to_pylist()
+    assert got["success"].to_pylist() == expected["success"].to_pylist()
+
+
+def test_pipeline_matches_oracle_and_is_permutation_invariant(fixture_dir):
+    """Property (SURVEY.md §5.4): input row order must not change output."""
+    transcripts = pq.read_table(fixture_dir["transcripts"])
+    oracle = oracle_extract(transcripts)
+
+    # permute input rows deterministically
+    import random
+
+    idx = list(range(transcripts.num_rows))
+    random.Random(7).shuffle(idx)
+    permuted = transcripts.take(idx)
+
+    import ray.data
+
+    ds = ray.data.from_arrow(permuted)
+    got = _key_sorted(
+        pa.concat_tables(
+            [pa.Table.from_pandas(extract_transcripts(ds, batch_size=128).to_pandas())]
+        )
+    )
+    assert got["extracted_text"].to_pylist() == oracle["extracted_text"].to_pylist()
+    assert got["success"].to_pylist() == oracle["success"].to_pylist()
+
+
+def test_actor_pool_path_equal(fixture_dir):
+    """Actor-pool deployment shape produces identical bytes."""
+    expected = pq.read_table(fixture_dir["expected"])
+    ds = extract_transcripts(
+        fixture_dir["transcripts"], batch_size=256, concurrency=2, ordered=True
+    )
+    got = _key_sorted(pa.Table.from_pandas(ds.to_pandas()))
+    assert got["extracted_text"].to_pylist() == expected["extracted_text"].to_pylist()
