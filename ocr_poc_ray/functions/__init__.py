@@ -1,0 +1,42 @@
+"""Large-scale training-data operations.
+
+First-class components alongside the extraction pipeline: text
+analysis, deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), approximate similarity search, and
+multimodal column plumbing.  Each operates on a `ray.data.Dataset`
+and follows the scale rules: vectorized batch kernels, partial
+aggregation before shuffles, broadcast small sides, deterministic
+hashing (never Python's seeded ``hash``).
+"""
+
+from ocr_poc_ray.functions.textstats import (
+    add_fingerprints,
+    add_langid,
+    add_quality,
+    add_token_counts,
+)
+from ocr_poc_ray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_verify,
+    simhash_pairs,
+)
+from ocr_poc_ray.functions.similarity import (
+    embedding_near_dup_pairs,
+    knn_brute_force,
+    knn_lsh,
+)
+
+__all__ = [
+    "add_fingerprints",
+    "add_langid",
+    "add_quality",
+    "add_token_counts",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_verify",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "knn_brute_force",
+    "knn_lsh",
+]

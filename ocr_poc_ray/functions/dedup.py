@@ -1,0 +1,383 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale shape (ray_guide patterns + SURVEY.md §2.5):
+
+- **exact**: vectorized content-hash column → ``groupby(hash)`` →
+  per-group first (deterministic min-id winner).  One shuffle over
+  (hash, id) pairs only — the text column is projected away first.
+- **MinHash-LSH**: per-batch shingling + k-permutation MinHash
+  (numpy, deterministic blake2b base hashes — never Python's seeded
+  ``hash``), explode to (band_id, band_hash, doc_id) rows, one
+  ``groupby`` over band buckets → candidate pairs → signature-overlap
+  verify.  The signatures travel with the bucket rows so verification
+  needs no second pass over the corpus.
+- **SimHash**: 64-bit signature per doc from token hashes; bucket by
+  4×16-bit bands (any pair within Hamming distance ≤ 3 shares ≥1
+  band); verify Hamming distance within buckets.
+- **n-gram Jaccard**: exact verification kernel for candidate pairs.
+
+Connected components over candidate pairs use iterative min-label
+propagation (bounded rounds of groupby) — not a driver union-find —
+so the component step also scales; at test scale it converges in 2–3
+rounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+# --------------------------------------------------------------------------
+# Deterministic base hashing (stable across processes and runs).
+# --------------------------------------------------------------------------
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(), "big")
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    """Word n-gram shingles of a lowercased text."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Keep the min-`id_col` row per identical `text_col` value.
+
+    Returns the surviving (id, hash) pairs; join back to the full table
+    if the payload is needed (keeps the shuffle narrow — hash+id only).
+    """
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "content_hash": [
+                    hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
+                    for t in batch[text_col].fillna("")
+                ],
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        keep = group[id_col].min()
+        return pd.DataFrame({id_col: [keep], "content_hash": [group["content_hash"].iloc[0]]})
+
+    return hashed.groupby("content_hash").map_groups(first_per_hash, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup candidate pairs
+# --------------------------------------------------------------------------
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+class _MinHasher:
+    """k-permutation MinHash with fixed seeded parameters (actor state)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, ngram: int = 3):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.ngram)
+        if not sh:
+            return np.full(self.num_perm, np.uint64(_MERSENNE_P), dtype=np.uint64)
+        base = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
+        # (a*x + b) mod p, per permutation — vectorized (num_perm, n_shingles)
+        with np.errstate(over="ignore"):
+            vals = (
+                self.a[:, None] * (base[None, :] % _MERSENNE_P) + self.b[:, None]
+            ) % np.uint64(_MERSENNE_P)
+        return vals.min(axis=1)
+
+
+class _MinHashBands:
+    """Batch → exploded (band_id, band_hash, doc_id, signature) rows."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int, seed: int):
+        assert num_perm % bands == 0
+        self.hasher = _MinHasher(num_perm=num_perm, seed=seed)
+        self.id_col, self.text_col = id_col, text_col
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, band_ids, band_hashes, sigs = [], [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            sig = self.hasher.signature(text)
+            sig_bytes = sig.tobytes()
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(
+                    int.from_bytes(
+                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                    )
+                    >> 1  # keep in int64 range
+                )
+                sigs.append(sig_bytes)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "band_id": band_ids,
+                "band_hash": band_hashes,
+                "signature": sigs,
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> Dataset:
+    """Candidate near-dup pairs with estimated Jaccard ≥ `threshold`.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduplicated
+    across bands.  Signature travels with the bucket row so the verify
+    step happens inside the bucket group — no second corpus pass.
+    """
+    exploded = ds.map_batches(
+        _MinHashBands(id_col, text_col, num_perm, bands, seed),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=None,
+    )
+
+    num_perm_ = num_perm
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        # bound worst-case hot buckets (salting guidance: SURVEY.md §7.4.3)
+        g = group.sort_values("doc_id").head(256)
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["signature"]]
+        ids = list(g["doc_id"])
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float(np.count_nonzero(sigs[i] == sigs[j])) / num_perm_
+                if est >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(est)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    # distinct across bands: keep max estimate per pair
+    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("est_jaccard", ascending=False).head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pair, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+
+class _SimHasher:
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in set(text.lower().split()):
+            h = _stable_hash64(tok)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sig |= 1 << i
+        return sig
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            sig = self.simhash64(text)
+            for b in range(4):  # 4×16-bit bands → catches Hamming ≤ 3
+                out_id.append(doc_id)
+                out_band.append(b)
+                out_key.append((sig >> (16 * b)) & 0xFFFF)
+                out_sig.append(sig - (1 << 63))  # int64 range
+        return pd.DataFrame(
+            {"doc_id": out_id, "band_id": out_band, "band_key": out_key, "simhash": out_sig}
+        )
+
+
+def simhash_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> Dataset:
+    """Near-dup pairs with Hamming(simhash) ≤ `max_hamming` (doc_a < doc_b)."""
+    exploded = ds.map_batches(_SimHasher(id_col, text_col), batch_format="pandas")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        g = group.sort_values("doc_id").head(256)
+        ids = list(g["doc_id"])
+        sigs = [int(s) + (1 << 63) for s in g["simhash"]]
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(sigs[i] ^ sigs[j]).count("1")
+                if d <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(d)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pair, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard verification for candidate pairs
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_verify(
+    pairs: Dataset,
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> Dataset:
+    """Exact Jaccard for (doc_a, doc_b) candidate pairs.
+
+    Broadcast-joins the candidate docs' texts (candidates are a tiny
+    fraction of the corpus — this is the "small side broadcast" rule;
+    at extreme scale swap for a partitioned hash join on doc id).
+    """
+    import ray
+
+    need_ids = set()
+    pairs_mat = pairs.materialize()
+    for batch in pairs_mat.iter_batches(batch_format="pandas"):
+        need_ids.update(batch["doc_a"])
+        need_ids.update(batch["doc_b"])
+    need_ids_ref = ray.put(need_ids)
+
+    def collect(batch: pd.DataFrame) -> pd.DataFrame:
+        need = ray.get(need_ids_ref)
+        sub = batch[batch[id_col].isin(need)]
+        return pd.DataFrame({id_col: sub[id_col], text_col: sub[text_col]})
+
+    texts: dict = {}
+    for batch in docs.map_batches(collect, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        texts.update(zip(batch[id_col], batch[text_col]))
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(texts_ref)
+        jac = []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa, sb = _shingles(tx.get(a, ""), ngram), _shingles(tx.get(b, ""), ngram)
+            union = len(sa | sb)
+            jac.append(len(sa & sb) / union if union else 0.0)
+        batch = batch.copy()
+        batch["jaccard"] = jac
+        return batch
+
+    return pairs_mat.map_batches(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Connected components by iterative min-label propagation (no driver
+# union-find — every step is a groupby, so the component pass scales).
+# --------------------------------------------------------------------------
+
+
+def connected_components(pairs: Dataset, *, max_rounds: int = 10) -> Dataset:
+    """(doc_id, component) from (doc_a, doc_b) pairs; component = min id."""
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([batch["doc_a"], batch["doc_b"]]),
+                "label": pd.concat([batch["doc_b"], batch["doc_a"]]),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def min_self(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["label"] = out[["node", "label"]].min(axis=1)
+        return out
+
+    labels = edges.map_batches(min_self, batch_format="pandas")
+
+    def reduce_min(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": [group["node"].iloc[0]], "label": [group["label"].min()]}
+        )
+
+    for _ in range(max_rounds):
+        labels = labels.groupby("node").map_groups(reduce_min, batch_format="pandas")
+        labels_mat = labels.materialize()
+        lab = labels_mat.to_pandas()
+        mapping = dict(zip(lab["node"], lab["label"]))
+        changed = any(mapping.get(l, l) != l for l in lab["label"])
+        if not changed:
+            labels = labels_mat
+            break
+
+        def propagate(batch: pd.DataFrame, m=mapping) -> pd.DataFrame:
+            out = batch.copy()
+            out["label"] = [m.get(l, l) for l in out["label"]]
+            return out
+
+        labels = labels_mat.map_batches(propagate, batch_format="pandas")
+    return labels.map_batches(
+        lambda b: b.rename(columns={"node": "doc_id", "label": "component"}),
+        batch_format="pandas",
+    )

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference's ingress is an opaque image blob per request
+(``api_server.py:26,48,240``).  At corpus scale that becomes a
+``binary`` column with typed metadata, processed by actor-pool
+``map_batches`` stages.  The image/audio codec libraries are not in
+this container, so the DECODE KERNELS ARE STUBBED — a clearly-marked
+deterministic fake (or ``NotImplementedError`` when strictness is
+requested) — while everything Ray-side is real and tested: schema,
+batch sizing for large payloads, actor signature, output layout.
+
+Real-codec slot: replace ``_fake_decode`` with PIL/ffmpeg in
+``MediaDecoder.__init__`` (import once per actor) and the pipeline
+shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("content_type", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown / not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+#: Large binary payloads → small batches so batch × concurrency fits a
+#: worker heap (the engine-wide rule for multimodal stages).
+MEDIA_BATCH_SIZE = 32
+
+_MAGIC = b"FAKEMEDIA"
+
+
+def make_fake_payload(media_id: str, kind: str, w: int = 64, h: int = 48, dur: int = 0) -> bytes:
+    """Deterministic fake media blob with a parseable header (for tests)."""
+    body = hashlib.blake2b(media_id.encode(), digest_size=32).digest() * 4
+    return _MAGIC + struct.pack("<III", w, h, dur) + kind.encode()[:1] + body
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decode: parses the fake header; a real build uses PIL/ffmpeg."""
+    if not payload.startswith(_MAGIC):
+        raise ValueError("undecodable payload")
+    w, h, dur = struct.unpack("<III", payload[len(_MAGIC) : len(_MAGIC) + 12])
+    return {"width": w, "height": h, "duration_ms": dur, "n_bytes": len(payload)}
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature stage over a binary media column.
+
+    ``strict=False`` (default): failures become ``decode_ok=False``
+    rows — per-row failure containment, as everywhere in this engine.
+    ``use_real_codecs=True``: raises NotImplementedError — the slot
+    where PIL/ffmpeg would load (once per actor, in ``__init__``).
+    """
+
+    def __init__(self, *, use_real_codecs: bool = False):
+        if use_real_codecs:
+            raise NotImplementedError(
+                "real image/audio codecs are not available in this environment; "
+                "install PIL/ffmpeg and wire them here"
+            )
+        self._decode = _fake_decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ok, widths, heights, durs, feats = [], [], [], [], []
+        for payload in batch["payload"]:
+            try:
+                meta = self._decode(bytes(payload))
+                ok.append(True)
+                widths.append(meta["width"])
+                heights.append(meta["height"])
+                durs.append(meta["duration_ms"])
+                # STUB feature vector: byte-histogram moments (deterministic)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                feats.append([float(arr.mean()), float(arr.std()), float(len(arr))])
+            except Exception:
+                ok.append(False)
+                widths.append(-1)
+                heights.append(-1)
+                durs.append(-1)
+                feats.append([0.0, 0.0, 0.0])
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "decode_ok": ok,
+                "width": pd.array(widths, dtype="int32"),
+                "height": pd.array(heights, dtype="int32"),
+                "duration_ms": pd.array(durs, dtype="int32"),
+                "features": feats,
+            }
+        )
+
+
+def decode_media(ds: Dataset, *, concurrency: int | tuple[int, int] = (1, 4)) -> Dataset:
+    """Media table → decoded metadata + stub features (actor pool)."""
+    return ds.map_batches(
+        MediaDecoder,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """STUB frame-sample stage for video rows: emits one row per sampled
+    frame index (real build: ffmpeg seek + decode per index)."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_idx, out_ts = [], [], []
+        for media_id, kind, payload in zip(batch["media_id"], batch["kind"], batch["payload"]):
+            if kind != "video":
+                continue
+            try:
+                meta = _fake_decode(bytes(payload))
+            except Exception:
+                continue
+            for i, ts in enumerate(range(0, max(meta["duration_ms"], 1), self.every_ms)):
+                out_id.append(media_id)
+                out_idx.append(i)
+                out_ts.append(ts)
+        return pd.DataFrame(
+            {
+                "media_id": out_id,
+                "frame_idx": pd.array(out_idx, dtype="int32"),
+                "ts_ms": pd.array(out_ts, dtype="int32"),
+            }
+        )
+
+
+def sample_frames(ds: Dataset, *, every_ms: int = 1000) -> Dataset:
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )

@@ -1,0 +1,245 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``knn_brute_force``: the exact baseline — the query matrix is
+  broadcast ONCE via ``ray.put`` (never re-shipped per batch); each
+  batch computes a (batch × queries) cosine matmul in numpy and emits
+  only its LOCAL top-k per query (a partial top-k — the combiner
+  pattern), so the final per-query merge ranks ``k × num_blocks``
+  candidate rows instead of the whole corpus.
+- ``knn_lsh``: the scale path — random-hyperplane LSH buckets
+  (seeded, deterministic); queries probe only their own bucket(s), so
+  the per-batch matmul shrinks by ~2^bits.  Recall measured against
+  the brute-force baseline in tests.
+- ``embedding_near_dup_pairs``: all-pairs cosine ≥ threshold via the
+  same bucketing (near-dup as a first-class dedup op).
+
+Cosine uses float64 with pre-normalized vectors so results are
+reproducible and DuckDB-comparable (similarities rounded to 4 dp in
+query outputs to absorb summation-order ULPs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+from ray.data import Dataset
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _PartialTopK:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str, exclude_self: bool):
+        q = ray.get(queries_ref)
+        self.query_ids: np.ndarray = q["ids"]
+        self.Q: np.ndarray = q["mat"]  # already normalized, (nq, d)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = _normalize(_to_matrix(batch[self.vec_col]))  # (n, d)
+        ids = batch[self.id_col].to_numpy()
+        sims = X @ self.Q.T  # (n, nq)
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k + (1 if self.exclude_self else 0), len(ids))
+        for qi in range(self.Q.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            for t in top:
+                if self.exclude_self and ids[t] == self.query_ids[qi]:
+                    continue
+                out_q.append(self.query_ids[qi])
+                out_n.append(ids[t])
+                out_s.append(col[t])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+
+def knn_brute_force(
+    ds: Dataset,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1-based,
+    ordered by (cosine desc, neighbor_id asc) for determinism.
+    """
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    queries_ref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
+
+    partial = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(queries_ref, k, id_col, vec_col, exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cosine"] = g["cosine"].round(4)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed variant (random hyperplanes)
+# --------------------------------------------------------------------------
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0  # (n, nbits)
+    return bits @ (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+
+def knn_lsh(
+    ds: Dataset,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    nbits: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    With `nbits` hyperplanes each batch row lands in one of 2^nbits
+    buckets; a query only scores rows sharing its bucket.  Recall < 1
+    by design — measured against ``knn_brute_force`` in tests.
+    """
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    d = dim or q_mat.shape[1]
+    planes = np.random.RandomState(seed).standard_normal((nbits, d))
+    q_codes = _lsh_codes(q_mat, planes)
+    queries_ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": q_mat, "codes": q_codes, "planes": planes}
+    )
+
+    class PartialBucketTopK:
+        def __init__(self) -> None:
+            q = ray.get(queries_ref)
+            self.query_ids, self.Q, self.q_codes, self.planes = (
+                q["ids"], q["mat"], q["codes"], q["planes"],
+            )
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy()
+            codes = _lsh_codes(X, self.planes)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(self.Q.shape[0]):
+                mask = codes == self.q_codes[qi]
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sims = X[mask] @ self.Q[qi]
+                kk = min(k + 1, len(sub_ids))
+                top = (
+                    np.argpartition(-sims, kk - 1)[:kk]
+                    if kk < len(sub_ids)
+                    else np.arange(len(sub_ids))
+                )
+                for t in top:
+                    if exclude_self and sub_ids[t] == self.query_ids[qi]:
+                        continue
+                    out_q.append(self.query_ids[qi])
+                    out_n.append(sub_ids[t])
+                    out_s.append(sims[t])
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partial = ds.map_batches(
+        PartialBucketTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cosine"] = g["cosine"].round(4)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.95,
+    nbits: int = 0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, id_a < id_b.
+
+    nbits=0 → exact all-pairs via a per-bucket matmul over ONE bucket
+    (fine to ~100k rows); nbits>0 → hyperplane buckets bound each
+    group (the 100-TB path, trading recall near the threshold).
+    """
+    def code_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        X = _normalize(_to_matrix(batch[vec_col]))
+        if nbits:
+            pl = np.random.RandomState(seed).standard_normal((nbits, X.shape[1]))
+            codes = _lsh_codes(X, pl)
+        else:
+            codes = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "bucket": codes,
+                "vec": [row.tobytes() for row in X],
+                "dim": X.shape[1],
+            }
+        )
+
+    coded = ds.map_batches(code_batch, batch_format="pandas")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        X = np.vstack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        ids = g[id_col].to_numpy()
+        sims = X @ X.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[mask]],
+                "id_b": ids[ju[mask]],
+                "cosine": np.round(sims[iu[mask], ju[mask]], 4),
+            }
+        )
+
+    return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

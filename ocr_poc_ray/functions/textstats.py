@@ -1,0 +1,172 @@
+"""Text analysis over document tables: token counts, quality, lang-ID,
+fingerprints.
+
+All transforms are column-appending ``map_batches`` kernels —
+vectorized with ``pyarrow.compute`` where a kernel exists, pandas str
+ops otherwise; no Python loop over rows in any hot path except the
+hashlib fingerprint (a per-row digest by definition, like the
+reference's per-document model call).
+
+Every formula here is deliberately mirrorable in ANSI SQL so the
+DuckDB oracle can verify it (see ``ocr_poc_ray.queries.documents``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish word/punct regex.
+# SQL mirror: len(regexp_split_to_array(trim(text), '\s+')) and
+# len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')).
+# --------------------------------------------------------------------------
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _token_count_kernel(batch: pa.Table, text_col: str) -> pa.Table:
+    text = batch[text_col]
+    ws_tokens = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text)))
+    # empty string → split gives [""] (length 1); force 0
+    empty = pc.equal(pc.utf8_trim_whitespace(text), "")
+    ws_tokens = pc.if_else(empty, pa.scalar(0, pa.int32()), pc.cast(ws_tokens, pa.int32()))
+    bpe_tokens = pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int32())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int32())
+    batch = batch.append_column("n_chars_computed", n_chars)
+    batch = batch.append_column("n_ws_tokens", ws_tokens)
+    batch = batch.append_column("n_bpe_tokens", bpe_tokens)
+    return batch
+
+
+def add_token_counts(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(
+        lambda b: _token_count_kernel(b, text_col), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / uppercase ratios.
+# SQL mirror in queries.documents (same thresholds, same regexes).
+# --------------------------------------------------------------------------
+STOPWORDS_EN = (
+    "the", "and", "of", "a", "to", "in", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+PUNCT_RE = r"[^\w\s]"
+QUALITY_MIN_CHARS = 50
+QUALITY_MAX_PUNCT_RATIO = 0.20
+QUALITY_MIN_WS_TOKENS = 10
+
+
+def _quality_kernel(batch: pa.Table, text_col: str) -> pa.Table:
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.float64())
+    punct_ratio = pc.if_else(
+        pc.greater(n_chars, 0), pc.divide(n_punct, n_chars), pa.scalar(0.0)
+    )
+    trimmed = pc.utf8_trim_whitespace(text)
+    ws_tokens = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+    ws_tokens = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), pc.cast(ws_tokens, pa.int32())
+    )
+    stop_pattern = r"(?i)\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    n_stop = pc.cast(pc.count_substring_regex(text, stop_pattern), pa.float64())
+    stop_ratio = pc.if_else(
+        pc.greater(pc.cast(ws_tokens, pa.float64()), 0),
+        pc.divide(n_stop, pc.cast(ws_tokens, pa.float64())),
+        pa.scalar(0.0),
+    )
+    is_quality = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_chars, QUALITY_MIN_CHARS),
+            pc.less_equal(punct_ratio, QUALITY_MAX_PUNCT_RATIO),
+        ),
+        pc.greater_equal(ws_tokens, QUALITY_MIN_WS_TOKENS),
+    )
+    batch = batch.append_column("punct_ratio", pc.round(punct_ratio, 6))
+    batch = batch.append_column("stopword_ratio", pc.round(stop_ratio, 6))
+    batch = batch.append_column("is_quality", is_quality)
+    return batch
+
+
+def add_quality(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(lambda b: _quality_kernel(b, text_col), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Language ID: stopword-hit heuristic over 4 languages; argmax with a
+# fixed priority order on ties.  SQL mirror uses the same regex counts.
+# --------------------------------------------------------------------------
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "une", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"),
+    "es": ("el", "los", "las", "de", "y", "es", "una", "en", "por", "que"),
+}
+LANG_PRIORITY = ("en", "fr", "de", "es")  # tie-break order
+
+
+def _lang_pattern(lang: str) -> str:
+    return r"(?i)\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def _langid_kernel(batch: pa.Table, text_col: str) -> pa.Table:
+    text = batch[text_col]
+    counts = {
+        lang: pc.cast(pc.count_substring_regex(text, _lang_pattern(lang)), pa.int64())
+        for lang in LANG_PRIORITY
+    }
+    n = len(batch)
+    count_mat = np.stack([counts[lang].to_numpy(zero_copy_only=False) for lang in LANG_PRIORITY])
+    best = np.argmax(count_mat, axis=0)  # first max wins = LANG_PRIORITY order
+    total = count_mat.sum(axis=0)
+    labels = np.array(LANG_PRIORITY, dtype=object)[best]
+    labels[total == 0] = "und"
+    batch = batch.append_column("lang_pred", pa.array(labels.tolist(), pa.string()))
+    for lang in LANG_PRIORITY:
+        batch = batch.append_column(f"stop_hits_{lang}", counts[lang])
+    return batch
+
+
+def add_langid(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(lambda b: _langid_kernel(b, text_col), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Fingerprints: md5 content hash (SQL-mirrorable: DuckDB md5()) + a
+# 64-bit rolling polynomial hash (engine-side only — deterministic
+# across processes, unlike Python's seeded hash()).
+# --------------------------------------------------------------------------
+_ROLL_BASE = np.uint64(1_000_003)
+
+
+def _rolling_hash(texts: pd.Series) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.uint64)
+    base = _ROLL_BASE
+    for i, t in enumerate(texts):
+        h = np.uint64(1469598103934665603)  # FNV offset basis
+        for b in t.encode("utf-8", "ignore"):
+            h = h * base + np.uint64(b)
+        out[i] = h
+    return out
+
+
+def _fingerprint_kernel(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    texts = batch[text_col].fillna("")
+    batch["md5_fp"] = [hashlib.md5(t.encode("utf-8", "ignore")).hexdigest() for t in texts]
+    with np.errstate(over="ignore"):
+        batch["roll_fp"] = _rolling_hash(texts).view(np.int64)  # two's-complement view
+    return batch
+
+
+def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(
+        lambda b: _fingerprint_kernel(b, text_col), batch_format="pandas"
+    )

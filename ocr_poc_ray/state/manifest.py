@@ -77,7 +77,19 @@ class Manifest:
                 self.partition_dir(pid)
             ):
                 done.add(pid)
+        self._sweep_stale_tmp(done)
         return done
+
+    def _sweep_stale_tmp(self, done: set[int]) -> None:
+        """Remove .tmp dirs left by crashed runs of already-committed work."""
+        for name in os.listdir(self.out_dir):
+            if name.startswith(".tmp-partition="):
+                try:
+                    pid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if pid in done:
+                    shutil.rmtree(os.path.join(self.out_dir, name), ignore_errors=True)
 
     # -- committing -------------------------------------------------------
     def begin(self, partition_id: int) -> str:

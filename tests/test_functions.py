@@ -1,0 +1,243 @@
+"""Tests for the training-data ops: textstats, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# -- textstats ---------------------------------------------------------------
+def test_token_counts_match_python(docs_ds):
+    from ocr_poc_ray.functions import add_token_counts
+
+    out = add_token_counts(docs_ds).to_pandas()
+    import re
+
+    for _, row in out.head(50).iterrows():
+        assert row["n_ws_tokens"] == len(row["text"].split())
+        assert row["n_bpe_tokens"] == len(
+            re.findall(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]", row["text"])
+        )
+        assert row["n_chars_computed"] == len(row["text"])
+
+
+def test_quality_flags(docs_ds):
+    from ocr_poc_ray.functions import add_quality
+
+    out = add_quality(docs_ds).to_pandas()
+    assert {"punct_ratio", "stopword_ratio", "is_quality"} <= set(out.columns)
+    assert out["punct_ratio"].between(0, 1).all()
+    assert out["is_quality"].any()
+
+
+def test_langid_deterministic(docs_ds):
+    from ocr_poc_ray.functions import add_langid
+
+    a = add_langid(docs_ds).to_pandas().sort_values("doc_id")
+    b = add_langid(docs_ds).to_pandas().sort_values("doc_id")
+    assert (a["lang_pred"].to_numpy() == b["lang_pred"].to_numpy()).all()
+    assert set(a["lang_pred"]) <= {"en", "fr", "de", "es", "und"}
+
+
+def test_fingerprints(docs_ds):
+    from ocr_poc_ray.functions import add_fingerprints
+    import hashlib
+
+    out = add_fingerprints(docs_ds).to_pandas()
+    row = out.iloc[0]
+    assert row["md5_fp"] == hashlib.md5(row["text"].encode()).hexdigest()
+    # rolling hash stable across runs (deterministic, process-independent)
+    again = add_fingerprints(docs_ds).to_pandas()
+    assert (
+        out.sort_values("doc_id")["roll_fp"].to_numpy()
+        == again.sort_values("doc_id")["roll_fp"].to_numpy()
+    ).all()
+
+
+# -- dedup -------------------------------------------------------------------
+def _dup_docs() -> ray.data.Dataset:
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " + "filler words " * i})
+    # exact dups
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})
+    # near dup (one word changed)
+    rows.append({"doc_id": 102, "text": base.replace("lazy", "sleepy")})
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup():
+    from ocr_poc_ray.functions import exact_dedup
+
+    out = exact_dedup(_dup_docs()).to_pandas()
+    assert 100 in set(out["doc_id"]) and 101 not in set(out["doc_id"])
+    assert len(out) == 22  # 20 unique + 1 of the dup pair + near-dup
+
+
+def test_minhash_lsh_finds_near_dup():
+    from ocr_poc_ray.functions import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_dup_docs(), threshold=0.5).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (100, 101) in got  # exact dup: est_jaccard = 1
+    assert (100, 102) in got or (101, 102) in got  # near dup
+    # unrelated docs must not pair up
+    assert all(a >= 100 for a, b in got)
+
+
+def test_simhash_finds_near_dup():
+    from ocr_poc_ray.functions import simhash_pairs
+
+    pairs = simhash_pairs(_dup_docs(), max_hamming=3).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (100, 101) in got
+
+
+def test_ngram_jaccard_verify():
+    from ocr_poc_ray.functions import minhash_lsh_pairs, ngram_jaccard_verify
+
+    docs = _dup_docs()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    verified = ngram_jaccard_verify(pairs, docs).to_pandas()
+    exact = verified[(verified["doc_a"] == 100) & (verified["doc_b"] == 101)]
+    assert len(exact) == 1 and exact["jaccard"].iloc[0] == 1.0
+
+
+def test_connected_components():
+    from ocr_poc_ray.functions.dedup import connected_components
+
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 1, "doc_b": 2},
+            {"doc_a": 2, "doc_b": 3},
+            {"doc_a": 10, "doc_b": 11},
+        ]
+    )
+    out = connected_components(pairs).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+# -- similarity --------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb_ds():
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _numpy_oracle_knn(emb: pd.DataFrame, qids: list[int], k: int) -> dict[int, list[int]]:
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    out = {}
+    for qid in qids:
+        q = mat[ids == qid][0]
+        sims = mat @ q
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        out[qid] = [i for s, i in order if i != qid][:k]
+    return out
+
+
+def test_knn_brute_force_matches_numpy(emb_ds):
+    from ocr_poc_ray.functions import knn_brute_force
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.vstack([np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]])
+    got = knn_brute_force(emb_ds, qids, qvecs, k=5).to_pandas()
+    oracle = _numpy_oracle_knn(emb, qids, 5)
+    for qid in qids:
+        mine = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == oracle[qid], f"query {qid}: {mine} != {oracle[qid]}"
+
+
+def test_knn_lsh_recall(emb_ds):
+    from ocr_poc_ray.functions import knn_brute_force, knn_lsh
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.vstack([np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]])
+    exact = knn_brute_force(emb_ds, qids, qvecs, k=10).to_pandas()
+    approx = knn_lsh(emb_ds, qids, qvecs, k=10, nbits=2).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.2  # bucketed: partial recall by design
+
+
+def test_embedding_near_dup_pairs():
+    from ocr_poc_ray.functions import embedding_near_dup_pairs
+
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.999, 0.01, 0.0]},
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},
+    ]
+    out = embedding_near_dup_pairs(ray.data.from_items(rows), threshold=0.95).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
+
+
+# -- multimodal --------------------------------------------------------------
+def test_media_decode_stub_pipeline():
+    from ocr_poc_ray.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        make_fake_payload,
+        sample_frames,
+    )
+
+    rows = [
+        {
+            "media_id": f"m{i}",
+            "kind": "video" if i % 3 == 0 else "image",
+            "payload": make_fake_payload(f"m{i}", "video" if i % 3 == 0 else "image",
+                                         w=64 + i, h=48, dur=3500 if i % 3 == 0 else 0),
+            "content_type": "application/x-fake",
+            "width": -1,
+            "height": -1,
+            "duration_ms": -1,
+        }
+        for i in range(10)
+    ] + [
+        {
+            "media_id": "bad",
+            "kind": "image",
+            "payload": b"not a media file",
+            "content_type": "application/octet-stream",
+            "width": -1,
+            "height": -1,
+            "duration_ms": -1,
+        }
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    ds = ray.data.from_arrow(tbl)
+
+    decoded = decode_media(ds).to_pandas()
+    assert len(decoded) == 11
+    assert decoded[decoded["media_id"] == "bad"]["decode_ok"].iloc[0] == False  # noqa: E712
+    ok = decoded[decoded["media_id"] == "m1"]
+    assert ok["width"].iloc[0] == 65 and ok["decode_ok"].iloc[0]
+
+    frames = sample_frames(ds, every_ms=1000).to_pandas()
+    m0 = frames[frames["media_id"] == "m0"]
+    assert len(m0) == 4  # 0,1000,2000,3000 < 3500
+
+    import pytest as _pytest
+
+    from ocr_poc_ray.functions.multimodal import MediaDecoder
+
+    with _pytest.raises(NotImplementedError):
+        MediaDecoder(use_real_codecs=True)
