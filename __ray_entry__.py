@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init`` / ``ray.shutdown`` anywhere under here.  The real registry
+lives in ``ocr_poc_ray.queries`` (one entry per operator family from
+SURVEY.md §2 + the training-data ops); this module just re-exports it.
 """
 
 from __future__ import annotations
@@ -18,27 +11,32 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline over real sf0.001 data.
+
+    documents.parquet reshaped into the transcript `input_hint` shape
+    (row-local map), then validate → actor-pool extraction →
+    (conv_id, turn_idx) ordering shuffle.  Returns the lazy Dataset;
+    the driver consumes it.
+    """
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+    from ocr_poc_ray.queries.transcripts import _documents_as_transcripts
+
+    return extract_transcripts(
+        _documents_as_transcripts(SF0001), concurrency=(1, 4), ordered=True
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_poc_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_poc_ray import queries as q
+
+    return q.oracle_sql()

@@ -1,0 +1,200 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "turns_per_sec": ...}
+
+``--scaling``: run the headline extraction pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the same input and report both
+throughputs plus scaling efficiency (evidence for the north_rule's
+N-vs-4N-cluster criterion; see BASELINE.md).
+
+The transcript corpus is synthesized deterministically per scale
+(seeded — FIXTURES.md) and cached under /tmp/graft_bench so repeated
+runs measure the pipeline, not the generator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_TMP = "/tmp/graft_bench"
+TURNS_PER_SF = 1_200_000  # sf0.1 -> 120k turns, sf0.01 -> 12k
+CONVS_PER_SF = 20_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _fixture(sf: float) -> str:
+    """Deterministic cached transcript corpus for this scale."""
+    n_turns = max(2_000, int(TURNS_PER_SF * sf))
+    n_convs = max(100, int(CONVS_PER_SF * sf))
+    path = os.path.join(BENCH_TMP, f"transcripts_{n_turns}_{n_convs}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from ocr_poc_ray.synth import write_fixtures
+
+        os.makedirs(path, exist_ok=True)
+        write_fixtures(path, n_turns=n_turns, n_convs=n_convs, seed=1234,
+                       row_group_size=max(1_000, n_turns // 64))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(path, "transcripts.parquet")
+
+
+def _count_rows(parquet_path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(parquet_path).metadata.num_rows
+
+
+def bench_extract(sf: float, out_dir: str) -> tuple[float, int]:
+    """Headline: transcript extraction + ordering shuffle + parquet sink."""
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+
+    src = _fixture(sf)
+    n_turns = _count_rows(src)
+    t0 = time.perf_counter()
+    ds = extract_transcripts(src, ordered=True)
+    ds.write_parquet(out_dir)
+    return time.perf_counter() - t0, n_turns
+
+
+def bench_conversation_docs(sf: float) -> float:
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+    from ocr_poc_ray.stages.ordering import conversation_docs
+
+    src = _fixture(sf)
+    t0 = time.perf_counter()
+    ds = extract_transcripts(src, ordered=False)
+    docs = conversation_docs(ds)
+    n = docs.count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary pipelines over the driver's test tables."""
+    from ocr_poc_ray.queries.documents import doc_minhash_pairs, doc_exact_dedup
+    from ocr_poc_ray.queries.relational import rel_agg_lineitem, rel_sessionize
+    from ocr_poc_ray.queries.vectors import vec_knn_cosine
+
+    out: dict[str, float] = {}
+    for name, fn in (
+        ("dedup_exact", doc_exact_dedup),
+        ("dedup_minhash", doc_minhash_pairs),
+        ("knn_cosine", vec_knn_cosine),
+        ("agg_lineitem", rel_agg_lineitem),
+        ("sessionize", rel_sessionize),
+    ):
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    sf = _sf_of(sf_dir)
+    out_dir = os.path.join(BENCH_TMP, f"out_{num_cpus}_{int(time.time())}")
+    queries: dict[str, float] = {}
+
+    extract_s, n_turns = bench_extract(sf, out_dir)
+    queries["extract_ordered"] = round(extract_s, 3)
+    turns_per_sec = round(n_turns / extract_s, 1)
+
+    if not headline_only:
+        queries["conversation_docs"] = round(bench_conversation_docs(sf), 3)
+        queries.update(bench_queries(sf_dir))
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "turns/sec extraction throughput (headline) + pipeline wall times",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+    }
+    ray.shutdown()
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Same input, two fresh sessions → throughput + scaling efficiency."""
+    # pre-build the fixture so neither child pays generation cost
+    _fixture(_sf_of(sf_dir))
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr_low = results[low]["turns_per_sec"]
+    thr_high = results[high]["turns_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": results[low]["sf"],
+        "cpus_low": low,
+        "cpus_high": high,
+        "turns_per_sec_low": thr_low,
+        "turns_per_sec_high": thr_high,
+        "queries": {
+            f"extract_ordered_cpus{low}": results[low]["queries"]["extract_ordered"],
+            f"extract_ordered_cpus{high}": results[high]["queries"]["extract_ordered"],
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus-low", type=int, default=8)
+    ap.add_argument("--cpus-high", type=int, default=32)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sys.path.insert(0, REPO)
+
+    if args.scaling:
+        result = run_scaling(sf_dir, args.cpus_low, args.cpus_high)
+    else:
+        result = run_single(sf_dir, num_cpus, args.headline_only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

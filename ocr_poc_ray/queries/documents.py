@@ -1,0 +1,259 @@
+"""Document-table queries: extraction + text-analysis + dedup with
+DuckDB-mirrorable semantics.
+
+Every Ray pipeline here reads only the columns it needs
+(``read_parquet(columns=[...])``), stays in ``map_batches`` kernels,
+and shuffles only narrow (id, hash) projections.  The SQL strings are
+exact semantic mirrors — same regexes (both engines use RE2), same
+thresholds, same rounding — so the driver's value-hash compare is
+byte-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ocr_poc_ray.extractors.plain import extract_plain
+from ocr_poc_ray.functions.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from ocr_poc_ray.functions.dedup import connected_components, ngram_jaccard_verify
+from ocr_poc_ray.functions.textstats import (
+    add_fingerprints,
+    add_langid,
+    add_quality,
+    add_token_counts,
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+    STOPWORDS_EN,
+)
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+# SQL helper: Python str.strip() equivalent (trim all ASCII whitespace;
+# the corpus is ASCII so unicode-whitespace divergence cannot occur).
+_WS_CHARS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+_STRIP = lambda col: f"trim({col}, {_WS_CHARS})"  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# Plain-path extraction over documents (P2 noise filter + frozen
+# whitespace join; cf. reference ocr/id_card_data_extractor.py:44).
+# ---------------------------------------------------------------------------
+
+def doc_extract_plain(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        rows = [extract_plain(t or "") for t in batch["text"].to_pylist()]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "extracted_text": [r.extracted_text for r in rows],
+                "success": [r.success for r in rows],
+                "n_blocks": pd.Series([r.n_blocks for r in rows], dtype="int64"),
+                "n_kept": pd.Series([r.n_kept for r in rows], dtype="int64"),
+                "confidence": [round(float(r.confidence), 6) for r in rows],
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow").to_pandas()
+
+
+_KEPT = (
+    f"list_filter(str_split(text, chr(10)), l -> not ("
+    f"{_STRIP('l')} = '' or starts_with({_STRIP('l')}, 'I<') "
+    f"or contains(l, '<<<') or regexp_matches({_STRIP('l')}, '^[A-Z]{{3}}$')))"
+)
+
+DOC_EXTRACT_PLAIN_SQL = rf"""
+with f as (
+  select doc_id,
+         {_KEPT} as kept,
+         len(list_filter(str_split(text, chr(10)), l -> {_STRIP('l')} <> '')) as n_blocks
+  from documents
+), e as (
+  select doc_id, n_blocks, len(kept) as n_kept,
+         regexp_replace(trim(array_to_string(kept, ' '), {_WS_CHARS}), '\s+', ' ', 'g')
+           as extracted_text
+  from f
+)
+select doc_id, extracted_text,
+       extracted_text <> '' as success,
+       n_blocks,
+       case when extracted_text <> '' then n_kept else 0 end as n_kept,
+       case when extracted_text = '' then 0.0
+            when n_blocks = 0 then 1.0
+            else round(n_kept / n_blocks, 6) end as confidence
+from e
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = add_token_counts(ds).to_pandas()
+    out = out[["doc_id", "n_chars_computed", "n_ws_tokens", "n_bpe_tokens"]]
+    return out.astype(
+        {"doc_id": "int64", "n_chars_computed": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}
+    )
+
+
+DOC_TOKEN_COUNTS_SQL = rf"""
+select doc_id,
+       length(text) as n_chars_computed,
+       case when {_STRIP('text')} = '' then 0
+            else len(regexp_extract_all(text, '\S+')) end as n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) as n_bpe_tokens
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = add_quality(ds).to_pandas()
+    out = out[["doc_id", "punct_ratio", "stopword_ratio", "is_quality"]]
+    return out.astype({"doc_id": "int64", "punct_ratio": "float64", "stopword_ratio": "float64"})
+
+
+_STOP_EN_PATTERN = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+
+DOC_QUALITY_SQL = rf"""
+with m as (
+  select doc_id,
+         length(text)::DOUBLE as n_chars,
+         len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE as n_punct,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as ws_tokens,
+         len(regexp_extract_all(lower(text), '{_STOP_EN_PATTERN}'))::DOUBLE as n_stop
+  from documents
+)
+select doc_id,
+       round(case when n_chars > 0 then n_punct / n_chars else 0.0 end, 6) as punct_ratio,
+       round(case when ws_tokens > 0 then n_stop / ws_tokens else 0.0 end, 6) as stopword_ratio,
+       (n_chars >= 50 and (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.20
+        and ws_tokens >= 10) as is_quality
+from m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-hit argmax with fixed priority tie-break)
+# ---------------------------------------------------------------------------
+
+def doc_langid(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = add_langid(ds).to_pandas()
+    cols = ["doc_id", "lang_pred"] + [f"stop_hits_{lang}" for lang in LANG_PRIORITY]
+    out = out[cols]
+    return out.astype({"doc_id": "int64", **{f"stop_hits_{l}": "int64" for l in LANG_PRIORITY}})
+
+
+def _lang_hits_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+DOC_LANGID_SQL = f"""
+with m as (
+  select doc_id,
+         {_lang_hits_sql('en')} as stop_hits_en,
+         {_lang_hits_sql('fr')} as stop_hits_fr,
+         {_lang_hits_sql('de')} as stop_hits_de,
+         {_lang_hits_sql('es')} as stop_hits_es
+  from documents
+)
+select doc_id,
+       case when stop_hits_en + stop_hits_fr + stop_hits_de + stop_hits_es = 0 then 'und'
+            when stop_hits_en >= stop_hits_fr and stop_hits_en >= stop_hits_de
+                 and stop_hits_en >= stop_hits_es then 'en'
+            when stop_hits_fr >= stop_hits_de and stop_hits_fr >= stop_hits_es then 'fr'
+            when stop_hits_de >= stop_hits_es then 'de'
+            else 'es' end as lang_pred,
+       stop_hits_en, stop_hits_fr, stop_hits_de, stop_hits_es
+from m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints + exact dedup
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = add_fingerprints(ds).to_pandas()
+    return out[["doc_id", "md5_fp"]].astype({"doc_id": "int64"})
+
+
+DOC_FINGERPRINT_SQL = "select doc_id, md5(text) as md5_fp from documents"
+
+
+def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out[["content_hash", "doc_id"]].astype({"doc_id": "int64"})
+
+
+DOC_EXACT_DEDUP_SQL = (
+    "select md5(text) as content_hash, min(doc_id) as doc_id from documents group by md5(text)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup families (non-SQL-expressible: rows-only checks)
+# ---------------------------------------------------------------------------
+
+def doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    out = out[["doc_a", "doc_b", "est_jaccard"]]
+    out["est_jaccard"] = out["est_jaccard"].round(4)
+    return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    return out[["doc_a", "doc_b", "hamming"]].astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+    )
+
+
+def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
+    """MinHash candidates → exact Jaccard verify ≥0.5 → connected components."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    cand = minhash_lsh_pairs(ds, threshold=0.5)
+    verified = ngram_jaccard_verify(cand, ds)
+    verified = verified.filter(lambda r: r["jaccard"] >= 0.5)
+    comp = connected_components(verified).to_pandas()
+    if len(comp) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    return comp.astype({"doc_id": "int64", "component": "int64"})
+
+
+REGISTRY = {
+    "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
+    "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_langid": (doc_langid, DOC_LANGID_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_minhash_pairs": (doc_minhash_pairs, None),
+    "doc_simhash_pairs": (doc_simhash_pairs, None),
+    "doc_near_dup_components": (doc_near_dup_components, None),
+}

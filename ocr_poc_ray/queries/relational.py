@@ -1,0 +1,369 @@
+"""Relational pipelines over the TPC-H-ish tables — the engine's
+groupby / sort / filter / join / window operator surface, expressed
+with the 100-TB patterns:
+
+- **partial aggregation**: every groupby here first combines inside
+  ``map_batches`` (per-batch pandas groupby → a few rows per batch),
+  then reduces the tiny partials with ``groupby().map_groups`` — the
+  all-to-all exchange moves kilobytes, not the fact table.
+- **broadcast join**: the customer/nation small sides are fetched once,
+  ``ray.put`` once, and looked up inside the batch kernel — no shuffle
+  join of the orders table.
+- **top-k without a global sort**: per-batch local top-k partials, then
+  one final merge of ``k × num_blocks`` rows.
+- **windowed aggregate** (sessionization): the only true per-key
+  shuffle, grouped on ``user_id`` with the in-group sort done on the
+  (small) per-user slice.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Q1-style aggregate over lineitem (filter → partial agg → combine)
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def rel_agg_lineitem(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp(Q1_CUTOFF)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] <= cutoff]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                         "sum_disc_price", "count_order"]
+            )
+        b = b.assign(disc_price=b["l_extendedprice"] * (1.0 - b["l_discount"]))
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        sum_qty = group["sum_qty"].sum()
+        count = int(group["count_order"].sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [group["l_returnflag"].iloc[0]],
+                "l_linestatus": [group["l_linestatus"].iloc[0]],
+                "sum_qty": [round(sum_qty, 2)],
+                "sum_base_price": [round(group["sum_base_price"].sum(), 2)],
+                "sum_disc_price": [round(group["sum_disc_price"].sum(), 2)],
+                "avg_qty": [round(sum_qty / count, 6)],
+                "count_order": [count],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        combine, batch_format="pandas"
+    )
+    return out.to_pandas().astype({"count_order": "int64"})
+
+
+REL_AGG_LINEITEM_SQL = f"""
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(sum(l_quantity) / count(*), 6) as avg_qty,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '{Q1_CUTOFF} 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k orders by total price (local top-k partials → single merge)
+# ---------------------------------------------------------------------------
+
+TOPK_N = 20
+
+
+def rel_topk_orders(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(TOPK_N)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+    # the surviving candidate set is k × num_blocks rows — tiny; one
+    # constant-key group merges it (NOT a sort of the full table).
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(TOPK_N)
+
+    merged = (
+        partials.map_batches(
+            lambda b: b.assign(_k=0), batch_format="pandas"
+        )
+        .groupby("_k")
+        .map_groups(merge, batch_format="pandas")
+    )
+    out = merged.to_pandas()[["o_orderkey", "o_totalprice"]]
+    return out.astype({"o_orderkey": "int64", "o_totalprice": "float64"})
+
+
+REL_TOPK_ORDERS_SQL = f"""
+select o_orderkey, o_totalprice
+from orders
+order by o_totalprice desc, o_orderkey
+limit {TOPK_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins: orders ⋈ customer (⋈ nation)
+# ---------------------------------------------------------------------------
+
+def _broadcast_lookup(sf_dir: str, table: str, key: str, val: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_path(sf_dir, table), columns=[key, val])
+    return ray.put(dict(zip(t[key].to_pylist(), t[val].to_pylist())))
+
+
+def rel_mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
+    seg_ref = _broadcast_lookup(sf_dir, "customer", "c_custkey", "c_mktsegment")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    class AnnotateAndPartial:
+        def __init__(self) -> None:
+            self.seg = ray.get(seg_ref)  # once per actor, not per batch
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            seg = batch["o_custkey"].map(self.seg)
+            b = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]})
+            b = b.dropna(subset=["c_mktsegment"])
+            return b.groupby("c_mktsegment", as_index=False).agg(
+                total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+
+    partials = ds.map_batches(AnnotateAndPartial, batch_format="pandas", concurrency=(1, 8))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [group["c_mktsegment"].iloc[0]],
+                "total_revenue": [round(group["total_revenue"].sum(), 2)],
+                "n_orders": [int(group["n_orders"].sum())],
+            }
+        )
+
+    out = partials.groupby("c_mktsegment").map_groups(combine, batch_format="pandas")
+    return out.to_pandas().astype({"n_orders": "int64"})
+
+
+REL_MKTSEGMENT_REVENUE_SQL = """
+select c.c_mktsegment,
+       round(sum(o.o_totalprice), 2) as total_revenue,
+       count(*) as n_orders
+from orders o join customer c on o.o_custkey = c.c_custkey
+group by c.c_mktsegment
+"""
+
+
+def rel_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Two chained broadcast lookups: custkey → nationkey → nation name."""
+    nat_ref = _broadcast_lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
+    name_ref = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_name")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    class AnnotateAndPartial:
+        def __init__(self) -> None:
+            self.nat = ray.get(nat_ref)
+            self.name = ray.get(name_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n_name = batch["o_custkey"].map(self.nat).map(self.name)
+            b = pd.DataFrame({"n_name": n_name, "o_totalprice": batch["o_totalprice"]})
+            b = b.dropna(subset=["n_name"])
+            return b.groupby("n_name", as_index=False).agg(
+                total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+
+    partials = ds.map_batches(AnnotateAndPartial, batch_format="pandas", concurrency=(1, 8))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [group["n_name"].iloc[0]],
+                "total_revenue": [round(group["total_revenue"].sum(), 2)],
+                "n_orders": [int(group["n_orders"].sum())],
+            }
+        )
+
+    out = partials.groupby("n_name").map_groups(combine, batch_format="pandas")
+    return out.to_pandas().astype({"n_orders": "int64"})
+
+
+REL_NATION_REVENUE_SQL = """
+select n.n_name,
+       round(sum(o.o_totalprice), 2) as total_revenue,
+       count(*) as n_orders
+from orders o
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+group by n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregate: sessionization of the events stream
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def rel_sessionize(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > SESSION_GAP_S)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().astype(
+        {"user_id": "int64", "n_events": "int64", "n_sessions": "int64"}
+    )
+
+
+REL_SESSIONIZE_SQL = f"""
+select user_id, count(*) as n_events,
+       sum(case when prev is null or epoch(ts - prev) > {SESSION_GAP_S}
+                then 1 else 0 end) as n_sessions
+from (
+  select user_id, ts,
+         lag(ts) over (partition by user_id order by ts, event_id) as prev
+  from events
+)
+group by user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type stats (partial agg) + filter/project pushdown
+# ---------------------------------------------------------------------------
+
+def rel_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        n = int(group["n"].sum())
+        total = group["total_value"].sum()
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n": [n],
+                "total_value": [round(total, 2)],
+                "avg_value": [round(total / n, 6)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n": "int64"})
+
+
+REL_EVENT_TYPE_STATS_SQL = """
+select event_type, count(*) as n,
+       round(sum(value), 2) as total_value,
+       round(sum(value) / count(*), 6) as avg_value
+from events
+group by event_type
+"""
+
+
+PURCHASE_MIN_VALUE = 100.0
+
+
+def rel_big_purchases(sf_dir: str) -> pd.DataFrame:
+    """Filter + projection with column pruning at the read."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def kernel(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.equal(batch["event_type"], "purchase"),
+            pc.greater(batch["value"], PURCHASE_MIN_VALUE),
+        )
+        return batch.filter(mask).select(["event_id", "user_id", "value"])
+
+    out = ds.map_batches(kernel, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["event_id", "user_id", "value"])
+    return out.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+
+
+REL_BIG_PURCHASES_SQL = f"""
+select event_id, user_id, value
+from events
+where event_type = 'purchase' and value > {PURCHASE_MIN_VALUE}
+"""
+
+
+REGISTRY = {
+    "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_topk_orders": (rel_topk_orders, REL_TOPK_ORDERS_SQL),
+    "rel_mktsegment_revenue": (rel_mktsegment_revenue, REL_MKTSEGMENT_REVENUE_SQL),
+    "rel_nation_revenue": (rel_nation_revenue, REL_NATION_REVENUE_SQL),
+    "rel_sessionize": (rel_sessionize, REL_SESSIONIZE_SQL),
+    "rel_event_type_stats": (rel_event_type_stats, REL_EVENT_TYPE_STATS_SQL),
+    "rel_big_purchases": (rel_big_purchases, REL_BIG_PURCHASES_SQL),
+}
