@@ -42,26 +42,44 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _fixture(sf: float) -> str:
-    """Deterministic cached transcript corpus for this scale."""
+    """Deterministic cached transcript corpus for this scale (many-file
+    shard layout — one read task per file, as a real corpus would be)."""
     n_turns = max(2_000, int(TURNS_PER_SF * sf))
     n_convs = max(100, int(CONVS_PER_SF * sf))
-    path = os.path.join(BENCH_TMP, f"transcripts_{n_turns}_{n_convs}")
+    n_files = max(8, min(64, n_turns // 2_000))
+    path = os.path.join(BENCH_TMP, f"transcripts_{n_turns}_{n_convs}_f{n_files}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from ocr_poc_ray.synth import write_fixtures
 
         os.makedirs(path, exist_ok=True)
         write_fixtures(path, n_turns=n_turns, n_convs=n_convs, seed=1234,
-                       row_group_size=max(1_000, n_turns // 64))
+                       row_group_size=max(1_000, n_turns // 64), n_files=n_files)
         with open(marker, "w") as f:
             f.write("ok")
     return os.path.join(path, "transcripts.parquet")
 
 
 def _count_rows(parquet_path: str) -> int:
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(parquet_path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(parquet_path, "*.parquet"))
+        )
     return pq.ParquetFile(parquet_path).metadata.num_rows
+
+
+def _warmup(src: str) -> None:
+    """Spin up the Ray worker pool before timing: steady-state
+    throughput is the metric (a long-lived cluster has warm workers);
+    cold-start Python worker spawn (~30 s for a 32-proc pool) is not."""
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+
+    extract_transcripts(src, ordered=False).materialize()
 
 
 def bench_extract(sf: float, out_dir: str) -> tuple[float, int]:
@@ -70,6 +88,7 @@ def bench_extract(sf: float, out_dir: str) -> tuple[float, int]:
 
     src = _fixture(sf)
     n_turns = _count_rows(src)
+    _warmup(src)
     t0 = time.perf_counter()
     ds = extract_transcripts(src, ordered=True)
     ds.write_parquet(out_dir)

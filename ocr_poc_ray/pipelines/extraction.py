@@ -23,24 +23,32 @@ from ray.data import Dataset
 
 from ocr_poc_ray.sources.parquet_shards import ParquetShard, plan_shards, read_shards
 from ocr_poc_ray.stages.extract import EXTRACTOR_VERSION, ExtractTurns
-from ocr_poc_ray.stages.ordering import sort_by_turn
+from ocr_poc_ray.stages.ordering import default_sort_blocks, sort_by_turn
 from ocr_poc_ray.stages.validate import validate_transcripts_batch
 from ocr_poc_ray.state.manifest import Manifest, PartitionRecord
 
-#: rows per extraction batch — text payloads are KBs each, so a few
-#: hundred rows keeps batches in the single-MB range and the actor pool
-#: load-balanced even when one batch holds several heavy HTML turns.
-DEFAULT_BATCH_SIZE = 512
+#: rows per extraction batch.  ``None`` = one zero-copy batch per block
+#: (the fast path for our cheap heuristic extractors — no cross-block
+#: coalescing, no slicing).  Pass a few hundred when the per-row work is
+#: heavy (a learned model) so the actor pool stays load-balanced.
+DEFAULT_BATCH_SIZE: int | None = None
 
 
 def extract_transcripts(
     source: str | list[str] | Dataset,
     *,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = DEFAULT_BATCH_SIZE,
     concurrency: int | tuple[int, int] | None = None,
     ordered: bool = False,
+    sort_num_blocks: int | None = None,
 ) -> Dataset:
-    """Transcripts (path or Dataset) → extraction-envelope Dataset."""
+    """Transcripts (path or Dataset) → extraction-envelope Dataset.
+
+    ``sort_num_blocks``: block coalesce width for the ordering sort;
+    defaults to 2× cluster CPUs (right for partition-bounded inputs —
+    a resumable-run partition or a bench corpus).  Pass explicitly for
+    a one-shot global sort of unbounded data.
+    """
     if isinstance(source, Dataset):
         ds = source
     else:
@@ -60,7 +68,7 @@ def extract_transcripts(
             concurrency=concurrency,
         )
     if ordered:
-        ds = sort_by_turn(ds)
+        ds = sort_by_turn(ds, num_blocks=sort_num_blocks or default_sort_blocks())
     return ds
 
 
@@ -132,7 +140,7 @@ def resumable_extract(
             ds, batch_size=batch_size, concurrency=concurrency, ordered=False
         )
         # Order within the partition so output files are deterministic.
-        ds = sort_by_turn(ds)
+        ds = sort_by_turn(ds, num_blocks=default_sort_blocks())
         ds.write_parquet(tmp)
         import os
 

@@ -34,9 +34,37 @@ from ray.data import Dataset
 from ocr_poc_ray.schemas import CONVERSATION_DOC_SCHEMA
 
 
-def sort_by_turn(ds: Dataset) -> Dataset:
-    """Global stable order by (conv_id, turn_idx) — a range-partitioned sort."""
+def sort_by_turn(ds: Dataset, *, num_blocks: int | None = None) -> Dataset:
+    """Global stable order by (conv_id, turn_idx) — a range-partitioned sort.
+
+    ``num_blocks``: coalesce to this many blocks before sorting.  The
+    range-sort's fixed cost (boundary sampling + all-to-all exchange)
+    grows with input block count, so upstream stages that emit many
+    small blocks (a fine-grained extraction fan-out) should be
+    coalesced to ~cluster-CPU-count blocks first; leave ``None`` when
+    blocks are already near the target block size (the large-scale
+    case, where an extra repartition would itself be an all-to-all).
+    """
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
     return ds.sort(["conv_id", "turn_idx"])
+
+
+def default_sort_blocks() -> int | None:
+    """2× cluster CPUs — the coalesce width for partition-bounded sorts.
+
+    Used where the sorted data is bounded (a resumable-run partition,
+    a bench corpus): enough blocks to keep every core busy in the
+    reduce, few enough that sampling overhead is negligible.
+    """
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(2 * int(ray.cluster_resources().get("CPU", 8)), 8)
+    except Exception:
+        pass
+    return None
 
 
 def _chunk_concat(group: pd.DataFrame) -> pd.DataFrame:

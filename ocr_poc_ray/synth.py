@@ -268,18 +268,32 @@ def generate_transcripts(
 
 def write_fixtures(
     out_dir: str, n_turns: int = 1_000, n_convs: int = 50, seed: int = 42,
-    row_group_size: int | None = None,
+    row_group_size: int | None = None, n_files: int = 1,
 ) -> dict[str, str]:
-    """Write transcripts.parquet + expected.parquet under `out_dir`.
+    """Write transcripts + expected parquet under `out_dir`.
 
     `row_group_size` controls Parquet fragment granularity so Ray can
-    parallelize the read (defaults to ~32 row groups).
+    parallelize the read (defaults to ~32 row groups).  `n_files > 1`
+    writes ``transcripts.parquet/`` as a DIRECTORY of that many files —
+    the realistic many-shard layout (one read task per file, no
+    single-reader bottleneck); readers take the directory path.
     """
     os.makedirs(out_dir, exist_ok=True)
     transcripts, expected = generate_transcripts(n_turns, n_convs, seed)
     rgs = row_group_size or max(1_000, n_turns // 32)
     t_path = os.path.join(out_dir, "transcripts.parquet")
     e_path = os.path.join(out_dir, "expected.parquet")
-    pq.write_table(transcripts, t_path, row_group_size=rgs)
+    if n_files > 1:
+        os.makedirs(t_path, exist_ok=True)
+        n = transcripts.num_rows
+        for i in range(n_files):
+            lo, hi = i * n // n_files, (i + 1) * n // n_files
+            pq.write_table(
+                transcripts.slice(lo, hi - lo),
+                os.path.join(t_path, f"part-{i:05d}.parquet"),
+                row_group_size=rgs,
+            )
+    else:
+        pq.write_table(transcripts, t_path, row_group_size=rgs)
     pq.write_table(expected, e_path, row_group_size=rgs)
     return {"transcripts": t_path, "expected": e_path}
