@@ -126,8 +126,89 @@ from e
 """
 
 
+def xs_conv_docs_documents(sf_dir: str) -> pd.DataFrame:
+    """Order-sensitive consolidation over REAL data with a SQL oracle:
+    per-conversation document assembly (chunked two-pass groupby) must
+    equal DuckDB's ``string_agg(... order by turn_idx)`` — the
+    relational proof that the ordering shuffle is stable."""
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    docs = conversation_docs(ds, chunk_size=64)
+    return docs.to_pandas().astype({"n_turns": "int64"})
+
+
+XS_CONV_DOCS_DOCUMENTS_SQL = rf"""
+with e as (
+  select source as conv_id, doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+)
+select conv_id, count(*) as n_turns,
+       string_agg(extracted_text, ' ' order by turn_idx) as doc_text
+from e
+where extracted_text <> ''
+group by conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode kernels — deterministic fake
+# payloads; the Ray-side schema/actor/batch shape is the real thing).
+# ---------------------------------------------------------------------------
+
+def _media_ds(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic media table derived from document ids."""
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.functions.multimodal import make_fake_payload
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    kinds = ("image", "audio", "video")
+    rows = {"media_id": [], "kind": [], "payload": [],
+            "content_type": [], "width": [], "height": [], "duration_ms": []}
+    for doc_id in t["doc_id"].to_pylist():
+        kind = kinds[doc_id % 3]
+        mid = f"m-{doc_id:08d}"
+        w, h = 64 + (doc_id % 7) * 16, 48 + (doc_id % 5) * 16
+        dur = 3_000 + (doc_id % 11) * 500 if kind == "video" else 0
+        rows["media_id"].append(mid)
+        rows["kind"].append(kind)
+        # every 37th payload is corrupt → decode_ok=False path
+        rows["payload"].append(
+            b"corrupt" if doc_id % 37 == 0 else make_fake_payload(mid, kind, w, h, dur)
+        )
+        rows["content_type"].append(f"{kind}/fake")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+    import pyarrow as pa_
+
+    from ocr_poc_ray.functions.multimodal import MEDIA_SCHEMA
+
+    tbl = pa_.Table.from_pydict(rows).cast(MEDIA_SCHEMA)
+    return ray.data.from_arrow(tbl)
+
+
+def mm_decode(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.multimodal import decode_media
+
+    out = decode_media(_media_ds(sf_dir)).to_pandas()
+    out = out[["media_id", "kind", "decode_ok", "width", "height", "duration_ms"]]
+    return out.astype({"width": "int64", "height": "int64", "duration_ms": "int64"})
+
+
+def mm_frame_sample(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.multimodal import sample_frames
+
+    out = sample_frames(_media_ds(sf_dir), every_ms=1000).to_pandas()
+    return out.astype({"frame_idx": "int64", "ts_ms": "int64"})
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_conversation_docs": (xs_conversation_docs, None),
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
+    "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),
+    "mm_decode": (mm_decode, None),
+    "mm_frame_sample": (mm_frame_sample, None),
 }

@@ -1,0 +1,87 @@
+"""The driver-contract surface: every queries() entry runs; a fast
+subset is verified against its DuckDB oracle exactly the way the
+driver does (row count + columns + order-insensitive values).
+
+Full-registry oracle runs live in tools/check_correctness.py; here we
+keep the suite fast by checking the cheap oracles at sf0.001 and just
+executing the rest.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# oracle-checked here (cheap at sf0.001); the rest still must RUN
+FAST_ORACLE = [
+    "doc_token_counts",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "doc_exact_dedup",
+    "rel_agg_lineitem",
+    "rel_topk_orders",
+    "rel_event_type_stats",
+    "rel_sessionize",
+    "vec_knn_cosine",
+    "xs_extract_documents",
+    "xs_conv_docs_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_registry_has_oracles_for_sql_expressible():
+    from ocr_poc_ray.queries import oracle_sql, queries
+
+    q, o = queries(), oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
+    assert len(o) >= 14
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    from ocr_poc_ray.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    assert sql is not None
+    mine = _canon(fn(SF_DIR))
+    oracle = _canon(oracle_con.execute(sql).fetchdf())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, atol=1e-9)
+
+
+def test_rows_only_queries_run(ray_session):
+    from ocr_poc_ray.queries import REGISTRY
+
+    for name, (fn, sql) in REGISTRY.items():
+        if sql is not None:
+            continue
+        out = fn(SF_DIR)
+        assert len(out) > 0, name
