@@ -1,0 +1,303 @@
+"""Typed-field extraction over span records — the reference's full
+8-stage heuristic pipeline (SURVEY.md §2.3) re-expressed as a pure
+per-record function the actor-pool stage maps over Arrow batches.
+
+Input is one document's parallel arrays (texts, scores, polys) — the
+OCR-record analog (``cni_extractor_18_f.py:465-467``); output is a flat
+dict of nullable string fields + envelope, exactly the reference's
+result shape (``:493-520``).
+
+Stage map (citations into /root/reference):
+  P1 quality gate          cni_extractor_18_f.py:50-91
+  P2 noise filter          cni_extractor_18_f.py:93-132
+  P3 fuzzy similarity      cni_extractor_18_f.py:134-156
+  P4 regex parse+consume   cni_extractor_18_f.py:158-212
+  P5 date disambiguation   cni_extractor_18_b.py:206-210 (order-dependent)
+  P6 anchor detection      cni_extractor_18_f.py:214-249 (vocab :26-33)
+  P7 label classifier      cni_extractor_18_f.py:251-291
+  P8 spatial proximity     cni_extractor_18_f.py:293-351
+  P9 positional fallback   cni_extractor_18_f.py:359-440
+  P10 consolidation        cni_extractor_18_f.py:492-520
+  P11 normalizers          cni_extractor_18_f.py:195-203
+plus N1/N2 typed validators (main.ipynb cells 0-1: date-range, height
+range 1.0–2.5 m, alpha names).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from difflib import SequenceMatcher
+
+# ---------------------------------------------------------------------------
+# P3: fuzzy similarity — SequenceMatcher ratio with a prefix bonus
+# (cni_extractor_18_f.py:134-156: min(base + prefix*0.1*(1-base), 1)).
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_similarity(a: str, b: str) -> float:
+    a, b = a.upper().strip(), b.upper().strip()
+    if not a or not b:
+        return 0.0
+    base = SequenceMatcher(None, a, b).ratio()
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb:
+            break
+        prefix += 1
+    prefix = min(prefix, 4)
+    return min(base + prefix * 0.1 * (1.0 - base), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Field model: fixed per-"layout" field lists + anchor vocabularies,
+# declared as data (the reference hard-codes them per extractor class
+# :26-33 and documents them in data_dictionary.json).
+# ---------------------------------------------------------------------------
+
+#: regex-typed fields (P4) — first match wins, matched lines are
+#: consumed (cni_extractor_18_f.py:209-211).
+DATE_RE = re.compile(r"^\d{1,2}[./]\d{1,2}[./]\d{4}$")
+HEIGHT_RE = re.compile(r"^[12][,.]?\d{2}m?$")
+SEX_RE = re.compile(r"^(M|F)$")
+
+ANCHOR_VOCAB: dict[str, tuple[str, ...]] = {
+    "nom": ("NOM", "NAME", "NOM / NAME", "N0M", "SURNAME"),
+    "prenom": ("PRENOM", "PRENOMS", "GIVEN NAME", "PRENOM / GIVEN NAME", "PREN0M"),
+    "lieu_naissance": (
+        "LIEU DE NAISSANCE", "PLACE OF BIRTH", "LIEU DE NAISSANCE / PLACE OF BIRTH",
+    ),
+    "profession": ("PROFESSION", "OCCUPATION", "PROFESSION / OCCUPATION"),
+}
+
+#: fallback order for unfilled text fields (P9: y-sorted assignment,
+#: cni_extractor_18_f.py:417-438).
+FALLBACK_FIELDS = ("nom", "prenom", "lieu_naissance")
+
+ALL_FIELDS = (
+    "nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession",
+)
+
+SIMILARITY_THRESHOLD = 0.70  # P6 (constructor default, :12-23)
+LABEL_SIMILARITY = 0.75  # P7 (:251-291)
+
+_ALL_ANCHOR_STRINGS = tuple(s for syns in ANCHOR_VOCAB.values() for s in syns)
+
+_BILINGUAL_RE = re.compile(r"^[^/]{1,30}/[^/]{1,30}:?$")
+
+
+@dataclass
+class _Line:
+    idx: int
+    text: str
+    score: float
+    cx: float
+    cy: float
+    x1: float  # right edge
+    consumed: bool = False
+    is_label: bool = field(default=False)
+
+
+def _centroid(poly: list[list[float]]) -> tuple[float, float, float]:
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    return sum(xs) / len(xs), sum(ys) / len(ys), max(xs)
+
+
+# ---------------------------------------------------------------------------
+# P11 + N1/N2: normalizers and typed validators
+# ---------------------------------------------------------------------------
+
+
+def normalize_height(s: str) -> str:
+    """'1.75' / '175' / '1,75m' → '1,75' (cni_extractor_18_f.py:195-203;
+    'm' suffix strip cni_extractor_25_b.py:187-190)."""
+    s = s.strip().rstrip("mM")
+    s = s.replace(".", ",")
+    if "," not in s and len(s) == 3:
+        s = s[0] + "," + s[1:]
+    return s
+
+
+def validate_date(s: str) -> bool:
+    """1900 ≤ year ≤ 2100 and plausible day/month (main.ipynb cell 1)."""
+    m = re.match(r"^(\d{1,2})[./](\d{1,2})[./](\d{4})$", s)
+    if not m:
+        return False
+    d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    return 1 <= d <= 31 and 1 <= mo <= 12 and 1900 <= y <= 2100
+
+
+def validate_height(s: str) -> bool:
+    try:
+        v = float(normalize_height(s).replace(",", "."))
+    except ValueError:
+        return False
+    return 1.0 <= v <= 2.5  # main.ipynb cell 0 validate_field
+
+
+# ---------------------------------------------------------------------------
+# The pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FieldResult:
+    fields: dict
+    success: bool
+    quality_score: float
+    confidence: float
+    anchors_detected: dict
+    error: str = ""
+
+
+def _preprocess(texts, scores, polys) -> list[_Line]:
+    """P2: drop low-score / empty / short-non-latin lines
+    (cni_extractor_18_f.py:93-132)."""
+    lines: list[_Line] = []
+    for i, (t, s, p) in enumerate(zip(texts, scores, polys)):
+        if s < 0.3:
+            continue
+        t = (t or "").strip()
+        if not t:
+            continue
+        if len(t) <= 2 and any(ord(c) > 127 for c in t):
+            continue
+        cx, cy, x1 = _centroid(p)
+        lines.append(_Line(idx=i, text=t, score=float(s), cx=cx, cy=cy, x1=x1))
+    return lines
+
+
+def _quality_gate(scores) -> tuple[bool, float]:
+    """P1 (cni_extractor_18_f.py:50-91): mean positive score + counts."""
+    positive = [s for s in scores if s > 0]
+    if not positive:
+        return False, 0.0
+    mean = sum(positive) / len(positive)
+    good = sum(1 for s in positive if s > 0.7)
+    ok = len(positive) >= 5 and mean >= 0.5 and good >= 3
+    return ok, mean
+
+
+def _is_label(text: str) -> bool:
+    """P7 (cni_extractor_18_f.py:251-291): bilingual slash test,
+    similarity-to-known-label test, exact keyword test."""
+    t = text.strip()
+    if _BILINGUAL_RE.match(t):
+        return True
+    up = t.upper().rstrip(":")
+    if up in _ALL_ANCHOR_STRINGS:
+        return True
+    return any(fuzzy_similarity(up, a) >= LABEL_SIMILARITY for a in _ALL_ANCHOR_STRINGS)
+
+
+def extract_fields(texts, scores, polys) -> FieldResult:
+    ok, quality = _quality_gate(scores)
+    if not ok:
+        return FieldResult(
+            fields={f: None for f in ALL_FIELDS},
+            success=False,
+            quality_score=quality,
+            confidence=0.0,
+            anchors_detected={f: False for f in ANCHOR_VOCAB},
+            error="quality_gate_failed",
+        )
+
+    lines = _preprocess(texts, scores, polys)
+    fields: dict = {f: None for f in ALL_FIELDS}
+
+    # ---- P4 regex pass with consumption; P5 ordered date rule --------
+    dates: list[str] = []
+    for ln in lines:
+        if ln.consumed:
+            continue
+        if DATE_RE.match(ln.text) and validate_date(ln.text):
+            dates.append(ln.text)
+            ln.consumed = True
+        elif HEIGHT_RE.match(ln.text) and validate_height(ln.text):
+            if fields["taille"] is None:
+                fields["taille"] = normalize_height(ln.text)
+            ln.consumed = True
+        elif SEX_RE.match(ln.text):
+            if fields["sexe"] is None:
+                fields["sexe"] = ln.text
+            ln.consumed = True
+    # P5: first date in line order is the birth date (the reference's
+    # first/second-occurrence rule — order sensitivity is the point).
+    if dates:
+        fields["date_naissance"] = dates[0]
+
+    # ---- P7 label classification ------------------------------------
+    for ln in lines:
+        if not ln.consumed and _is_label(ln.text):
+            ln.is_label = True
+
+    # ---- P6 anchor detection (fuzzy semi-join vs vocab) --------------
+    anchors: dict[str, _Line] = {}
+    anchors_detected = {}
+    for fname, syns in ANCHOR_VOCAB.items():
+        best: tuple[float, _Line] | None = None
+        for ln in lines:
+            if not ln.is_label:
+                continue
+            sim = max(fuzzy_similarity(ln.text.rstrip(":"), s) for s in syns)
+            if sim >= SIMILARITY_THRESHOLD and (best is None or sim > best[0]):
+                best = (sim, ln)
+        anchors_detected[fname] = best is not None
+        if best:
+            anchors[fname] = best[1]
+
+    # ---- P8 spatial proximity lookup ---------------------------------
+    for fname, anchor in anchors.items():
+        if fields.get(fname) is not None:
+            continue
+        best_score, best_line = 0.0, None
+        for ln in lines:
+            if ln.consumed or ln.is_label:
+                continue
+            right = ln.cx > anchor.x1 and abs(ln.cy - anchor.cy) < 15.0
+            below = ln.cy > anchor.cy and abs(ln.cx - anchor.cx) < 120.0
+            if not (right or below):
+                continue
+            dist = ((ln.cx - anchor.cx) ** 2 + (ln.cy - anchor.cy) ** 2) ** 0.5
+            score = ln.score * (1.0 / (1.0 + dist / 100.0))  # :333
+            if right:
+                score *= 1.5  # same-line boost (main.ipynb N1)
+            if score > best_score:
+                best_score, best_line = score, ln
+        if best_line is not None:
+            fields[fname] = best_line.text
+            best_line.consumed = True
+
+    # ---- P9 positional fallback (y-sorted, used-value dedup) ---------
+    used = {v for v in fields.values() if v}
+    leftovers = sorted(
+        (ln for ln in lines if not ln.consumed and not ln.is_label and ln.text not in used),
+        key=lambda ln: (ln.cy, ln.cx),
+    )
+    for fname in FALLBACK_FIELDS:
+        if fields[fname] is not None:
+            continue
+        while leftovers:
+            cand = leftovers.pop(0)
+            if cand.text in used:
+                continue
+            fields[fname] = cand.text
+            used.add(cand.text)
+            break
+
+    # ---- N2 cross-validation repair: label words leaked into a name --
+    for fname in ("nom", "prenom"):
+        v = fields[fname]
+        if v and _is_label(v):
+            fields[fname] = None
+
+    # ---- P10 consolidation + confidence ------------------------------
+    filled = sum(1 for f in ALL_FIELDS if fields[f])
+    return FieldResult(
+        fields=fields,
+        success=True,
+        quality_score=quality,
+        confidence=filled / len(ALL_FIELDS),
+        anchors_detected=anchors_detected,
+    )

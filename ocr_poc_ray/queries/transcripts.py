@@ -204,8 +204,23 @@ def mm_frame_sample(sf_dir: str) -> pd.DataFrame:
     return out.astype({"frame_idx": "int64", "ts_ms": "int64"})
 
 
+def fields_extract_synth(sf_dir: str) -> pd.DataFrame:
+    """Typed-field extraction (the reference's 8-stage heuristic
+    pipeline: regex parse, fuzzy anchors, spatial proximity, positional
+    fallback) over the seeded span-doc corpus.  Golden equality is
+    asserted in tests/test_fields.py; here the driver gets rows-only."""
+    from ocr_poc_ray.stages.fields import extract_fields_ds
+    from ocr_poc_ray.synth import generate_span_docs
+
+    spans, _expected = generate_span_docs(n_docs=500, seed=99)
+    ds = ray.data.from_arrow(spans).repartition(8)
+    out = extract_fields_ds(ds, concurrency=(1, 4)).to_pandas()
+    return out.astype({"quality_score": "float64", "confidence": "float64", "n_anchors": "int64"})
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
+    "fields_extract_synth": (fields_extract_synth, None),
     "xs_conversation_docs": (xs_conversation_docs, None),
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),

@@ -83,7 +83,28 @@ SPANS_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("texts", pa.list_(pa.string())),
         ("scores", pa.list_(pa.float32())),
-        ("polys", pa.list_(pa.list_(pa.list_(pa.int32())))),
+        ("polys", pa.list_(pa.list_(pa.list_(pa.float32())))),
+    ]
+)
+
+# Typed-field extraction output (extractors/fields.py): flat nullable
+# string fields + envelope — the reference's extracted-fields record
+# (cni_extractor_18_f.py:493-520) as columns.
+FIELDS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("success", pa.bool_()),
+        ("nom", pa.string()),
+        ("prenom", pa.string()),
+        ("date_naissance", pa.string()),
+        ("lieu_naissance", pa.string()),
+        ("sexe", pa.string()),
+        ("taille", pa.string()),
+        ("profession", pa.string()),
+        ("quality_score", pa.float32()),
+        ("confidence", pa.float32()),
+        ("n_anchors", pa.int32()),
+        ("error", pa.string()),
     ]
 )
 

@@ -1,0 +1,57 @@
+"""Actor-pool stage for typed-field extraction over span records.
+
+The spans table (SPANS_SCHEMA: parallel texts/scores/polys list
+columns — the OCR-record analog, ``cni_extractor_18_f.py:465-467``)
+maps through ``extract_fields`` one row at a time inside a zero-copy
+Arrow batch; output is FIELDS_SCHEMA (flat nullable fields +
+envelope).  Same load-once / per-batch shape as ExtractTurns.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ocr_poc_ray.extractors.fields import ALL_FIELDS, extract_fields
+from ocr_poc_ray.schemas import FIELDS_SCHEMA
+
+
+class ExtractFields:
+    """map_batches class: ``ds.map_batches(ExtractFields,
+    batch_format="pyarrow", concurrency=N)``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_fields_batch(batch)
+
+
+def extract_fields_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["texts"].to_pylist()
+    scores = batch["scores"].to_pylist()
+    polys = batch["polys"].to_pylist()
+
+    cols: dict[str, list] = {name: [] for name in FIELDS_SCHEMA.names}
+    for i in range(len(doc_ids)):
+        r = extract_fields(texts[i] or [], scores[i] or [], polys[i] or [])
+        cols["doc_id"].append(doc_ids[i])
+        cols["success"].append(r.success)
+        for f in ALL_FIELDS:
+            cols[f].append(r.fields.get(f))
+        cols["quality_score"].append(r.quality_score)
+        cols["confidence"].append(r.confidence)
+        cols["n_anchors"].append(sum(1 for v in r.anchors_detected.values() if v))
+        cols["error"].append(r.error)
+
+    return pa.Table.from_arrays(
+        [pa.array(cols[name], type=FIELDS_SCHEMA.field(name).type) for name in FIELDS_SCHEMA.names],
+        schema=FIELDS_SCHEMA,
+    )
+
+
+def extract_fields_ds(
+    ds: Dataset, *, concurrency: int | tuple[int, int] | None = None
+) -> Dataset:
+    if concurrency is None:
+        return ds.map_batches(ExtractFields(), batch_format="pyarrow")
+    return ds.map_batches(ExtractFields, batch_format="pyarrow", concurrency=concurrency)

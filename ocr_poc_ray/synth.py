@@ -266,6 +266,153 @@ def generate_transcripts(
     return transcripts, expected_tbl
 
 
+# ---------------------------------------------------------------------------
+# Span-document fixtures for the typed-field extraction pipeline
+# (extractors/fields.py).  Golden-forward: fields are chosen first, then
+# laid out as spans with geometry; the expected table is the chosen
+# fields — never re-derived from the extractor.
+# ---------------------------------------------------------------------------
+
+_VALUE_WORDS = (
+    "RIVERDALE", "BRIDGETON", "HARBORVIEW", "STONEFIELD", "WINTERHALL",
+    "MAPLEWOOD", "CRESTFALL", "IRONGATE", "SILVERBROOK", "THORNBURY",
+    "EASTMERE", "WOLFORD", "LANGFORD", "DUNBARTON", "KESTREL",
+    "MARLOWE", "VANCE", "HOLLIS", "BERTRAND", "CALLOWAY",
+)
+
+_PROFESSIONS = ("ENGINEER", "TEACHER", "FARMER", "MERCHANT", "STUDENT", "NURSE")
+
+_FIELD_ROWS = {  # y-coordinate per anchored field row (far apart so the
+    "nom": 80.0,  # proximity argmax is unambiguous — see fields.py P8)
+    "prenom": 180.0,
+    "lieu_naissance": 280.0,
+    "profession": 380.0,
+}
+_ANCHOR_LABELS = {
+    "nom": "Nom / Name",
+    "prenom": "Prenom / Given name",
+    "lieu_naissance": "Lieu de naissance / Place of birth",
+    "profession": "Profession / Occupation",
+}
+_CONTENT_SCORE = 0.95
+
+
+def _span(text: str, x: float, y: float, score: float) -> tuple[str, float, list]:
+    w = 8.0 * len(text)
+    poly = [[x, y], [x + w, y], [x + w, y + 12.0], [x, y + 12.0]]
+    return (text, score, poly)
+
+
+def generate_span_docs(n_docs: int = 200, seed: int = 99):
+    """Return (spans_table, expected_table) for field extraction.
+
+    Doc variants: anchored (labels + right-adjacent values), fallback
+    (no labels — y-ordered assignment), two-date (P5 order rule:
+    expected birth date = first date in the SHUFFLED line order),
+    gate-fail (too few / low-score lines).
+    """
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    doc_ids, texts_col, scores_col, polys_col = [], [], [], []
+    expected_rows = []
+
+    for d in range(n_docs):
+        doc_id = f"doc-{d:06d}"
+        variant = rng.random()
+        spans: list[tuple[str, float, list]] = []
+        exp = {f: None for f in ("nom", "prenom", "date_naissance",
+                                 "lieu_naissance", "sexe", "taille", "profession")}
+
+        if variant < 0.08:  # gate-fail: <5 positive-score lines
+            for i in range(rng.randint(1, 4)):
+                spans.append(_span(rng.choice(_VALUE_WORDS), 60.0, 80.0 + 40 * i, 0.4))
+            rng.shuffle(spans)
+            expected_rows.append({"doc_id": doc_id, "success": False, **{k: None for k in exp}})
+            doc_ids.append(doc_id)
+            texts_col.append([s[0] for s in spans])
+            scores_col.append([s[1] for s in spans])
+            polys_col.append([s[2] for s in spans])
+            continue
+
+        use_anchors = variant >= 0.30  # else: fallback layout, no labels
+        exp["nom"] = rng.choice(_VALUE_WORDS)
+        exp["prenom"] = rng.choice([w for w in _VALUE_WORDS if w != exp["nom"]])
+        exp["lieu_naissance"] = rng.choice(
+            [w for w in _VALUE_WORDS if w not in (exp["nom"], exp["prenom"])]
+        )
+        if use_anchors:
+            exp["profession"] = rng.choice(_PROFESSIONS)
+            for fname in ("nom", "prenom", "lieu_naissance", "profession"):
+                y = _FIELD_ROWS[fname]
+                label = _ANCHOR_LABELS[fname]
+                anchor = _span(label, 60.0, y, _CONTENT_SCORE)
+                ax1 = 60.0 + 8.0 * len(label)
+                spans.append(anchor)
+                spans.append(_span(exp[fname], ax1 + 25.0, y, _CONTENT_SCORE))
+        else:
+            # fallback: bare values in y order nom → prenom → lieu
+            # (P9: y-sorted assignment to the fixed fallback order)
+            for fname in ("nom", "prenom", "lieu_naissance"):
+                spans.append(_span(exp[fname], 60.0, _FIELD_ROWS[fname], _CONTENT_SCORE))
+
+        # regex-typed standalone lines (P4)
+        sexe = rng.choice(("M", "F"))
+        exp["sexe"] = sexe
+        spans.append(_span(sexe, 60.0, 560.0, _CONTENT_SCORE))
+        h_int = rng.randint(150, 199)
+        raw_height = rng.choice((f"1.{h_int % 100:02d}", f"1,{h_int % 100:02d}", f"{h_int}", f"1.{h_int % 100:02d}m"))
+        exp["taille"] = f"1,{h_int % 100:02d}"
+        spans.append(_span(raw_height, 60.0, 520.0, _CONTENT_SCORE))
+
+        n_dates = 2 if rng.random() < 0.3 else 1
+        date_texts = []
+        for i in range(n_dates):
+            date_texts.append(
+                f"{rng.randint(1, 28):02d}.{rng.randint(1, 12):02d}.{rng.randint(1950, 2005)}"
+            )
+        for i, dt in enumerate(date_texts):
+            spans.append(_span(dt, 60.0 + 120.0 * i, 480.0, _CONTENT_SCORE))
+
+        # noise: MRZ + low-score junk (dropped by P2)
+        if rng.random() < 0.5:
+            spans.append(_span(rng.choice(_MRZ_SAMPLES), 60.0, 600.0, _CONTENT_SCORE))
+        for _ in range(rng.randint(0, 3)):
+            spans.append(_span(rng.choice(_WORDS), 300.0, 640.0, 0.2))
+
+        rng.shuffle(spans)
+        # P5: expected birth date = first valid date in final line order
+        exp["date_naissance"] = next(t for t, _s, _p in spans if t in date_texts)
+
+        expected_rows.append({"doc_id": doc_id, "success": True, **exp})
+        doc_ids.append(doc_id)
+        texts_col.append([s[0] for s in spans])
+        scores_col.append([s[1] for s in spans])
+        polys_col.append([s[2] for s in spans])
+
+    spans_tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "texts": pa.array(texts_col, pa.list_(pa.string())),
+            "scores": pa.array(scores_col, pa.list_(pa.float32())),
+            "polys": pa.array(
+                polys_col, pa.list_(pa.list_(pa.list_(pa.float32())))
+            ),
+        }
+    )
+    cols = ["doc_id", "success"] + list(
+        ("nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession")
+    )
+    expected_tbl = pa.table(
+        {
+            c: pa.array([r[c] for r in expected_rows],
+                        pa.bool_() if c == "success" else pa.string())
+            for c in cols
+        }
+    )
+    return spans_tbl, expected_tbl
+
+
 def write_fixtures(
     out_dir: str, n_turns: int = 1_000, n_convs: int = 50, seed: int = 42,
     row_group_size: int | None = None, n_files: int = 1,
