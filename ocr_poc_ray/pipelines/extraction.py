@@ -49,10 +49,14 @@ def extract_transcripts(
     a resumable-run partition or a bench corpus).  Pass explicitly for
     a one-shot global sort of unbounded data.
     """
+    bytes_hint: int | None = None
     if isinstance(source, Dataset):
         ds = source
     else:
         ds = ray.data.read_parquet(source)
+        # Size the ordering sort from the input footprint (extracted
+        # text is ~1/4 of the raw payload after boilerplate stripping).
+        bytes_hint = _paths_bytes(source) // 4 or None
     ds = ds.map_batches(validate_transcripts_batch, batch_format="pyarrow")
     if concurrency is None:
         # Stateless tasks: elastic, no pool sizing to get wrong.  Pass a
@@ -68,8 +72,23 @@ def extract_transcripts(
             concurrency=concurrency,
         )
     if ordered:
-        ds = sort_by_turn(ds, num_blocks=sort_num_blocks or default_sort_blocks())
+        ds = sort_by_turn(
+            ds, num_blocks=sort_num_blocks or default_sort_blocks(bytes_hint)
+        )
     return ds
+
+
+def _paths_bytes(source: str | list[str]) -> int:
+    import os
+
+    total = 0
+    for path in [source] if isinstance(source, str) else source:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(path):
+            total += os.path.getsize(path)
+    return total
 
 
 def run_extraction(

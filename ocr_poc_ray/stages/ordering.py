@@ -6,22 +6,15 @@ rules (P5, ``cni_extractor_18_b.py:206-210``); our analog is that any
 cross-turn logic (conversation document assembly, per-conv aggregates)
 is only correct under stable ``(conv_id, turn_idx)`` order.
 
-Skew handling (north_rule: explicit salted keys at 10^12-turn scale):
-``conversation_docs`` runs TWO grouped passes —
-
-  pass 1: group by ``(conv_id, chunk)`` where ``chunk = turn_idx //
-          chunk_size`` — a deterministic *range* salt that splits a
-          giant conversation into bounded sub-groups WITHOUT breaking
-          order (unlike a hash salt, chunk boundaries respect
-          ``turn_idx`` ranges); each sub-group sorts its turns and
-          concatenates its text.
-  pass 2: group by ``conv_id`` over the (much smaller) chunk rows,
-          sort by ``chunk`` and concatenate — at most
-          ``ceil(max_turns / chunk_size)`` rows per conversation.
-
-Both passes pre-shrink the data before the shuffle (text is already
-reduced to per-chunk strings in pass 1), which is the partial-
-aggregation pattern for wide ops.
+Skew handling (north_rule: explicit skew breaking at 10^12-turn
+scale): ``conversation_docs`` never gives one task a whole
+conversation.  The range sort splits a giant conversation across
+blocks on *turn_idx range* boundaries (a deterministic range salt —
+unlike a hash salt it cannot break within-conversation order); the
+per-block pass collapses each contiguous run to ONE bounded partial
+row, and only those pre-shrunk partials flow into the final
+``groupby(conv_id)`` merge — the partial-aggregation pattern for
+wide ops.
 """
 
 from __future__ import annotations
@@ -50,37 +43,50 @@ def sort_by_turn(ds: Dataset, *, num_blocks: int | None = None) -> Dataset:
     return ds.sort(["conv_id", "turn_idx"])
 
 
-def default_sort_blocks() -> int | None:
-    """2× cluster CPUs — the coalesce width for partition-bounded sorts.
+#: target bytes per sorted output block — the knob that makes the sort
+#: width scale with DATA, not CPUs (measured: the range-sort's cost is
+#: dominated by output width × exchange-task overhead, so a small
+#: corpus wants few wide blocks, a 100-TB partition wants bytes/64MB).
+SORT_TARGET_BLOCK_BYTES = 64 << 20
 
-    Used where the sorted data is bounded (a resumable-run partition,
-    a bench corpus): enough blocks to keep every core busy in the
-    reduce, few enough that sampling overhead is negligible.
+
+def default_sort_blocks(bytes_hint: int | None = None) -> int | None:
+    """Sort coalesce width: ``max(floor, bytes_hint / 64 MB)``.
+
+    The floor (8, or CPUs/4 when larger) keeps the reduce parallel
+    enough on small partitions without paying a wide exchange; with a
+    ``bytes_hint`` the width grows linearly with the data so blocks
+    stay near the target size at any scale.
     """
     try:
         import ray
 
-        if ray.is_initialized():
-            return max(2 * int(ray.cluster_resources().get("CPU", 8)), 8)
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
-        pass
-    return None
+        cpus = 8
+    floor = max(8, cpus // 4)
+    if bytes_hint:
+        return max(floor, int(bytes_hint // SORT_TARGET_BLOCK_BYTES))
+    return floor
 
 
-def _chunk_concat(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("turn_idx", kind="mergesort")
+def _block_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Within one SORTED block, concat each conversation's contiguous
+    run of turns into a single partial row (vectorized groupby; order
+    inside the block is already (conv_id, turn_idx))."""
+    g = batch.groupby("conv_id", sort=False)
     return pd.DataFrame(
         {
-            "conv_id": [group["conv_id"].iloc[0]],
-            "chunk": [group["chunk"].iloc[0]],
-            "n_turns": [len(group)],
-            "text": [" ".join(t for t in group["text"] if t)],
+            "conv_id": g["conv_id"].first(),
+            "first_turn": g["turn_idx"].first(),
+            "n_turns": g["turn_idx"].size(),
+            "text": g["text"].apply(lambda s: " ".join(t for t in s if t)),
         }
-    )
+    ).reset_index(drop=True)
 
 
-def _conv_concat(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("chunk", kind="mergesort")
+def _merge_partials(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values("first_turn", kind="mergesort")
     return pd.DataFrame(
         {
             "conv_id": [group["conv_id"].iloc[0]],
@@ -94,22 +100,26 @@ def conversation_docs(
     ds: Dataset,
     *,
     text_col: str = "extracted_text",
-    chunk_size: int = 512,
+    chunk_size: int = 512,  # kept for API compat; block size bounds runs now
     success_only: bool = True,
+    sort_num_blocks: int | None = None,
 ) -> Dataset:
     """Assemble one document per conversation in stable turn order.
 
-    `ds` must carry ``conv_id``/``turn_idx``/`text_col` columns (the
-    extraction output).  Returns CONVERSATION_DOC_SCHEMA rows.
+    Shape: narrow projection → ONE range-partitioned sort on
+    ``(conv_id, turn_idx)`` → per-block partial concatenation (each
+    conversation's contiguous run collapses to one row, vectorized) →
+    a tiny ``groupby(conv_id)`` merge of ≤ ceil(conv_turns/block_rows)
+    partials per conversation.  Skew handling falls out of the sort's
+    range partitioning: a giant conversation spans several blocks, so
+    each partial is bounded by block size and the merge sees only the
+    pre-shrunk partials — the partial-aggregation rule for wide ops.
     """
 
     def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         cols = {
             "conv_id": batch["conv_id"],
             "turn_idx": batch["turn_idx"],
-            "chunk": pc.divide(batch["turn_idx"], chunk_size),
             "text": batch[text_col],
         }
         tbl = pa.table(cols)
@@ -118,10 +128,9 @@ def conversation_docs(
         return tbl
 
     projected = ds.map_batches(project, batch_format="pyarrow")
-    chunked = projected.groupby(["conv_id", "chunk"]).map_groups(
-        _chunk_concat, batch_format="pandas"
-    )
-    docs = chunked.groupby("conv_id").map_groups(_conv_concat, batch_format="pandas")
+    ordered = sort_by_turn(projected, num_blocks=sort_num_blocks or default_sort_blocks())
+    partials = ordered.map_batches(_block_partials, batch_format="pandas")
+    docs = partials.groupby("conv_id").map_groups(_merge_partials, batch_format="pandas")
     return docs.map_batches(
         lambda t: t.select(CONVERSATION_DOC_SCHEMA.names).cast(CONVERSATION_DOC_SCHEMA),
         batch_format="pyarrow",
