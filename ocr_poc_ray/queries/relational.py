@@ -358,8 +358,97 @@ where event_type = 'purchase' and value > {PURCHASE_MIN_VALUE}
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior
+# click — the windowed custom operator Ray Data lacks natively,
+# expressed as one per-key shuffle + an in-group pandas merge_asof
+# (partitioning assumption: one user's events fit in a group; salt by
+# time range if a user ever exceeds block size).
+# ---------------------------------------------------------------------------
+
+def rel_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_type"].isin(("purchase", "click"))]
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        p = group[group["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        c = group[group["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if p.empty or c.empty:
+            return pd.DataFrame({"event_id": [], "user_id": [], "click_event_id": []})
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            c[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts", direction="backward", allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["click_event_id"])
+        return m[["event_id", "user_id", "click_event_id"]]
+
+    out = (
+        ds.map_batches(keep, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(columns=["event_id", "user_id", "click_event_id"])
+    return out.astype({"event_id": "int64", "user_id": "int64", "click_event_id": "int64"})
+
+
+REL_ASOF_SQL = """
+select p.event_id, p.user_id, c.event_id as click_event_id
+from (select * from events where event_type = 'purchase') p
+asof join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id and p.ts >= c.ts
+"""
+
+
+def rel_mktsegment_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
+    """Same result as rel_mktsegment_revenue but via Ray Data's native
+    partitioned hash join — the shuffle-join operator surface (the
+    broadcast variant above is the 100-TB default for small sides)."""
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        customer, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("c_mktsegment", as_index=False).agg(
+            total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [group["c_mktsegment"].iloc[0]],
+                "total_revenue": [round(group["total_revenue"].sum(), 2)],
+                "n_orders": [int(group["n_orders"].sum())],
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_orders": "int64"})
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
+    "rel_mktsegment_revenue_hashjoin": (
+        rel_mktsegment_revenue_hashjoin,
+        REL_MKTSEGMENT_REVENUE_SQL,
+    ),
     "rel_topk_orders": (rel_topk_orders, REL_TOPK_ORDERS_SQL),
     "rel_mktsegment_revenue": (rel_mktsegment_revenue, REL_MKTSEGMENT_REVENUE_SQL),
     "rel_nation_revenue": (rel_nation_revenue, REL_NATION_REVENUE_SQL),
