@@ -82,6 +82,67 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
 
 
 # --------------------------------------------------------------------------
+# Hot-bucket pre-filter shared by the LSH families
+# --------------------------------------------------------------------------
+
+
+def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | None:
+    """Keep only rows whose bucket key appears more than once.
+
+    Most LSH buckets are singletons; a per-group Python call for each
+    would dominate wall time.  One vectorized count aggregate over the
+    narrow key projection finds the collision buckets; the (small) hot
+    set is broadcast once and applied as a batch filter.  Returns None
+    when no bucket collides at all.
+    """
+    import ray
+
+    # Partial count per batch (vectorized pandas), tiny partials
+    # combined once — NOT a grouped Ray aggregate: with one group per
+    # bucket the per-group overhead dwarfs the work (measured 55 s vs
+    # 0.2 s on 80 k buckets).  The combined partials are one row per
+    # distinct bucket — bounded by the corpus's bucket count, which
+    # must stay broadcastable for LSH to work at all; at extreme scale
+    # substitute a tree reduce over the partials.
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(key_cols, as_index=False).size()
+
+    partials = exploded.select_columns(key_cols).map_batches(
+        partial_counts, batch_format="pandas"
+    ).to_pandas()
+    totals = partials.groupby(key_cols)["size"].sum()
+    hot_keys = totals[totals > 1].index
+    if len(hot_keys) == 0:
+        return None
+    hot = set(hot_keys)
+    hot_ref = ray.put(hot)
+
+    def only_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        mask = [key in h for key in zip(*(batch[c] for c in key_cols))]
+        return batch[pd.Series(mask, index=batch.index)]
+
+    return exploded.map_batches(only_hot, batch_format="pandas")
+
+
+def _distinct_pairs(pairs: Dataset, cols: list[str]) -> Dataset:
+    """Exact distinct over candidate-pair rows whose values are
+    identical for every duplicate occurrence: local drop_duplicates per
+    batch, then one combine of the (output-sized) survivors.  Candidate
+    pairs are the dedup RESULT — orders of magnitude smaller than the
+    corpus — so the combine is cheap by construction; a grouped Ray
+    aggregate here would pay per-group overhead for every pair
+    (measured: many-singleton groupbys dominate wall time)."""
+    import ray.data as rd
+
+    local = pairs.map_batches(
+        lambda b: b.drop_duplicates(cols), batch_format="pandas"
+    ).to_pandas()
+    out = local.drop_duplicates(cols).reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+# --------------------------------------------------------------------------
 # MinHash-LSH near-dup candidate pairs
 # --------------------------------------------------------------------------
 
@@ -170,6 +231,14 @@ def minhash_lsh_pairs(
         concurrency=None,
     )
 
+    exploded_hot = _filter_hot_buckets(exploded, ["band_id", "band_hash"])
+    if exploded_hot is None:
+        import ray
+
+        return ray.data.from_items(
+            [{"doc_a": 0, "doc_b": 0, "est_jaccard": 0.0}]
+        ).limit(0)
+
     num_perm_ = num_perm
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -177,28 +246,27 @@ def minhash_lsh_pairs(
             return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
         # bound worst-case hot buckets (salting guidance: SURVEY.md §7.4.3)
         g = group.sort_values("doc_id").head(256)
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["signature"]]
+        sigs = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
         ids = list(g["doc_id"])
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float(np.count_nonzero(sigs[i] == sigs[j])) / num_perm_
-                if est >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(est)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
+        # vectorized all-pairs signature overlap: (n, n) fraction matrix
+        eq = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2) / num_perm_
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = eq[iu, ju] >= threshold
+        ids_arr = np.asarray(ids)
+        return pd.DataFrame(
+            {
+                "doc_a": ids_arr[iu[keep]],
+                "doc_b": ids_arr[ju[keep]],
+                "est_jaccard": eq[iu[keep], ju[keep]],
+            }
+        )
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = exploded_hot.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-
-    # distinct across bands: keep max estimate per pair
-    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("est_jaccard", ascending=False).head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pair, batch_format="pandas")
+    # distinct across bands: a pair's estimate is computed from the full
+    # signatures, so every occurrence is identical → pure distinct.
+    return _distinct_pairs(pairs, ["doc_a", "doc_b", "est_jaccard"])
 
 
 # --------------------------------------------------------------------------
@@ -246,34 +314,38 @@ def simhash_pairs(
 ) -> Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ `max_hamming` (doc_a < doc_b)."""
     exploded = ds.map_batches(_SimHasher(id_col, text_col), batch_format="pandas")
+    exploded = _filter_hot_buckets(exploded, ["band_id", "band_key"])
+    if exploded is None:
+        import ray
+
+        return ray.data.from_items([{"doc_a": 0, "doc_b": 0, "hamming": 0}]).limit(0)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         g = group.sort_values("doc_id").head(256)
-        ids = list(g["doc_id"])
-        sigs = [int(s) + (1 << 63) for s in g["simhash"]]
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin(sigs[i] ^ sigs[j]).count("1")
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_h.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+        ids = g["doc_id"].to_numpy()
+        # stored value is sig - 2^63; XOR of the top bit restores sig bits
+        u = g["simhash"].to_numpy().astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        n = len(ids)
+        xor = u[:, None] ^ u[None, :]  # (n, n) uint64
+        ham = np.unpackbits(xor.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = ham[iu, ju] <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": ids[iu[keep]],
+                "doc_b": ids[ju[keep]],
+                "hamming": ham[iu[keep], ju[keep]].astype(np.int64),
+            }
+        )
 
     pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-
-    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pair, batch_format="pandas")
+    # Hamming distance is a property of the pair, identical in every
+    # band that surfaces it → pure distinct.
+    return _distinct_pairs(pairs, ["doc_a", "doc_b", "hamming"])
 
 
 # --------------------------------------------------------------------------
