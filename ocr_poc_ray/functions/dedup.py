@@ -403,53 +403,44 @@ def ngram_jaccard_verify(
 
 
 # --------------------------------------------------------------------------
-# Connected components by iterative min-label propagation (no driver
-# union-find — every step is a groupby, so the component pass scales).
+# Connected components over candidate pairs.
+#
+# Candidate pairs are the OUTPUT of the LSH passes — orders of
+# magnitude smaller than the corpus (they are the near-duplicates
+# themselves), and already collected once by the distinct step.  A
+# path-compressed union-find over that output-sized edge list is exact
+# and effectively linear; running grouped min-label-propagation rounds
+# through the Ray scheduler here would pay per-group overhead per node
+# per round for no added scalability (the edge list either fits one
+# machine or LSH thresholds need raising).  For a corpus-scale graph
+# (edges >> memory) substitute iterative hash-partitioned min-label
+# joins — the same dataflow as _filter_hot_buckets' scale path.
 # --------------------------------------------------------------------------
 
 
-def connected_components(pairs: Dataset, *, max_rounds: int = 10) -> Dataset:
+def connected_components(pairs: Dataset) -> Dataset:
     """(doc_id, component) from (doc_a, doc_b) pairs; component = min id."""
+    import ray.data as rd
 
-    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": pd.concat([batch["doc_a"], batch["doc_b"]]),
-                "label": pd.concat([batch["doc_b"], batch["doc_a"]]),
-            }
-        )
+    edges = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
 
-    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    parent: dict = {}
 
-    def min_self(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["label"] = out[["node", "label"]].min(axis=1)
-        return out
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
 
-    labels = edges.map_batches(min_self, batch_format="pandas")
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root convention
 
-    def reduce_min(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"node": [group["node"].iloc[0]], "label": [group["label"].min()]}
-        )
-
-    for _ in range(max_rounds):
-        labels = labels.groupby("node").map_groups(reduce_min, batch_format="pandas")
-        labels_mat = labels.materialize()
-        lab = labels_mat.to_pandas()
-        mapping = dict(zip(lab["node"], lab["label"]))
-        changed = any(mapping.get(l, l) != l for l in lab["label"])
-        if not changed:
-            labels = labels_mat
-            break
-
-        def propagate(batch: pd.DataFrame, m=mapping) -> pd.DataFrame:
-            out = batch.copy()
-            out["label"] = [m.get(l, l) for l in out["label"]]
-            return out
-
-        labels = labels_mat.map_batches(propagate, batch_format="pandas")
-    return labels.map_batches(
-        lambda b: b.rename(columns={"node": "doc_id", "label": "component"}),
-        batch_format="pandas",
+    nodes = sorted(set(edges["doc_a"]) | set(edges["doc_b"]))
+    out = pd.DataFrame(
+        {"doc_id": nodes, "component": [find(n) for n in nodes]}
     )
+    return rd.from_pandas(out)

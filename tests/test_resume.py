@@ -1,0 +1,94 @@
+"""Checkpoint/resume semantics (SURVEY.md §5.3–5.4): kill after k
+partitions → rerun skips them and completes; output identical to an
+uninterrupted run; a further rerun is a no-op (idempotence)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from ocr_poc_ray.pipelines.extraction import resumable_extract
+from ocr_poc_ray.synth import write_fixtures
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("resume_fix")
+    return write_fixtures(str(out), n_turns=4_000, n_convs=80, seed=11, row_group_size=250)
+
+
+def _rows(out_dir: str):
+    con = duckdb.connect()
+    return con.execute(
+        f"select conv_id, turn_idx, extracted_text, success "
+        f"from read_parquet('{out_dir}/partition=*/*.parquet') order by conv_id, turn_idx"
+    ).fetchall()
+
+
+def test_kill_resume_identical_and_idempotent(ray_session, corpus, tmp_path):
+    interrupted = str(tmp_path / "interrupted")
+    uninterrupted = str(tmp_path / "clean")
+
+    r1 = resumable_extract(
+        corpus["transcripts"], interrupted,
+        num_partitions=6, shard_rows=500, max_partitions_this_run=2,
+    )
+    assert len(r1["partitions_ran"]) == 2
+
+    r2 = resumable_extract(
+        corpus["transcripts"], interrupted, num_partitions=6, shard_rows=500
+    )
+    assert sorted(r2["partitions_skipped"]) == sorted(r1["partitions_ran"])
+    assert not set(r2["partitions_ran"]) & set(r1["partitions_ran"])
+
+    r3 = resumable_extract(
+        corpus["transcripts"], uninterrupted, num_partitions=6, shard_rows=500
+    )
+    assert _rows(interrupted) == _rows(uninterrupted)
+
+    # idempotence: nothing left to do
+    r4 = resumable_extract(
+        corpus["transcripts"], interrupted, num_partitions=6, shard_rows=500
+    )
+    assert r4["partitions_ran"] == []
+    assert len(r4["partitions_skipped"]) == r3["partitions_total"]
+
+
+def test_manifest_lineage(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "lineage")
+    resumable_extract(corpus["transcripts"], out, num_partitions=4, shard_rows=500)
+    manifest = os.path.join(out, "_manifest.jsonl")
+    records = [json.loads(l) for l in open(manifest) if l.strip()]
+    assert records
+    for rec in records:
+        assert rec["extractor_version"]
+        assert rec["row_count"] > 0
+        assert rec["input_lineage"], "each partition must record its input fragments"
+        assert rec["metrics"]["rows"] == rec["row_count"]
+        assert rec["wall_time_s"] > 0
+    # partitions ids unique and cover the run
+    pids = [r["partition_id"] for r in records]
+    assert len(pids) == len(set(pids))
+
+
+def test_expected_matches_resumed_output(ray_session, corpus, tmp_path):
+    """Golden equality THROUGH the resume path (per-turn byte equality)."""
+    out = str(tmp_path / "golden")
+    resumable_extract(
+        corpus["transcripts"], out, num_partitions=5, shard_rows=500,
+        max_partitions_this_run=3,
+    )
+    resumable_extract(corpus["transcripts"], out, num_partitions=5, shard_rows=500)
+    con = duckdb.connect()
+    n = con.execute(
+        f"""
+        select count(*) from read_parquet('{out}/partition=*/*.parquet') g
+        full outer join read_parquet('{corpus["expected"]}') e using (conv_id, turn_idx)
+        where g.extracted_text is distinct from e.extracted_text
+           or g.success is distinct from e.success
+        """
+    ).fetchone()[0]
+    assert n == 0
