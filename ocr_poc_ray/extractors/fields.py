@@ -105,6 +105,50 @@ def _centroid(poly: list[list[float]]) -> tuple[float, float, float]:
 
 
 # ---------------------------------------------------------------------------
+# N3: geometric normalization (template-matching strategy, main.ipynb
+# cell 2): the reference estimates document rotation from two anchor
+# centroids via arctan2 and maps template zones through the transform.
+# We estimate skew from every span's own baseline edge (p0→p1 of the
+# box) — more robust than two anchors — and derotate all coordinates
+# about the page center before any proximity geometry runs.
+# ---------------------------------------------------------------------------
+
+import math
+
+_DESKEW_MIN_ANGLE = 0.01  # rad; below this the doc is already straight
+
+
+def _estimate_skew(polys) -> float:
+    angles = []
+    for p in polys:
+        if len(p) >= 2:
+            dx, dy = p[1][0] - p[0][0], p[1][1] - p[0][1]
+            if abs(dx) > 1e-6 or abs(dy) > 1e-6:
+                angles.append(math.atan2(dy, dx))
+    if not angles:
+        return 0.0
+    angles.sort()
+    return angles[len(angles) // 2]  # median
+
+
+def deskew_polys(polys, *, cx: float = 306.0, cy: float = 396.0):
+    """Rotate all polygons about the page center so text baselines are
+    horizontal.  Returns (polys, angle); identity when |angle| is tiny."""
+    angle = _estimate_skew(polys)
+    if abs(angle) < _DESKEW_MIN_ANGLE:
+        return polys, 0.0
+    cos_a, sin_a = math.cos(-angle), math.sin(-angle)
+    out = []
+    for p in polys:
+        q = []
+        for x, y in p:
+            dx, dy = x - cx, y - cy
+            q.append([cx + dx * cos_a - dy * sin_a, cy + dx * sin_a + dy * cos_a])
+        out.append(q)
+    return out, angle
+
+
+# ---------------------------------------------------------------------------
 # P11 + N1/N2: normalizers and typed validators
 # ---------------------------------------------------------------------------
 
@@ -203,6 +247,7 @@ def extract_fields(texts, scores, polys) -> FieldResult:
             error="quality_gate_failed",
         )
 
+    polys, _skew = deskew_polys(polys)  # N3 geometric normalization
     lines = _preprocess(texts, scores, polys)
     fields: dict = {f: None for f in ALL_FIELDS}
 

@@ -380,6 +380,27 @@ def generate_span_docs(n_docs: int = 200, seed: int = 99):
         for _ in range(rng.randint(0, 3)):
             spans.append(_span(rng.choice(_WORDS), 300.0, 640.0, 0.2))
 
+        # ~25% of docs are skewed (N3: the extractor must deskew before
+        # any proximity geometry; expected fields are unchanged).
+        if rng.random() < 0.25:
+            import math
+
+            angle = rng.choice((-1, 1)) * rng.uniform(0.03, 0.15)
+            cos_a, sin_a = math.cos(angle), math.sin(angle)
+            cx, cy = 306.0, 396.0
+            spans = [
+                (
+                    t,
+                    s,
+                    [
+                        [cx + (x - cx) * cos_a - (y - cy) * sin_a,
+                         cy + (x - cx) * sin_a + (y - cy) * cos_a]
+                        for x, y in p
+                    ],
+                )
+                for t, s, p in spans
+            ]
+
         rng.shuffle(spans)
         # P5: expected birth date = first valid date in final line order
         exp["date_naissance"] = next(t for t, _s, _p in spans if t in date_texts)

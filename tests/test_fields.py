@@ -90,3 +90,52 @@ def test_fields_golden_distributed(ray_session, golden):
     assert len(merged) == len(expected)
     for f in FIELDS:
         assert (merged[f"{f}_exp"].fillna("∅") == merged[f"{f}_got"].fillna("∅")).all(), f
+
+
+# ---------------------------------------------------------------------------
+# N3 deskew + M4 post-processor slot
+# ---------------------------------------------------------------------------
+
+def test_deskew_restores_geometry():
+    import math
+
+    from ocr_poc_ray.extractors.fields import deskew_polys
+
+    base = [[[60.0, 100.0], [140.0, 100.0], [140.0, 112.0], [60.0, 112.0]],
+            [[60.0, 200.0], [300.0, 200.0], [300.0, 212.0], [60.0, 212.0]]]
+    angle = 0.1
+    c, s = math.cos(angle), math.sin(angle)
+    rot = [[[306 + (x - 306) * c - (y - 396) * s, 396 + (x - 306) * s + (y - 396) * c]
+            for x, y in p] for p in base]
+    fixed, est = deskew_polys(rot)
+    assert abs(est - angle) < 1e-6
+    for p_fixed, p_base in zip(fixed, base):
+        for (xf, yf), (xb, yb) in zip(p_fixed, p_base):
+            assert abs(xf - xb) < 1e-6 and abs(yf - yb) < 1e-6
+
+
+def test_deskew_identity_when_straight():
+    from ocr_poc_ray.extractors.fields import deskew_polys
+
+    base = [[[0.0, 0.0], [10.0, 0.0], [10.0, 5.0], [0.0, 5.0]]]
+    fixed, est = deskew_polys(base)
+    assert est == 0.0 and fixed is base
+
+
+def test_postprocessor_stub(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from ocr_poc_ray.stages.fields import extract_fields_ds
+    from ocr_poc_ray.stages.postprocess import LLMPostProcessor, postprocess_fields
+    from ocr_poc_ray.synth import generate_span_docs
+
+    with _pytest.raises(NotImplementedError):
+        LLMPostProcessor(use_real_model=True)
+
+    spans, _ = generate_span_docs(n_docs=40, seed=5)
+    ds = extract_fields_ds(ray.data.from_arrow(spans))
+    out = postprocess_fields(ds).to_pandas()
+    assert out["postprocessed"].all()
+    names = out.loc[out["success"] & out["nom"].notna(), "nom"]
+    assert len(names) > 0 and all(v == v.title() for v in names)
