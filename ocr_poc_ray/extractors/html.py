@@ -23,7 +23,7 @@ parser class live at module level — cheap — while the stage class in
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+from html import unescape
 
 from ocr_poc_ray.extractors.base import ExtractionResult, is_noise_line, normalize_ws
 
@@ -58,11 +58,29 @@ class _Block:
         self.total_chars = 0
 
 
-class _BlockCollector(HTMLParser):
-    """Streams the DOM into flat text blocks with link-char accounting."""
+# One compiled scan: a tag, a comment/declaration, or a text run.
+# (html.parser.HTMLParser is ~5x slower for this access pattern — it
+# tokenizes attributes we never read; this scanner keeps its CDATA
+# behavior for script/style and its leniency on malformed markup.)
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"  # comment
+    r"|<!\[CDATA\[.*?\]\]>"  # cdata
+    r"|<![^>]*>"  # doctype / declaration
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # tag
+    r"|[^<]+",  # text run
+    re.S,
+)
+#: raw-text elements: content is CDATA until the matching close tag.
+_RAWTEXT = ("script", "style")
+_RAW_CLOSE = {t: re.compile(rf"</\s*{t}\s*>", re.I) for t in _RAWTEXT}
+
+
+class _BlockCollector:
+    """Streams the markup into flat text blocks with link-char accounting."""
+
+    __slots__ = ("blocks", "_current", "_drop_depth", "_link_depth")
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._current: _Block | None = None
         self._drop_depth = 0
@@ -73,7 +91,7 @@ class _BlockCollector(HTMLParser):
             self.blocks.append(self._current)
         self._current = None
 
-    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+    def handle_starttag(self, tag: str) -> None:
         if tag in _DROP_SUBTREES:
             self._drop_depth += 1
             return
@@ -107,8 +125,40 @@ class _BlockCollector(HTMLParser):
         if self._link_depth:
             self._current.link_chars += n
 
+    def feed(self, text: str) -> None:
+        pos = 0
+        n = len(text)
+        while pos < n:
+            m = _TOKEN_RE.match(text, pos)
+            if m is None:  # stray '<' — treat as text, like HTMLParser
+                self.handle_data(text[pos])
+                pos += 1
+                continue
+            pos = m.end()
+            closing, tag = m.group(1), m.group(2)
+            if tag is None:
+                tok = m.group(0)
+                if tok[0] != "<":
+                    self.handle_data(unescape(tok) if "&" in tok else tok)
+                continue
+            tag = tag.lower()
+            if closing:
+                self.handle_endtag(tag)
+                continue
+            self.handle_starttag(tag)
+            if m.group(3) and m.group(3).rstrip().endswith("/"):
+                self.handle_endtag(tag)  # self-closing <x/>
+            elif tag in _RAWTEXT:
+                # CDATA: swallow everything to the matching close tag
+                mc = _RAW_CLOSE[tag].search(text, pos)
+                if mc is None:
+                    pos = n
+                    self.handle_endtag(tag)
+                else:
+                    pos = mc.end()
+                    self.handle_endtag(tag)
+
     def close(self) -> None:  # finalize trailing block
-        super().close()
         self._finalize()
 
 

@@ -442,9 +442,84 @@ def rel_mktsegment_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().astype({"n_orders": "int64"})
 
 
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregate + distinct count
+# ---------------------------------------------------------------------------
+
+def rel_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-day windows: bucket assignment is row-local (a pure
+    projection), so the only exchange is the tiny partial-agg combine."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({"day": batch["ts"].dt.floor("D"), "value": batch["value"]})
+        return b.groupby("day", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": [group["day"].iloc[0]],
+                "n": [int(group["n"].sum())],
+                "total_value": [round(group["total_value"].sum(), 2)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n": "int64"})
+
+
+REL_DAILY_EVENTS_SQL = """
+select date_trunc('day', ts) as day, count(*) as n,
+       round(sum(value), 2) as total_value
+from events
+group by date_trunc('day', ts)
+"""
+
+
+def rel_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per event type: per-batch local distinct (the
+    combiner) then an exact distinct-count over the shrunken pairs."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["event_type", "user_id"])
+
+    def count_users(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n_users": [int(group["user_id"].nunique())],
+            }
+        )
+
+    out = (
+        ds.map_batches(local_distinct, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(count_users, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_users": "int64"})
+
+
+REL_DISTINCT_USERS_SQL = """
+select event_type, count(distinct user_id) as n_users
+from events
+group by event_type
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
+    "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
+    "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),
     "rel_mktsegment_revenue_hashjoin": (
         rel_mktsegment_revenue_hashjoin,
         REL_MKTSEGMENT_REVENUE_SQL,
