@@ -81,6 +81,24 @@ ALL_FIELDS = (
 SIMILARITY_THRESHOLD = 0.70  # P6 (constructor default, :12-23)
 LABEL_SIMILARITY = 0.75  # P7 (:251-291)
 
+
+@dataclass(frozen=True)
+class FieldExtractorConfig:
+    """Tunable thresholds — the analog of the reference's constructor
+    parameters ``quality_threshold`` / ``similarity_threshold`` / etc.
+    (``cni_extractor_18_f.py:12-23``) and ``config.yaml`` keys."""
+
+    similarity_threshold: float = SIMILARITY_THRESHOLD
+    label_similarity: float = LABEL_SIMILARITY
+    min_positive_lines: int = 5  # P1 gate (:84-87 analog)
+    min_mean_score: float = 0.5
+    min_good_lines: int = 3
+    good_score: float = 0.7
+    min_line_score: float = 0.3  # P2 (:93-132)
+
+
+DEFAULT_CONFIG = FieldExtractorConfig()
+
 _ALL_ANCHOR_STRINGS = tuple(s for syns in ANCHOR_VOCAB.values() for s in syns)
 
 _BILINGUAL_RE = re.compile(r"^[^/]{1,30}/[^/]{1,30}:?$")
@@ -195,12 +213,12 @@ class FieldResult:
     error: str = ""
 
 
-def _preprocess(texts, scores, polys) -> list[_Line]:
+def _preprocess(texts, scores, polys, cfg: FieldExtractorConfig) -> list[_Line]:
     """P2: drop low-score / empty / short-non-latin lines
     (cni_extractor_18_f.py:93-132)."""
     lines: list[_Line] = []
     for i, (t, s, p) in enumerate(zip(texts, scores, polys)):
-        if s < 0.3:
+        if s < cfg.min_line_score:
             continue
         t = (t or "").strip()
         if not t:
@@ -212,18 +230,22 @@ def _preprocess(texts, scores, polys) -> list[_Line]:
     return lines
 
 
-def _quality_gate(scores) -> tuple[bool, float]:
+def _quality_gate(scores, cfg: FieldExtractorConfig) -> tuple[bool, float]:
     """P1 (cni_extractor_18_f.py:50-91): mean positive score + counts."""
     positive = [s for s in scores if s > 0]
     if not positive:
         return False, 0.0
     mean = sum(positive) / len(positive)
-    good = sum(1 for s in positive if s > 0.7)
-    ok = len(positive) >= 5 and mean >= 0.5 and good >= 3
+    good = sum(1 for s in positive if s > cfg.good_score)
+    ok = (
+        len(positive) >= cfg.min_positive_lines
+        and mean >= cfg.min_mean_score
+        and good >= cfg.min_good_lines
+    )
     return ok, mean
 
 
-def _is_label(text: str) -> bool:
+def _is_label(text: str, label_similarity: float = LABEL_SIMILARITY) -> bool:
     """P7 (cni_extractor_18_f.py:251-291): bilingual slash test,
     similarity-to-known-label test, exact keyword test."""
     t = text.strip()
@@ -232,11 +254,13 @@ def _is_label(text: str) -> bool:
     up = t.upper().rstrip(":")
     if up in _ALL_ANCHOR_STRINGS:
         return True
-    return any(fuzzy_similarity(up, a) >= LABEL_SIMILARITY for a in _ALL_ANCHOR_STRINGS)
+    return any(fuzzy_similarity(up, a) >= label_similarity for a in _ALL_ANCHOR_STRINGS)
 
 
-def extract_fields(texts, scores, polys) -> FieldResult:
-    ok, quality = _quality_gate(scores)
+def extract_fields(
+    texts, scores, polys, config: FieldExtractorConfig = DEFAULT_CONFIG
+) -> FieldResult:
+    ok, quality = _quality_gate(scores, config)
     if not ok:
         return FieldResult(
             fields={f: None for f in ALL_FIELDS},
@@ -248,7 +272,7 @@ def extract_fields(texts, scores, polys) -> FieldResult:
         )
 
     polys, _skew = deskew_polys(polys)  # N3 geometric normalization
-    lines = _preprocess(texts, scores, polys)
+    lines = _preprocess(texts, scores, polys, config)
     fields: dict = {f: None for f in ALL_FIELDS}
 
     # ---- P4 regex pass with consumption; P5 ordered date rule --------
@@ -274,7 +298,7 @@ def extract_fields(texts, scores, polys) -> FieldResult:
 
     # ---- P7 label classification ------------------------------------
     for ln in lines:
-        if not ln.consumed and _is_label(ln.text):
+        if not ln.consumed and _is_label(ln.text, config.label_similarity):
             ln.is_label = True
 
     # ---- P6 anchor detection (fuzzy semi-join vs vocab) --------------
@@ -286,7 +310,7 @@ def extract_fields(texts, scores, polys) -> FieldResult:
             if not ln.is_label:
                 continue
             sim = max(fuzzy_similarity(ln.text.rstrip(":"), s) for s in syns)
-            if sim >= SIMILARITY_THRESHOLD and (best is None or sim > best[0]):
+            if sim >= config.similarity_threshold and (best is None or sim > best[0]):
                 best = (sim, ln)
         anchors_detected[fname] = best is not None
         if best:
@@ -334,7 +358,7 @@ def extract_fields(texts, scores, polys) -> FieldResult:
     # ---- N2 cross-validation repair: label words leaked into a name --
     for fname in ("nom", "prenom"):
         v = fields[fname]
-        if v and _is_label(v):
+        if v and _is_label(v, config.label_similarity):
             fields[fname] = None
 
     # ---- P10 consolidation + confidence ------------------------------

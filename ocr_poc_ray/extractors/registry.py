@@ -23,6 +23,24 @@ EXTRACTORS: dict[str, Callable[[str], ExtractionResult]] = {
 }
 
 
+def register_extractor(
+    tool: str, fn: Callable[[str], ExtractionResult], *, replace: bool = False
+) -> None:
+    """User-extension surface (SURVEY.md §2.5: the reference's registry
+    is extended by adding a (version, side) entry,
+    ``ocr/id_card_data_extractor.py:25-35``): register an extraction
+    program for a new ``tool`` value.  Must be called before the stage
+    actors are constructed (each actor snapshots the registry in
+    ``__init__``); registrations are process-local, so pass a module
+    that performs registration at import into the job's code bundle.
+    """
+    if not replace and tool in EXTRACTORS:
+        raise ValueError(f"extractor for tool {tool!r} already registered")
+    if not callable(fn):
+        raise TypeError("extractor must be callable(text) -> ExtractionResult")
+    EXTRACTORS[tool] = fn
+
+
 def extract_turn(text: str | None, tool: str | None) -> ExtractionResult:
     """Pure per-turn extraction: validate → dispatch → envelope."""
     if text is None:

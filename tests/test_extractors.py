@@ -132,3 +132,40 @@ def test_failures_never_raise():
     for text, tool in [("", ""), ("<<<", ""), ("<a", "html"), ("1,2,3,4|", "pdf")]:
         r = extract_turn(text, tool)
         assert r.success is False and r.extracted_text == ""
+
+
+def test_register_extractor_plugin():
+    """User-extension surface: a new tool value gets its own program."""
+    from ocr_poc_ray.extractors.base import ExtractionResult
+    from ocr_poc_ray.extractors.registry import EXTRACTORS, extract_turn, register_extractor
+
+    def extract_csvish(text: str) -> ExtractionResult:
+        cells = [c.strip() for c in text.split(",") if c.strip()]
+        return ExtractionResult(
+            extracted_text=" ".join(cells), success=bool(cells),
+            quality_score=1.0, confidence=1.0, n_blocks=len(cells), n_kept=len(cells),
+        )
+
+    try:
+        register_extractor("csv", extract_csvish)
+        assert extract_turn("a, b ,c", "csv").extracted_text == "a b c"
+        with __import__("pytest").raises(ValueError):
+            register_extractor("csv", extract_csvish)  # no silent clobber
+        register_extractor("csv", extract_csvish, replace=True)
+    finally:
+        EXTRACTORS.pop("csv", None)
+
+
+def test_field_extractor_config_thresholds():
+    """Config analog of the reference's constructor params: loosening
+    the quality gate admits a document the default config rejects."""
+    from ocr_poc_ray.extractors.fields import FieldExtractorConfig, extract_fields
+
+    texts = ["RIVERDALE", "M"]
+    scores = [0.9, 0.9]
+    polys = [[[60, 80], [140, 80], [140, 92], [60, 92]],
+             [[60, 560], [70, 560], [70, 572], [60, 572]]]
+    assert not extract_fields(texts, scores, polys).success  # gate: <5 lines
+    loose = FieldExtractorConfig(min_positive_lines=1, min_good_lines=1)
+    r = extract_fields(texts, scores, polys, config=loose)
+    assert r.success and r.fields["sexe"] == "M"
