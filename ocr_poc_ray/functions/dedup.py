@@ -16,10 +16,11 @@ Scale shape (ray_guide patterns + SURVEY.md §2.5):
   band); verify Hamming distance within buckets.
 - **n-gram Jaccard**: exact verification kernel for candidate pairs.
 
-Connected components over candidate pairs use iterative min-label
-propagation (bounded rounds of groupby) — not a driver union-find —
-so the component step also scales; at test scale it converges in 2–3
-rounds.
+Connected components run a path-compressed union-find over the
+candidate-pair edge list — pairs are the OUTPUT of the LSH passes,
+orders of magnitude smaller than the corpus, so the exact in-memory
+pass is the right tool (see the function docstring for the
+corpus-scale dataflow alternative).
 """
 
 from __future__ import annotations
@@ -59,6 +60,15 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
 
     Returns the surviving (id, hash) pairs; join back to the full table
     if the payload is needed (keeps the shuffle narrow — hash+id only).
+
+    Shape: a grouped pass over EVERY hash would pay per-group overhead
+    for mostly-unique content, so the duplicate hashes are found first
+    with the partial-count pattern (vectorized per batch, one combine of
+    the per-batch distincts); unique-hash rows are their own winners and
+    pass straight through, and only the (duplicate-bounded) hot rows go
+    through a min-combine.  Exact at any duplication rate; the hot set
+    is bounded by the true duplicate count — the quantity dedup exists
+    to remove.
     """
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -72,13 +82,41 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
             }
         )
 
-    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    # pinned: three branches read this (counts, uniques, dup-mins);
+    # unpinned they would each re-hash the corpus
+    hashed = ds.map_batches(hash_batch, batch_format="pandas").materialize()
 
-    def first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group[id_col].min()
-        return pd.DataFrame({id_col: [keep], "content_hash": [group["content_hash"].iloc[0]]})
+    # duplicate hashes via per-batch partial counts (hash appears twice
+    # in one batch OR in two different batches)
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("content_hash", as_index=False).size()
 
-    return hashed.groupby("content_hash").map_groups(first_per_hash, batch_format="pandas")
+    partials = hashed.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    totals = partials.groupby("content_hash")["size"].sum()
+    dup_hashes = set(totals[totals > 1].index)
+
+    if not dup_hashes:
+        return hashed
+
+    import ray
+
+    dup_ref = ray.put(dup_hashes)
+
+    def keep_unique(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = ray.get(dup_ref)
+        return batch[~batch["content_hash"].isin(dup)]
+
+    def partial_min_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = ray.get(dup_ref)
+        b = batch[batch["content_hash"].isin(dup)]
+        return b.groupby("content_hash", as_index=False)[id_col].min()
+
+    uniques = hashed.map_batches(keep_unique, batch_format="pandas")
+    dup_partials = hashed.map_batches(partial_min_dups, batch_format="pandas").to_pandas()
+    winners = dup_partials.groupby("content_hash", as_index=False)[id_col].min()
+    import ray.data as rd
+
+    return uniques.union(rd.from_pandas(winners[[id_col, "content_hash"]]))
 
 
 # --------------------------------------------------------------------------
@@ -229,7 +267,7 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         batch_size=1024,
         concurrency=None,
-    )
+    ).materialize()  # pinned: the count branch and the pair branch both read it
 
     exploded_hot = _filter_hot_buckets(exploded, ["band_id", "band_hash"])
     if exploded_hot is None:
@@ -313,7 +351,9 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ `max_hamming` (doc_a < doc_b)."""
-    exploded = ds.map_batches(_SimHasher(id_col, text_col), batch_format="pandas")
+    exploded = ds.map_batches(
+        _SimHasher(id_col, text_col), batch_format="pandas"
+    ).materialize()  # pinned: count branch + pair branch
     exploded = _filter_hot_buckets(exploded, ["band_id", "band_key"])
     if exploded is None:
         import ray

@@ -251,24 +251,16 @@ SESSION_GAP_S = 1800
 
 
 def rel_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Sessionization via the scalable sort-based windowed aggregate
+    (ocr_poc_ray.functions.windows.sessionize: interior keys finalize
+    per block, only O(num_blocks) edge keys merge)."""
+    from ocr_poc_ray.functions.windows import sessionize
+
     ds = ray.data.read_parquet(
         _path(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
     )
-
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > SESSION_GAP_S)).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return out.to_pandas().astype(
+    out = sessionize(ds, gap_s=SESSION_GAP_S).to_pandas()
+    return out.astype(
         {"user_id": "int64", "n_events": "int64", "n_sessions": "int64"}
     )
 
