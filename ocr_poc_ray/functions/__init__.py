@@ -26,8 +26,10 @@ from ocr_poc_ray.functions.similarity import (
     knn_brute_force,
     knn_lsh,
 )
+from ocr_poc_ray.functions.windows import sessionize
 
 __all__ = [
+    "sessionize",
     "add_fingerprints",
     "add_langid",
     "add_quality",
