@@ -190,6 +190,111 @@ def knn_lsh(
 
 
 # --------------------------------------------------------------------------
+# IVF (inverted-file) variant: coarse k-means centroids trained once on
+# a driver-side sample, broadcast; each batch assigns its rows to the
+# nearest centroid and scores a query only against rows in the query's
+# top-`nprobe` clusters.  The scale path when hyperplane buckets are
+# too coarse: recall is tunable via nprobe (measured vs brute force in
+# tests).
+# --------------------------------------------------------------------------
+
+
+def _kmeans_lite(X: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded numpy k-means (k-means|| is overkill for a coarse IVF)."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized vectors
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def knn_ivf(
+    ds: Dataset,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Train on a bounded sample (one driver-side read), broadcast the
+    centroid matrix once, then a single streaming pass over the corpus:
+    per-batch cluster assignment (one matmul) + per-query scoring
+    restricted to its probed clusters + local top-k partials.
+    """
+    sample = ds.limit(train_size).to_pandas()
+    X_train = _normalize(_to_matrix(sample[vec_col]))
+    C = _kmeans_lite(X_train, nlist, seed=seed)
+
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_probe = np.argsort(-(q_mat @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    state_ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": q_mat, "C": C, "probe": q_probe}
+    )
+
+    class PartialIVFTopK:
+        def __init__(self) -> None:
+            s = ray.get(state_ref)
+            self.query_ids, self.Q, self.C, self.probe = (
+                s["ids"], s["mat"], s["C"], s["probe"],
+            )
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy()
+            assign = np.argmax(X @ self.C.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(self.Q.shape[0]):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sims = X[mask] @ self.Q[qi]
+                kk = min(k + 1, len(sub_ids))
+                top = (
+                    np.argpartition(-sims, kk - 1)[:kk]
+                    if kk < len(sub_ids)
+                    else np.arange(len(sub_ids))
+                )
+                for t in top:
+                    if exclude_self and sub_ids[t] == self.query_ids[qi]:
+                        continue
+                    out_q.append(self.query_ids[qi])
+                    out_n.append(sub_ids[t])
+                    out_s.append(sims[t])
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partial = ds.map_batches(
+        PartialIVFTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cosine"] = g["cosine"].round(4)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 

@@ -21,6 +21,7 @@ import ray.data
 from ocr_poc_ray.functions.similarity import (
     embedding_near_dup_pairs,
     knn_brute_force,
+    knn_ivf,
     knn_lsh,
 )
 
@@ -98,8 +99,21 @@ where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def vec_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN — rows-only; recall vs brute force is asserted
+    in tests/test_functions.py."""
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, ids, vecs, k=KNN_K, nlist=16, nprobe=6).to_pandas()
+    out = out[["query_id", "neighbor_id", "cosine", "rank"]]
+    return out.astype(
+        {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int64"}
+    )
+
+
 REGISTRY = {
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),
+    "vec_knn_ivf": (vec_knn_ivf, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
 }

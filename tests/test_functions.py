@@ -241,3 +241,21 @@ def test_media_decode_stub_pipeline():
 
     with _pytest.raises(NotImplementedError):
         MediaDecoder(use_real_codecs=True)
+
+
+def test_knn_ivf_recall(emb_ds):
+    """IVF with generous nprobe recovers most brute-force neighbors."""
+    from ocr_poc_ray.functions.similarity import knn_brute_force, knn_ivf
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.vstack([np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]])
+    exact = knn_brute_force(emb_ds, qids, qvecs, k=5).to_pandas()
+    approx = knn_ivf(emb_ds, qids, qvecs, k=5, nlist=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact.loc[exact.query_id == qid, "neighbor_id"])
+        a = set(approx.loc[approx.query_id == qid, "neighbor_id"])
+        if e:
+            recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, np.mean(recalls)
