@@ -359,32 +359,15 @@ where event_type = 'purchase' and value > {PURCHASE_MIN_VALUE}
 # ---------------------------------------------------------------------------
 
 def rel_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of via the scalable sort-based operator
+    (ocr_poc_ray.functions.windows.asof_match: interior keys match
+    per block, only O(num_blocks) edge keys' rows travel)."""
+    from ocr_poc_ray.functions.windows import asof_match
+
     ds = ray.data.read_parquet(
         _path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     )
-
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["event_type"].isin(("purchase", "click"))]
-
-    def asof(group: pd.DataFrame) -> pd.DataFrame:
-        p = group[group["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        c = group[group["event_type"] == "click"].sort_values(["ts", "event_id"])
-        if p.empty or c.empty:
-            return pd.DataFrame({"event_id": [], "user_id": [], "click_event_id": []})
-        m = pd.merge_asof(
-            p[["event_id", "user_id", "ts"]],
-            c[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
-            on="ts", direction="backward", allow_exact_matches=True,
-        )
-        m = m.dropna(subset=["click_event_id"])
-        return m[["event_id", "user_id", "click_event_id"]]
-
-    out = (
-        ds.map_batches(keep, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
-        .to_pandas()
-    )
+    out = asof_match(ds).to_pandas()
     if out.empty:
         out = pd.DataFrame(columns=["event_id", "user_id", "click_event_id"])
     return out.astype({"event_id": "int64", "user_id": "int64", "click_event_id": "int64"})
