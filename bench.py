@@ -111,7 +111,12 @@ def bench_conversation_docs(sf: float) -> float:
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary pipelines over the driver's test tables."""
     from ocr_poc_ray.queries.documents import doc_minhash_pairs, doc_exact_dedup
-    from ocr_poc_ray.queries.relational import rel_agg_lineitem, rel_sessionize
+    from ocr_poc_ray.queries.relational import (
+        rel_agg_lineitem,
+        rel_asof_purchase_click,
+        rel_sessionize,
+    )
+    from ocr_poc_ray.queries.transcripts import fields_extract_synth
     from ocr_poc_ray.queries.vectors import vec_knn_cosine
 
     out: dict[str, float] = {}
@@ -121,6 +126,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("knn_cosine", vec_knn_cosine),
         ("agg_lineitem", rel_agg_lineitem),
         ("sessionize", rel_sessionize),
+        ("asof_join", rel_asof_purchase_click),
+        ("fields_extract", fields_extract_synth),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)

@@ -1,0 +1,104 @@
+"""Deterministic edge-boundary tests for the sort-based windowed
+operators: tiny corpora forced through MANY small blocks so keys are
+guaranteed to split across batches, compared against a pure-pandas
+oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n_users: int = 6, per_user: int = 40, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(per_user):
+            t = t + pd.Timedelta(seconds=int(rng.randint(60, 4000)))
+            rows.append(
+                {
+                    "user_id": u,
+                    "ts": t,
+                    "event_id": eid,
+                    "event_type": rng.choice(["purchase", "click", "view"]),
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    return _events()
+
+
+def _oracle_sessions(df: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    out = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        gaps = g["ts"].diff().dt.total_seconds()
+        out.append(
+            {
+                "user_id": u,
+                "n_events": len(g),
+                "n_sessions": int((gaps.isna() | (gaps > gap_s)).sum()),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def _oracle_asof(df: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for u, g in df.groupby("user_id"):
+        p = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g.event_type == "click"].sort_values(["ts", "event_id"])
+        for _, row in p.iterrows():
+            prior = c[c.ts <= row.ts]
+            if len(prior):
+                out.append(
+                    {
+                        "event_id": row.event_id,
+                        "user_id": u,
+                        "click_event_id": prior.iloc[-1].event_id,
+                    }
+                )
+    return pd.DataFrame(out)
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_sessionize_split_boundaries(ray_session, events_df, nblocks):
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import sessionize
+
+    ds = rd.from_pandas(events_df)
+    got = (
+        sessionize(ds, gap_s=1800.0, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        .astype({"n_events": "int64", "n_sessions": "int64"})
+    )
+    exp = _oracle_sessions(events_df, 1800.0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_asof_split_boundaries(ray_session, events_df, nblocks):
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import asof_match
+
+    ds = rd.from_pandas(events_df)
+    got = (
+        asof_match(ds, sort_num_blocks=nblocks)
+        .to_pandas()
+        .astype({"event_id": "int64", "user_id": "int64", "click_event_id": "int64"})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _oracle_asof(events_df).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
