@@ -1,0 +1,117 @@
+"""CLI entry points — the batch analog of the reference's service
+entry (``start_services.py`` / ``api_server.py``), submitted via
+``ray job submit -- python -m ocr_poc_ray <cmd> ...`` on a cluster or
+run directly on one node.
+
+Commands
+--------
+extract     resumable checkpointed extraction over a transcript corpus
+fixture     write a deterministic synthetic transcript corpus
+fields      typed-field extraction over a span-docs parquet
+bench-info  print the engine's operator registry (name → oracle kind)
+
+This is the ONLY module in the package that may own a Ray session
+(guarded — the driver/bench/tests own their own).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from ocr_poc_ray.pipelines.extraction import resumable_extract
+
+    result = resumable_extract(
+        args.input,
+        args.output,
+        num_partitions=args.num_partitions,
+        shard_rows=args.shard_rows,
+        concurrency=(1, args.actors) if args.actors else None,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_fixture(args: argparse.Namespace) -> int:
+    from ocr_poc_ray.synth import write_fixtures
+
+    paths = write_fixtures(
+        args.output, n_turns=args.turns, n_convs=args.convs, seed=args.seed,
+        n_files=args.files,
+    )
+    print(json.dumps(paths))
+    return 0
+
+
+def cmd_fields(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from ocr_poc_ray.stages.fields import extract_fields_ds
+
+    ds = ray.data.read_parquet(args.input)
+    out = extract_fields_ds(ds, concurrency=(1, args.actors) if args.actors else None)
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output}))
+    return 0
+
+
+def cmd_bench_info(_args: argparse.Namespace) -> int:
+    from ocr_poc_ray.queries import REGISTRY
+
+    for name, (_fn, sql) in sorted(REGISTRY.items()):
+        print(f"{name}\t{'sql-oracle' if sql else 'rows-only'}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ocr_poc_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="resumable checkpointed extraction")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--num-partitions", type=int, default=16)
+    ex.add_argument("--shard-rows", type=int, default=250_000)
+    ex.add_argument("--actors", type=int, default=0)
+    ex.add_argument("--num-cpus", type=int, default=0)
+    ex.set_defaults(fn=cmd_extract)
+
+    fx = sub.add_parser("fixture", help="write a synthetic transcript corpus")
+    fx.add_argument("--output", required=True)
+    fx.add_argument("--turns", type=int, default=10_000)
+    fx.add_argument("--convs", type=int, default=200)
+    fx.add_argument("--seed", type=int, default=42)
+    fx.add_argument("--files", type=int, default=8)
+    fx.set_defaults(fn=cmd_fixture)
+
+    fd = sub.add_parser("fields", help="typed-field extraction over span docs")
+    fd.add_argument("--input", required=True)
+    fd.add_argument("--output", required=True)
+    fd.add_argument("--actors", type=int, default=0)
+    fd.add_argument("--num-cpus", type=int, default=0)
+    fd.set_defaults(fn=cmd_fields)
+
+    bi = sub.add_parser("bench-info", help="list the operator registry")
+    bi.set_defaults(fn=cmd_bench_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

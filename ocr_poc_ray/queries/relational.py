@@ -490,8 +490,80 @@ group by event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q3-style composite: filter + broadcast join + partial agg + top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def rel_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """Top revenue orders for one market segment: broadcast the
+    qualifying custkeys, partial-aggregate revenue per order inside
+    map_batches, combine, then local-top-k merge — the whole composite
+    touches lineitem once and shuffles only (orderkey, partial-sum)
+    pairs."""
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_keys = set(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"])
+    orders = pq_.read_table(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    ok_orders = ray.put(set(orders.loc[orders["o_custkey"].isin(seg_keys), "o_orderkey"]))
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    class Partial:
+        def __init__(self) -> None:
+            self.keys = ray.get(ok_orders)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["l_orderkey"].isin(self.keys)]
+            if b.empty:
+                return pd.DataFrame({"l_orderkey": [], "revenue": []})
+            b = b.assign(revenue=b["l_extendedprice"] * (1.0 - b["l_discount"]))
+            return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    # The heavy distributed work is the lineitem scan + per-batch partial
+    # sums; the combined partials are one row per (batch, qualifying
+    # order) — already shrunk by orders/batch locality — and a grouped
+    # Ray pass per order key would pay per-group overhead for each of
+    # them, so the final sum + top-k runs on the collected partials.
+    partials = (
+        ds.map_batches(Partial, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    )
+    per_order = partials.groupby("l_orderkey", as_index=False)["revenue"].sum()
+    out = per_order.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(Q3_TOPK)
+    out = out.reset_index(drop=True)
+    out["revenue"] = out["revenue"].round(2)
+    return out.astype({"l_orderkey": "int64", "revenue": "float64"})
+
+
+REL_TOP_REVENUE_ORDERS_SQL = f"""
+select l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+where c.c_mktsegment = '{Q3_SEGMENT}'
+group by l.l_orderkey
+order by sum(l.l_extendedprice * (1 - l.l_discount)) desc, l.l_orderkey
+limit {Q3_TOPK}
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),
