@@ -73,9 +73,10 @@ def default_sort_blocks(bytes_hint: int | None = None) -> int | None:
 def _block_partials(batch: pd.DataFrame) -> pd.DataFrame:
     """Within one SORTED block, concat each conversation's contiguous
     run of turns into a single partial row (vectorized groupby; order
-    inside the block is already (conv_id, turn_idx))."""
+    inside the block is already (conv_id, turn_idx)).  The first/last
+    conversation of the block may continue in a neighbor block → edge."""
     g = batch.groupby("conv_id", sort=False)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "conv_id": g["conv_id"].first(),
             "first_turn": g["turn_idx"].first(),
@@ -83,17 +84,10 @@ def _block_partials(batch: pd.DataFrame) -> pd.DataFrame:
             "text": g["text"].apply(lambda s: " ".join(t for t in s if t)),
         }
     ).reset_index(drop=True)
-
-
-def _merge_partials(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("first_turn", kind="mergesort")
-    return pd.DataFrame(
-        {
-            "conv_id": [group["conv_id"].iloc[0]],
-            "n_turns": [int(group["n_turns"].sum())],
-            "doc_text": [" ".join(t for t in group["text"] if t)],
-        }
-    )
+    out["edge"] = False
+    if len(out):
+        out.loc[out.index[[0, -1]], "edge"] = True
+    return out
 
 
 def conversation_docs(
@@ -108,12 +102,15 @@ def conversation_docs(
 
     Shape: narrow projection → ONE range-partitioned sort on
     ``(conv_id, turn_idx)`` → per-block partial concatenation (each
-    conversation's contiguous run collapses to one row, vectorized) →
-    a tiny ``groupby(conv_id)`` merge of ≤ ceil(conv_turns/block_rows)
-    partials per conversation.  Skew handling falls out of the sort's
-    range partitioning: a giant conversation spans several blocks, so
-    each partial is bounded by block size and the merge sees only the
-    pre-shrunk partials — the partial-aggregation rule for wide ops.
+    conversation's contiguous run collapses to one row, vectorized).
+    Conversations wholly inside a block finalize there; only the at
+    most two conversations touching each block's edges — O(num_blocks)
+    rows, not O(num_conversations) — travel to one small ordered
+    combine.  Skew handling falls out of the sort's range
+    partitioning: a giant conversation spans several blocks, each
+    partial bounded by block size; conversation count never appears as
+    a group count anywhere (a grouped pass per conversation would pay
+    Ray per-group overhead × 10^9 at corpus scale).
     """
 
     def project(batch: pa.Table) -> pa.Table:
@@ -129,8 +126,36 @@ def conversation_docs(
 
     projected = ds.map_batches(project, batch_format="pyarrow")
     ordered = sort_by_turn(projected, num_blocks=sort_num_blocks or default_sort_blocks())
-    partials = ordered.map_batches(_block_partials, batch_format="pandas")
-    docs = partials.groupby("conv_id").map_groups(_merge_partials, batch_format="pandas")
+    # ONE pinned execution: the finals and edges branches must see the
+    # same batch slicing (see functions/windows.py for the bug class).
+    partials = ordered.map_batches(_block_partials, batch_format="pandas").materialize()
+
+    finals = partials.map_batches(
+        lambda b: b.loc[~b["edge"], ["conv_id", "n_turns", "text"]].rename(
+            columns={"text": "doc_text"}
+        ),
+        batch_format="pandas",
+    )
+    edges = partials.map_batches(
+        lambda b: b[b["edge"]], batch_format="pandas"
+    ).to_pandas()
+
+    merged_rows = []
+    for conv, grp in edges.sort_values(["conv_id", "first_turn"]).groupby(
+        "conv_id", sort=False
+    ):
+        merged_rows.append(
+            {
+                "conv_id": conv,
+                "n_turns": int(grp["n_turns"].sum()),
+                "doc_text": " ".join(t for t in grp["text"] if t),
+            }
+        )
+    docs = finals
+    if merged_rows:
+        import ray.data as rd
+
+        docs = finals.union(rd.from_pandas(pd.DataFrame(merged_rows)))
     return docs.map_batches(
         lambda t: t.select(CONVERSATION_DOC_SCHEMA.names).cast(CONVERSATION_DOC_SCHEMA),
         batch_format="pyarrow",
