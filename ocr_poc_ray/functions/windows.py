@@ -1,18 +1,20 @@
-"""Windowed / order-sensitive aggregates over keyed event streams.
+"""Windowed / order-sensitive operators over keyed event streams.
 
 The scalable shape for per-key sequential logic (sessionization,
-as-of matching, gap detection) when keys are MANY: a grouped pass per
-key would pay Ray's per-group overhead per user, so instead
+as-of matching, windowed range joins) when keys are MANY: a grouped
+pass per key would pay Ray's per-group overhead per key, so instead
 
   1. range-sort by (key, ts) — equal keys become contiguous, and a
      key spans multiple blocks only at block boundaries;
-  2. one vectorized pass per sorted block emits FINAL rows for keys
-     wholly inside the block and tiny PARTIAL rows for the (at most
-     two) keys touching the block's edges;
-  3. the edge partials — O(num_blocks), not O(num_keys) — are merged
-     in one small combine.
+  2. one vectorized pass per sorted batch handles keys wholly inside
+     the batch and ships RAW rows only for the (at most two) keys
+     touching the batch's edges;
+  3. the edge rows — O(num_batches) keys' worth, not O(num_keys) —
+     are combined in one small final pass.
 
-Exact for any key cardinality; the all-to-all is the one sort.
+Exact for any key cardinality; the all-to-all is the one sort.  The
+plumbing lives in ``keyed_sorted_match``; each operator contributes a
+multi-key-safe vectorized ``match_fn``.
 """
 
 from __future__ import annotations
@@ -22,6 +24,118 @@ import pandas as pd
 from ray.data import Dataset
 
 from ocr_poc_ray.stages.ordering import default_sort_blocks
+
+
+# ---------------------------------------------------------------------------
+# Generic interior-final / edge-raw plumbing
+# ---------------------------------------------------------------------------
+
+
+def keyed_sorted_match(
+    ds: Dataset,
+    *,
+    key_col: str,
+    sort_cols: list[str],
+    in_cols: list[str],
+    match_fn,
+    out_meta: dict[str, str],
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """Apply a vectorized multi-key ``match_fn`` to every complete key.
+
+    ``match_fn(df) -> df`` must be correct for a frame holding ANY set
+    of complete keys (it may not assume one key).  Keys wholly inside a
+    sorted batch are matched there; the first/last key of each batch
+    ships its raw ``in_cols`` rows to one small combine.
+    """
+    raw_cols = [f"_raw_{c}" for c in in_cols]
+
+    def _nullable(dtype) -> str:
+        """Raw columns must hold NA on final rows: widen ints/bools to
+        their nullable pandas dtypes (Arrow round-trips them cleanly)."""
+        kind = getattr(dtype, "kind", "O")
+        if kind == "i":
+            return "Int64"
+        if kind == "u":
+            return "UInt64"
+        if kind == "b":
+            return "boolean"
+        return str(dtype)  # float (NaN), datetime (NaT), object (None)
+
+    def _out_filler(dt: str):
+        return 0 if dt.lower().startswith(("int", "uint")) else (
+            False if dt == "bool" else None
+        )
+
+    def block_pass(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col]
+        if batch.empty:
+            interior = edge = batch
+        else:
+            first_key, last_key = keys.iloc[0], keys.iloc[-1]
+            interior = batch[(keys != first_key) & (keys != last_key)]
+            edge = batch[(keys == first_key) | (keys == last_key)]
+        out = match_fn(interior) if not interior.empty else pd.DataFrame(
+            {name: pd.Series([], dtype=dt) for name, dt in out_meta.items()}
+        )
+        for c in in_cols:
+            out[f"_raw_{c}"] = pd.Series(
+                [None] * len(out), dtype=_nullable(batch[c].dtype), index=out.index
+            )
+        out["_is_raw"] = False
+        if not edge.empty:
+            raw = pd.DataFrame(
+                {f"_raw_{c}": edge[c].astype(_nullable(edge[c].dtype)) for c in in_cols}
+            )
+            for name, dt in out_meta.items():
+                raw[name] = pd.Series(
+                    [_out_filler(dt)] * len(raw), dtype=dt, index=raw.index
+                )
+            raw["_is_raw"] = True
+            out = pd.concat([out, raw], ignore_index=True)
+        return out
+
+    nb = sort_num_blocks or default_sort_blocks()
+    narrow = ds.select_columns(in_cols)
+    ordered = (
+        narrow.repartition(nb).sort([key_col, *sort_cols])
+        if nb
+        else narrow.sort([key_col, *sort_cols])
+    )
+    # ONE pinned execution: batch slicing is not bit-stable across
+    # re-executions, so the finals and edges branches must read the
+    # same pass (lazy branching here once produced duplicate/missing
+    # keys — caught by the DuckDB oracle).
+    passed = ordered.map_batches(block_pass, batch_format="pandas").materialize()
+
+    finals = passed.map_batches(
+        lambda b: b.loc[~b["_is_raw"], list(out_meta)], batch_format="pandas"
+    )
+    edges_raw = passed.map_batches(
+        lambda b: b[b["_is_raw"]], batch_format="pandas"
+    ).to_pandas()
+    if edges_raw.empty:
+        return finals
+
+    edges = pd.DataFrame({c: edges_raw[f"_raw_{c}"] for c in in_cols})
+    # narrow the nullable widened dtypes back (no NAs on raw rows)
+    _narrow = {"Int64": "int64", "UInt64": "uint64", "boolean": "bool"}
+    for c in in_cols:
+        dt = str(edges[c].dtype)
+        if dt in _narrow:
+            edges[c] = edges[c].astype(_narrow[dt])
+    edges = edges.sort_values([key_col, *sort_cols], kind="mergesort")
+    merged = match_fn(edges)
+    if merged is None or merged.empty:
+        return finals
+    import ray.data as rd
+
+    return finals.union(rd.from_pandas(merged.reset_index(drop=True)))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (aggregate shape: per-key partials, not row matches)
+# ---------------------------------------------------------------------------
 
 
 def sessionize(
@@ -35,14 +149,17 @@ def sessionize(
 ) -> Dataset:
     """(key, n_events, n_sessions): a session break is a gap > gap_s.
 
-    Returns one row per key with the event count and session count,
-    matching ``lag(ts) over (partition by key order by ts, order)``
-    semantics.
+    Aggregate variant of the edge pattern: per-batch partials carry
+    (count, sessions, first_ts, last_ts); interior keys finalize in
+    their batch, edge-key partials merge with a boundary adjustment
+    (a run continuing across the boundary is not a new session).
     """
     narrow = ds.select_columns([key_col, ts_col, order_col])
     nb = sort_num_blocks or default_sort_blocks()
-    ordered = narrow.repartition(nb).sort([key_col, ts_col, order_col]) if nb else narrow.sort(
-        [key_col, ts_col, order_col]
+    ordered = (
+        narrow.repartition(nb).sort([key_col, ts_col, order_col])
+        if nb
+        else narrow.sort([key_col, ts_col, order_col])
     )
 
     def block_pass(batch: pd.DataFrame) -> pd.DataFrame:
@@ -63,19 +180,13 @@ def sessionize(
                 "last_ts": g[ts_col].last(),
             }
         ).reset_index(drop=True)
-        # first/last key of the block may continue in neighbor blocks
         out["edge"] = False
         out.loc[out.index[[0, -1]], "edge"] = True
         return out
 
-    # ONE execution, pinned: branching a lazy dataset would re-execute
-    # the sort per branch, and batch slicing is not bit-stable across
-    # executions — the finals and edges branches would disagree about
-    # which keys sat on batch edges.  The partials are one row per key
-    # per touching batch (tiny next to the events), so pinning is cheap.
+    # ONE pinned execution (see keyed_sorted_match).
     partials = ordered.map_batches(block_pass, batch_format="pandas").materialize()
 
-    # Interior keys are final; edge keys (O(blocks)) merge in one pass.
     finals = partials.map_batches(
         lambda b: b.loc[~b["edge"], [key_col, "n_events", "n_sessions"]],
         batch_format="pandas",
@@ -105,6 +216,11 @@ def sessionize(
     return finals.union(merged)
 
 
+# ---------------------------------------------------------------------------
+# Backward as-of match
+# ---------------------------------------------------------------------------
+
+
 def asof_match(
     ds: Dataset,
     *,
@@ -117,108 +233,100 @@ def asof_match(
     sort_num_blocks: int | None = None,
 ) -> Dataset:
     """Per-key backward as-of: each `left_value` row matched to the most
-    recent `right_value` row with right.ts ≤ left.ts (inner: unmatched
-    left rows drop).  Same scalable shape as ``sessionize``: keys wholly
-    inside a sorted batch match locally; only the O(num_batches) edge
-    keys' raw rows travel to one small combine.
+    recent `right_value` row with right.ts ≤ left.ts (inner join).
 
-    Output: (event_id, key, click_event_id) with ``event_id`` the left
-    row's order column.
+    Output: (order_col, key_col, click_<order_col>).
     """
-    narrow = ds.select_columns([key_col, ts_col, order_col, left_filter_col])
+    click_col = "click_" + order_col
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        """merge_asof(by=key): ONE global ts sort serves every key."""
+        left = group[group[left_filter_col] == left_value]
+        right = group[group[left_filter_col] == right_value]
+        if left.empty or right.empty:
+            return pd.DataFrame({order_col: [], key_col: [], click_col: []})
+        m = pd.merge_asof(
+            left[[order_col, key_col, ts_col]].sort_values(
+                [ts_col, order_col], kind="mergesort"
+            ),
+            right[[order_col, key_col, ts_col]]
+            .rename(columns={order_col: click_col})
+            .sort_values([ts_col, click_col], kind="mergesort"),
+            on=ts_col, by=key_col, direction="backward", allow_exact_matches=True,
+        ).dropna(subset=[click_col])
+        return m[[order_col, key_col, click_col]]
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[batch[left_filter_col].isin((left_value, right_value))]
 
-    filtered = narrow.map_batches(keep, batch_format="pandas")
-    nb = sort_num_blocks or default_sort_blocks()
-    ordered = (
-        filtered.repartition(nb).sort([key_col, ts_col, order_col])
-        if nb
-        else filtered.sort([key_col, ts_col, order_col])
+    filtered = ds.select_columns(
+        [key_col, ts_col, order_col, left_filter_col]
+    ).map_batches(keep, batch_format="pandas")
+
+    return keyed_sorted_match(
+        filtered,
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, left_filter_col],
+        match_fn=_match,
+        out_meta={order_col: "int64", key_col: "int64", click_col: "float64"},
+        sort_num_blocks=sort_num_blocks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed range join (self-join: right rows within [left.ts, left.ts+w))
+# ---------------------------------------------------------------------------
+
+
+def range_join_window(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    filter_col: str = "event_type",
+    left_value: str = "click",
+    right_value: str = "error",
+    window_s: float = 600.0,
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """All (left, right) pairs with the same key and
+    ``left.ts ≤ right.ts < left.ts + window_s`` — the interval/range
+    join Ray Data lacks natively, in the same edge-pattern shape.
+
+    Output: (order_col, key_col, matched_<order_col>).
+    """
+    matched_col = "matched_" + order_col
 
     def _match(group: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized per-key backward as-of over any number of keys:
-        merge_asof(by=key) needs ONE global ts sort, not a pass per key."""
-        left = group[group[left_filter_col] == left_value]
-        right = group[group[left_filter_col] == right_value]
+        left = group[group[filter_col] == left_value]
+        right = group[group[filter_col] == right_value]
         if left.empty or right.empty:
-            return pd.DataFrame(
-                {order_col: [], key_col: [], "click_" + order_col: []}
-            )
-        m = pd.merge_asof(
-            left[[order_col, key_col, ts_col]].sort_values([ts_col, order_col], kind="mergesort"),
-            right[[order_col, key_col, ts_col]]
-            .rename(columns={order_col: "click_" + order_col})
-            .sort_values([ts_col, "click_" + order_col], kind="mergesort"),
-            on=ts_col, by=key_col, direction="backward", allow_exact_matches=True,
-        ).dropna(subset=["click_" + order_col])
-        return m[[order_col, key_col, "click_" + order_col]]
+            return pd.DataFrame({order_col: [], key_col: [], matched_col: []})
+        m = left[[order_col, key_col, ts_col]].merge(
+            right[[order_col, key_col, ts_col]].rename(
+                columns={order_col: matched_col, ts_col: ts_col + "_r"}
+            ),
+            on=key_col,
+        )
+        dt = (m[ts_col + "_r"] - m[ts_col]).dt.total_seconds()
+        m = m[(dt >= 0) & (dt < window_s)]
+        return m[[order_col, key_col, matched_col]]
 
-    click_col = "click_" + order_col
-    _empty = pd.DataFrame(
-        {
-            order_col: pd.Series([], dtype="int64"),
-            key_col: pd.Series([], dtype="int64"),
-            click_col: pd.Series([], dtype="float64"),
-            "_raw_ts": pd.Series([], dtype="datetime64[us]"),
-            "_raw_kind": pd.Series([], dtype="object"),
-        }
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[filter_col].isin((left_value, right_value))]
+
+    filtered = ds.select_columns(
+        [key_col, ts_col, order_col, filter_col]
+    ).map_batches(keep, batch_format="pandas")
+
+    return keyed_sorted_match(
+        filtered,
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, filter_col],
+        match_fn=_match,
+        out_meta={order_col: "int64", key_col: "int64", matched_col: "int64"},
+        sort_num_blocks=sort_num_blocks,
     )
-
-    def block_pass(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty:
-            return _empty.copy()
-        keys = batch[key_col]
-        first_key, last_key = keys.iloc[0], keys.iloc[-1]
-        interior = batch[(keys != first_key) & (keys != last_key)]
-        edge = batch[(keys == first_key) | (keys == last_key)]
-        out = _match(interior)
-        out["_raw_ts"] = pd.NaT
-        out["_raw_kind"] = None
-        if not edge.empty:
-            # ship the edge keys' RAW rows (bounded by O(batches) keys)
-            raw = pd.DataFrame(
-                {
-                    order_col: edge[order_col],
-                    key_col: edge[key_col],
-                    click_col: float("nan"),
-                    "_raw_ts": edge[ts_col],
-                    "_raw_kind": edge[left_filter_col],
-                }
-            )
-            out = pd.concat([out, raw], ignore_index=True)
-        return out if not out.empty else _empty.copy()
-
-    # ONE pinned execution (see sessionize: batch slicing is not stable
-    # across re-executions, so both branches must read the same pass).
-    passed = ordered.map_batches(block_pass, batch_format="pandas").materialize()
-
-    finals = passed.map_batches(
-        lambda b: b.loc[b["_raw_kind"].isna(), [order_col, key_col, click_col]],
-        batch_format="pandas",
-    )
-    edges_raw = passed.map_batches(
-        lambda b: b[b["_raw_kind"].notna()], batch_format="pandas"
-    ).to_pandas()
-
-    import ray.data as rd
-
-    if edges_raw.empty:
-        return finals
-    edges = pd.DataFrame(
-        {
-            key_col: edges_raw[key_col],
-            order_col: edges_raw[order_col],
-            ts_col: edges_raw["_raw_ts"],
-            left_filter_col: edges_raw["_raw_kind"],
-        }
-    ).sort_values([key_col, ts_col, order_col], kind="mergesort")
-    parts = [
-        _match(grp) for _key, grp in edges.groupby(key_col, sort=False)
-    ]
-    merged = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
-    if merged.empty:
-        return finals
-    return finals.union(rd.from_pandas(merged))

@@ -561,9 +561,39 @@ limit {Q3_TOPK}
 """
 
 
+RANGE_WINDOW_S = 1800
+
+
+def rel_range_join_click_error(sf_dir: str) -> pd.DataFrame:
+    """Windowed range self-join: error events within 30 minutes after a
+    click by the same user (functions.windows.range_join_window)."""
+    from ocr_poc_ray.functions.windows import range_join_window
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    out = range_join_window(ds, window_s=float(RANGE_WINDOW_S)).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["event_id", "user_id", "matched_event_id"])
+    return out.astype(
+        {"event_id": "int64", "user_id": "int64", "matched_event_id": "int64"}
+    )
+
+
+REL_RANGE_JOIN_SQL = f"""
+select a.event_id, a.user_id, b.event_id as matched_event_id
+from events a join events b
+  on a.user_id = b.user_id
+ and b.ts >= a.ts
+ and b.ts < a.ts + interval {RANGE_WINDOW_S} second
+where a.event_type = 'click' and b.event_type = 'error'
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
+    "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),

@@ -23,7 +23,7 @@ def _events(n_users: int = 6, per_user: int = 40, seed: int = 3) -> pd.DataFrame
                     "user_id": u,
                     "ts": t,
                     "event_id": eid,
-                    "event_type": rng.choice(["purchase", "click", "view"]),
+                    "event_type": rng.choice(["purchase", "click", "view", "error"]),
                 }
             )
             eid += 1
@@ -101,4 +101,38 @@ def test_asof_split_boundaries(ray_session, events_df, nblocks):
         .reset_index(drop=True)
     )
     exp = _oracle_asof(events_df).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _oracle_range(df: pd.DataFrame, window_s: float) -> pd.DataFrame:
+    out = []
+    for u, g in df.groupby("user_id"):
+        left = g[g.event_type == "click"]
+        right = g[g.event_type == "error"]
+        for _, row in left.iterrows():
+            hits = right[(right.ts >= row.ts) & (right.ts < row.ts + pd.Timedelta(seconds=window_s))]
+            for _, h in hits.iterrows():
+                out.append({"event_id": row.event_id, "user_id": u, "matched_event_id": h.event_id})
+    return pd.DataFrame(out, columns=["event_id", "user_id", "matched_event_id"])
+
+
+@pytest.mark.parametrize("nblocks", [2, 7])
+def test_range_join_split_boundaries(ray_session, events_df, nblocks):
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import range_join_window
+
+    ds = rd.from_pandas(events_df)
+    got = (
+        range_join_window(ds, window_s=3600.0, sort_num_blocks=nblocks)
+        .to_pandas()
+        .astype({"event_id": "int64", "user_id": "int64", "matched_event_id": "int64"})
+        .sort_values(["event_id", "matched_event_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _oracle_range(events_df, 3600.0)
+        .sort_values(["event_id", "matched_event_id"])
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
