@@ -10,12 +10,17 @@ envelope, cf. ``cni_extractor_18_f.py:456-462``), never exceptions.
 """
 
 from ocr_poc_ray.extractors.base import ExtractionResult, is_noise_line, normalize_ws
-from ocr_poc_ray.extractors.registry import EXTRACTORS, extract_turn
+from ocr_poc_ray.extractors.fields import FieldExtractorConfig, extract_fields, fuzzy_similarity
+from ocr_poc_ray.extractors.registry import EXTRACTORS, extract_turn, register_extractor
 
 __all__ = [
     "ExtractionResult",
     "EXTRACTORS",
     "extract_turn",
+    "register_extractor",
+    "FieldExtractorConfig",
+    "extract_fields",
+    "fuzzy_similarity",
     "is_noise_line",
     "normalize_ws",
 ]

@@ -246,8 +246,42 @@ def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
     return comp.astype({"doc_id": "int64", "component": "int64"})
 
 
+SAMPLE_PER_LANG = 5
+
+
+def doc_sample_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: first `SAMPLE_PER_LANG` doc_ids
+    per language.  Per-batch local heads (the combiner) shrink the
+    candidate set to ≤ n·langs per batch before one tiny merge."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    def local_heads(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values("doc_id")
+            .groupby("lang", as_index=False, sort=False)
+            .head(SAMPLE_PER_LANG)
+        )
+
+    cands = ds.map_batches(local_heads, batch_format="pandas").to_pandas()
+    out = (
+        cands.sort_values("doc_id")
+        .groupby("lang", as_index=False, sort=False)
+        .head(SAMPLE_PER_LANG)
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out[["lang", "doc_id"]].astype({"doc_id": "int64"})
+
+
+DOC_SAMPLE_PER_LANG_SQL = f"""
+select lang, doc_id from documents
+qualify row_number() over (partition by lang order by doc_id) <= {SAMPLE_PER_LANG}
+"""
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
+    "doc_sample_per_lang": (doc_sample_per_lang, DOC_SAMPLE_PER_LANG_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
