@@ -27,3 +27,59 @@ def validate_transcripts_batch(batch: pa.Table) -> pa.Table:
                 pc.fill_null(arr, "" if col != "role" else "unknown"),
             )
     return out
+
+
+def dedup_turns(ds):
+    """Exact dedup on the (conv_id, turn_idx) turn key — the
+    idempotence guard for corpora assembled from retried upstream
+    writes (SURVEY.md §2.5).  Same shape as functions.dedup.exact_dedup:
+    unique keys pass straight through; only the duplicate-bounded hot
+    set pays a combine, where the winner is the row with the smallest
+    (md5(text), ts) — deterministic under any input order.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["_turn_key"] = b["conv_id"] + "\x1f" + b["turn_idx"].astype(str)
+        return b
+
+    keyed = ds.map_batches(key_batch, batch_format="pandas").materialize()
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["_turn_key"]].groupby("_turn_key", as_index=False).size()
+
+    partials = keyed.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    totals = partials.groupby("_turn_key")["size"].sum()
+    dup_keys = set(totals[totals > 1].index)
+
+    if not dup_keys:
+        return keyed.drop_columns(["_turn_key"])
+
+    dup_ref = ray.put(dup_keys)
+
+    def keep_unique(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = ray.get(dup_ref)
+        return batch[~batch["_turn_key"].isin(dup)].drop(columns=["_turn_key"])
+
+    def dup_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = ray.get(dup_ref)
+        return batch[batch["_turn_key"].isin(dup)]
+
+    uniques = keyed.map_batches(keep_unique, batch_format="pandas")
+    dups = keyed.map_batches(dup_rows, batch_format="pandas").to_pandas()
+    dups["_rank"] = [
+        hashlib.md5((t or "").encode("utf-8", "ignore")).hexdigest() for t in dups["text"]
+    ]
+    winners = (
+        dups.sort_values(["_turn_key", "_rank", "ts"], kind="mergesort")
+        .groupby("_turn_key", as_index=False)
+        .head(1)
+        .drop(columns=["_turn_key", "_rank"])
+        .reset_index(drop=True)
+    )
+    return uniques.union(rd.from_pandas(winners))

@@ -91,3 +91,25 @@ def test_actor_pool_path_equal(fixture_dir):
     )
     got = _key_sorted(pa.Table.from_pandas(ds.to_pandas()))
     assert got["extracted_text"].to_pylist() == expected["extracted_text"].to_pylist()
+
+
+def test_dedup_turns_idempotence(fixture_dir):
+    """Duplicated input turns (retried upstream writes) collapse to one
+    deterministic winner per (conv_id, turn_idx); a clean corpus passes
+    through unchanged."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_poc_ray.stages.validate import dedup_turns
+
+    t = pq.read_table(fixture_dir["transcripts"])
+    clean = rd.from_arrow(t)
+    assert dedup_turns(clean).count() == t.num_rows
+
+    # duplicate a 10% slice (same rows re-appended, shuffled in)
+    dup = rd.from_arrow(t.slice(0, t.num_rows // 10))
+    noisy = clean.union(dup)
+    out = dedup_turns(noisy).to_pandas()
+    assert len(out) == t.num_rows
+    key = out["conv_id"] + "\x1f" + out["turn_idx"].astype(str)
+    assert not key.duplicated().any()
