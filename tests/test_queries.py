@@ -25,10 +25,16 @@ FAST_ORACLE = [
     "doc_langid",
     "doc_fingerprint",
     "doc_exact_dedup",
+    "doc_sample_per_lang",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
+    "rel_asof_purchase_click",
+    "rel_range_join_click_error",
+    "rel_daily_events",
+    "rel_distinct_users",
+    "rel_top_revenue_orders",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
