@@ -279,9 +279,63 @@ qualify row_number() over (partition by lang order by doc_id) <= {SAMPLE_PER_LAN
 """
 
 
+def doc_lang_quality_stats(sf_dir: str) -> pd.DataFrame:
+    """Composite: token counting + quality scoring chained, then a
+    per-language rollup (partial agg per batch, tiny combine) — the
+    'corpus report' a training-data pipeline emits."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang"])
+    ds = add_token_counts(ds)
+    ds = add_quality(ds)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            n_quality=("is_quality", "sum"),
+            sum_ws_tokens=("n_ws_tokens", "sum"),
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        n = int(group["n_docs"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_docs": [n],
+                "n_quality": [int(group["n_quality"].sum())],
+                "avg_ws_tokens": [round(group["sum_ws_tokens"].sum() / n, 6)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_docs": "int64", "n_quality": "int64"})
+
+
+DOC_LANG_QUALITY_STATS_SQL = rf"""
+with m as (
+  select doc_id, lang,
+         length(text)::DOUBLE as n_chars,
+         len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE as n_punct,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as ws_tokens
+  from documents
+)
+select lang, count(*) as n_docs,
+       sum(case when n_chars >= 50
+                 and (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.20
+                 and ws_tokens >= 10 then 1 else 0 end) as n_quality,
+       round(sum(ws_tokens) / count(*), 6) as avg_ws_tokens
+from m
+group by lang
+"""
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_sample_per_lang": (doc_sample_per_lang, DOC_SAMPLE_PER_LANG_SQL),
+    "doc_lang_quality_stats": (doc_lang_quality_stats, DOC_LANG_QUALITY_STATS_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),

@@ -218,8 +218,32 @@ def fields_extract_synth(sf_dir: str) -> pd.DataFrame:
     return out.astype({"quality_score": "float64", "confidence": "float64", "n_anchors": "int64"})
 
 
+def xs_training_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The full training-data composite over real data: reshape →
+    extract (actor pool) → conversation assembly (ordering) → batched
+    embedding (actor-pool stub model) → embedding-cosine near-dup
+    pairs.  Rows-only (the stub encoder has no SQL equivalent); every
+    constituent stage is oracle- or golden-verified on its own."""
+    from ocr_poc_ray.functions.similarity import embedding_near_dup_pairs
+    from ocr_poc_ray.stages.embed import embed_text
+
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    docs = conversation_docs(ds)
+    embedded = embed_text(docs, text_col="doc_text")
+    pairs = embedding_near_dup_pairs(
+        embedded, threshold=0.5, id_col="conv_id", vec_col="embedding"
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    return pairs.astype({"cosine": "float64"})
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
+    "xs_training_pipeline": (xs_training_pipeline, None),
     "fields_extract_synth": (fields_extract_synth, None),
     "xs_conversation_docs": (xs_conversation_docs, None),
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),

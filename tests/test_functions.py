@@ -259,3 +259,25 @@ def test_knn_ivf_recall(emb_ds):
         if e:
             recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5, np.mean(recalls)
+
+
+def test_embed_text_deterministic(ray_session):
+    """Stub encoder: deterministic across runs, unit-norm, batched."""
+    import ray.data as rd
+
+    from ocr_poc_ray.stages.embed import TextEmbedder, embed_text
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha beta", "alpha beta", "gamma delta"]})
+    a = embed_text(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    b = embed_text(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    va = np.vstack(a["embedding"].to_numpy())
+    vb = np.vstack(b["embedding"].to_numpy())
+    assert np.allclose(va, vb)
+    assert np.allclose(va[0], va[1])  # same text → same vector
+    assert not np.allclose(va[0], va[2])
+    assert np.allclose(np.linalg.norm(va, axis=1), 1.0, atol=1e-5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        TextEmbedder(use_real_model=True)
