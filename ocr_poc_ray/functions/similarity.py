@@ -37,33 +37,33 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-class _PartialTopK:
-    """Per-batch local top-k against the broadcast query matrix."""
+def _partial_topk_fn(queries_ref, k: int, id_col: str, vec_col: str, exclude_self: bool):
+    """Per-batch local top-k against the broadcast query matrix.
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str, exclude_self: bool):
+    A plain task (not an actor pool): ``ray.get`` of the shared ref is
+    a zero-copy plasma read cached per worker, so there is no per-batch
+    shipping and no pool spin-up latency."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(queries_ref)
-        self.query_ids: np.ndarray = q["ids"]
-        self.Q: np.ndarray = q["mat"]  # already normalized, (nq, d)
-        self.k = k
-        self.id_col, self.vec_col = id_col, vec_col
-        self.exclude_self = exclude_self
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        X = _normalize(_to_matrix(batch[self.vec_col]))  # (n, d)
-        ids = batch[self.id_col].to_numpy()
-        sims = X @ self.Q.T  # (n, nq)
+        query_ids, Q = q["ids"], q["mat"]  # Q already normalized (nq, d)
+        X = _normalize(_to_matrix(batch[vec_col]))  # (n, d)
+        ids = batch[id_col].to_numpy()
+        sims = X @ Q.T  # (n, nq)
         out_q, out_n, out_s = [], [], []
-        k = min(self.k + (1 if self.exclude_self else 0), len(ids))
-        for qi in range(self.Q.shape[0]):
+        kk = min(k + (1 if exclude_self else 0), len(ids))
+        for qi in range(Q.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
             for t in top:
-                if self.exclude_self and ids[t] == self.query_ids[qi]:
+                if exclude_self and ids[t] == query_ids[qi]:
                     continue
-                out_q.append(self.query_ids[qi])
+                out_q.append(query_ids[qi])
                 out_n.append(ids[t])
                 out_s.append(col[t])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    return fn
 
 
 def knn_brute_force(
@@ -85,11 +85,9 @@ def knn_brute_force(
     queries_ref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
 
     partial = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_args=(queries_ref, k, id_col, vec_col, exclude_self),
+        _partial_topk_fn(queries_ref, k, id_col, vec_col, exclude_self),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -141,41 +139,36 @@ def knn_lsh(
         {"ids": np.asarray(query_ids), "mat": q_mat, "codes": q_codes, "planes": planes}
     )
 
-    class PartialBucketTopK:
-        def __init__(self) -> None:
-            q = ray.get(queries_ref)
-            self.query_ids, self.Q, self.q_codes, self.planes = (
-                q["ids"], q["mat"], q["codes"], q["planes"],
+    def partial_bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(queries_ref)
+        query_ids, Q, q_codes, planes = (
+            q["ids"], q["mat"], q["codes"], q["planes"],
+        )
+        X = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        codes = _lsh_codes(X, planes)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(Q.shape[0]):
+            mask = codes == q_codes[qi]
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = X[mask] @ Q[qi]
+            kk = min(k + 1, len(sub_ids))
+            top = (
+                np.argpartition(-sims, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
             )
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            X = _normalize(_to_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy()
-            codes = _lsh_codes(X, self.planes)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(self.Q.shape[0]):
-                mask = codes == self.q_codes[qi]
-                if not mask.any():
+            for t in top:
+                if exclude_self and sub_ids[t] == query_ids[qi]:
                     continue
-                sub_ids = ids[mask]
-                sims = X[mask] @ self.Q[qi]
-                kk = min(k + 1, len(sub_ids))
-                top = (
-                    np.argpartition(-sims, kk - 1)[:kk]
-                    if kk < len(sub_ids)
-                    else np.arange(len(sub_ids))
-                )
-                for t in top:
-                    if exclude_self and sub_ids[t] == self.query_ids[qi]:
-                        continue
-                    out_q.append(self.query_ids[qi])
-                    out_n.append(sub_ids[t])
-                    out_s.append(sims[t])
-            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+                out_q.append(query_ids[qi])
+                out_n.append(sub_ids[t])
+                out_s.append(sims[t])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
 
-    partial = ds.map_batches(
-        PartialBucketTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    partial = ds.map_batches(partial_bucket_topk, batch_format="pandas", batch_size=4096)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(
@@ -246,41 +239,34 @@ def knn_ivf(
         {"ids": np.asarray(query_ids), "mat": q_mat, "C": C, "probe": q_probe}
     )
 
-    class PartialIVFTopK:
-        def __init__(self) -> None:
-            s = ray.get(state_ref)
-            self.query_ids, self.Q, self.C, self.probe = (
-                s["ids"], s["mat"], s["C"], s["probe"],
+    def partial_ivf_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(state_ref)
+        query_ids, Q, C, probe = st["ids"], st["mat"], st["C"], st["probe"]
+        X = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        assign = np.argmax(X @ C.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(Q.shape[0]):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = X[mask] @ Q[qi]
+            kk = min(k + 1, len(sub_ids))
+            top = (
+                np.argpartition(-sims, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
             )
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            X = _normalize(_to_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy()
-            assign = np.argmax(X @ self.C.T, axis=1)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(self.Q.shape[0]):
-                mask = np.isin(assign, self.probe[qi])
-                if not mask.any():
+            for t in top:
+                if exclude_self and sub_ids[t] == query_ids[qi]:
                     continue
-                sub_ids = ids[mask]
-                sims = X[mask] @ self.Q[qi]
-                kk = min(k + 1, len(sub_ids))
-                top = (
-                    np.argpartition(-sims, kk - 1)[:kk]
-                    if kk < len(sub_ids)
-                    else np.arange(len(sub_ids))
-                )
-                for t in top:
-                    if exclude_self and sub_ids[t] == self.query_ids[qi]:
-                        continue
-                    out_q.append(self.query_ids[qi])
-                    out_n.append(sub_ids[t])
-                    out_s.append(sims[t])
-            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+                out_q.append(query_ids[qi])
+                out_n.append(sub_ids[t])
+                out_s.append(sims[t])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
 
-    partial = ds.map_batches(
-        PartialIVFTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    partial = ds.map_batches(partial_ivf_topk, batch_format="pandas", batch_size=4096)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(

@@ -160,19 +160,17 @@ def rel_mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
         _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
 
-    class AnnotateAndPartial:
-        def __init__(self) -> None:
-            self.seg = ray.get(seg_ref)  # once per actor, not per batch
+    def annotate_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # ray.get of a shared ref is a zero-copy plasma read, cached per
+        # worker — a plain task avoids actor-pool spin-up latency.
+        seg = batch["o_custkey"].map(ray.get(seg_ref))
+        b = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]})
+        b = b.dropna(subset=["c_mktsegment"])
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            seg = batch["o_custkey"].map(self.seg)
-            b = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]})
-            b = b.dropna(subset=["c_mktsegment"])
-            return b.groupby("c_mktsegment", as_index=False).agg(
-                total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
-            )
-
-    partials = ds.map_batches(AnnotateAndPartial, batch_format="pandas", concurrency=(1, 8))
+    partials = ds.map_batches(annotate_and_partial, batch_format="pandas")
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -204,20 +202,15 @@ def rel_nation_revenue(sf_dir: str) -> pd.DataFrame:
         _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
 
-    class AnnotateAndPartial:
-        def __init__(self) -> None:
-            self.nat = ray.get(nat_ref)
-            self.name = ray.get(name_ref)
+    def annotate_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n_name = batch["o_custkey"].map(ray.get(nat_ref)).map(ray.get(name_ref))
+        b = pd.DataFrame({"n_name": n_name, "o_totalprice": batch["o_totalprice"]})
+        b = b.dropna(subset=["n_name"])
+        return b.groupby("n_name", as_index=False).agg(
+            total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            n_name = batch["o_custkey"].map(self.nat).map(self.name)
-            b = pd.DataFrame({"n_name": n_name, "o_totalprice": batch["o_totalprice"]})
-            b = b.dropna(subset=["n_name"])
-            return b.groupby("n_name", as_index=False).agg(
-                total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
-            )
-
-    partials = ds.map_batches(AnnotateAndPartial, batch_format="pandas", concurrency=(1, 8))
+    partials = ds.map_batches(annotate_and_partial, batch_format="pandas")
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -520,16 +513,12 @@ def rel_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    class Partial:
-        def __init__(self) -> None:
-            self.keys = ray.get(ok_orders)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[batch["l_orderkey"].isin(self.keys)]
-            if b.empty:
-                return pd.DataFrame({"l_orderkey": [], "revenue": []})
-            b = b.assign(revenue=b["l_extendedprice"] * (1.0 - b["l_discount"]))
-            return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
+    def partial_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_orderkey"].isin(ray.get(ok_orders))]
+        if b.empty:
+            return pd.DataFrame({"l_orderkey": [], "revenue": []})
+        b = b.assign(revenue=b["l_extendedprice"] * (1.0 - b["l_discount"]))
+        return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
     # The heavy distributed work is the lineitem scan + per-batch partial
     # sums; the combined partials are one row per (batch, qualifying
@@ -537,7 +526,7 @@ def rel_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     # Ray pass per order key would pay per-group overhead for each of
     # them, so the final sum + top-k runs on the collected partials.
     partials = (
-        ds.map_batches(Partial, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+        ds.map_batches(partial_fn, batch_format="pandas").to_pandas()
     )
     per_order = partials.groupby("l_orderkey", as_index=False)["revenue"].sum()
     out = per_order.sort_values(
