@@ -169,3 +169,42 @@ def test_field_extractor_config_thresholds():
     loose = FieldExtractorConfig(min_positive_lines=1, min_good_lines=1)
     r = extract_fields(texts, scores, polys, config=loose)
     assert r.success and r.fields["sexe"] == "M"
+
+
+def test_html_entities_and_selfclosing():
+    """Charrefs decode; self-closing and raw-text elements behave like
+    html.parser's CDATA handling."""
+    from ocr_poc_ray.extractors.html import extract_html
+
+    html = (
+        "<html><body><p>Tom &amp; Jerry run &lt;fast&gt; through the meadow "
+        "beyond the old mill every single day.</p><br/>"
+        "<script>if (x < 3) { document.write('<p>junk</p>'); }</script>"
+        "<p>Second paragraph continues the honest story with plenty of words.</p>"
+        "</body></html>"
+    )
+    r = extract_html(html)
+    assert r.success
+    assert "Tom & Jerry run <fast> through the meadow" in r.extracted_text
+    assert "junk" not in r.extracted_text
+    assert "Second paragraph continues" in r.extracted_text
+
+
+def test_html_unclosed_script_is_contained():
+    from ocr_poc_ray.extractors.html import extract_html
+
+    r = extract_html("<p>Real content sentence that is long enough to keep here.</p><script>var x=1;")
+    assert r.success and "Real content" in r.extracted_text
+    assert "var x" not in r.extracted_text
+
+
+def test_html_comment_and_doctype_ignored():
+    from ocr_poc_ray.extractors.html import extract_html
+
+    r = extract_html(
+        "<!DOCTYPE html><!-- hidden <p>comment</p> -->"
+        "<p>The visible paragraph stays in the extracted output today.</p>"
+    )
+    assert r.success
+    assert "comment" not in r.extracted_text
+    assert "visible paragraph" in r.extracted_text
