@@ -13,9 +13,10 @@ centroids ``cni_extractor_18_f.py:353-357``).  Stages:
 - margin-furniture filter: spans in the header/footer bands (running
   heads, page numbers) are dropped — noise filter P2 analog;
 - MRZ/noise line filter (``cni_extractor_25_b.py:121-129`` analog);
-- column assignment by x-midpoint, then reading-order sort
-  (column, y0, x0) — the positional y-sort fallback P9 analog
-  (``cni_extractor_18_f.py:417-438``) generalized to two columns;
+- adaptive column detection (1-D gap clustering of span left edges —
+  any number of columns), then reading-order sort (column, y0, x0) —
+  the positional y-sort fallback P9 analog
+  (``cni_extractor_18_f.py:417-438``) generalized to N columns;
 - consolidation with the frozen whitespace join.
 
 The sort is row-local (tens-to-thousands of spans per turn), so it
@@ -28,13 +29,37 @@ from ocr_poc_ray.extractors.base import ExtractionResult, is_noise_line, normali
 
 # Letter-page geometry constants shared with the synthetic generator.
 PAGE_WIDTH = 612.0
-PAGE_MID = PAGE_WIDTH / 2.0  # column split
+PAGE_MID = PAGE_WIDTH / 2.0  # legacy 2-column split (generator constant)
 MARGIN_TOP_Y = 50.0  # y0 < this → running head / furniture
 MARGIN_BOTTOM_Y = 720.0  # y0 > this → footer / page number
 
+#: a horizontal gap this wide between span left-edges starts a new
+#: column (per-line x jitter in real layouts is tens of points; real
+#: column gutters are ≥100) — the adaptive analog of the reference's
+#: template zones (main.ipynb cell 2).
+COLUMN_GAP = 60.0
+
+
+def _column_starts(x0s: list[float]) -> list[float]:
+    """1-D gap clustering of span left edges → column start positions."""
+    xs = sorted(set(x0s))
+    starts = [xs[0]]
+    for a, b in zip(xs, xs[1:]):
+        if b - a > COLUMN_GAP:
+            starts.append(b)
+    return starts
+
+
+def _column_of(x0: float, starts: list[float]) -> int:
+    col = 0
+    for i, s in enumerate(starts):
+        if x0 >= s - COLUMN_GAP / 2:
+            col = i
+    return col
+
 
 def extract_pdf(text: str) -> ExtractionResult:
-    spans: list[tuple[int, float, float, str]] = []
+    parsed: list[tuple[float, float, str]] = []
     n_lines = 0
     n_invalid = 0
     for raw in text.split("\n"):
@@ -60,8 +85,13 @@ def extract_pdf(text: str) -> ExtractionResult:
             continue
         if y0 < MARGIN_TOP_Y or y0 > MARGIN_BOTTOM_Y:
             continue  # margin furniture
-        col = 0 if x0 < PAGE_MID else 1
-        spans.append((col, y0, x0, t))
+        parsed.append((x0, y0, t))
+
+    spans: list[tuple[int, float, float, str]] = []
+    if parsed:
+        starts = _column_starts([p[0] for p in parsed])
+        for x0, y0, t in parsed:
+            spans.append((_column_of(x0, starts), y0, x0, t))
 
     if not spans:
         # Quality gate (P1 analog): no valid content spans.

@@ -33,7 +33,7 @@ from ocr_poc_ray.schemas import EXTRACTION_SCHEMA
 #: Version stamp recorded in lineage entries; bump on any semantic
 #: change to an extractor (manifest entries from older versions are
 #: not reused on resume).
-EXTRACTOR_VERSION = "1.0.0"
+EXTRACTOR_VERSION = "1.1.0"  # 1.1.0: adaptive N-column pdf layout detection
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:

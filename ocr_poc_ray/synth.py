@@ -136,7 +136,10 @@ def _wrap_html(rng: random.Random, paragraphs: list[str]) -> str:
 
 
 def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
-    """Serialize clean text as scrambled x0,y0,x1,y1|text span lines."""
+    """Serialize clean text as scrambled x0,y0,x1,y1|text span lines
+    laid out in 1–3 columns (the extractor detects columns by gap
+    clustering of left edges; per-line x jitter stays well under the
+    gutter width)."""
     words = " ".join(paragraphs).split(" ")
     runs: list[str] = []
     i = 0
@@ -144,7 +147,13 @@ def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
         k = rng.randint(4, 8)
         runs.append(" ".join(words[i : i + k]))
         i += k
-    two_col = len(runs) >= 6 and rng.random() < 0.5
+    if len(runs) >= 9 and rng.random() < 0.25:
+        n_cols = 3
+    elif len(runs) >= 6 and rng.random() < 0.5:
+        n_cols = 2
+    else:
+        n_cols = 1
+    col_bases = ([72.0], [72.0, PAGE_MID + 20.0], [72.0, 250.0, 428.0])[n_cols - 1]
     spans: list[str] = []
     y_step = 14.0
 
@@ -156,12 +165,11 @@ def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
             spans.append(f"{x0:.1f},{y:.1f},{x1:.1f},{y + 11:.1f}|{run}")
             y += y_step
 
-    if two_col:
-        half = (len(runs) + 1) // 2
-        emit(runs[:half], 72.0)
-        emit(runs[half:], PAGE_MID + 20.0)
-    else:
-        emit(runs, 72.0)
+    per = (len(runs) + n_cols - 1) // n_cols
+    for ci, base in enumerate(col_bases):
+        chunk = runs[ci * per : (ci + 1) * per]
+        if chunk:
+            emit(chunk, base)
     # Margin furniture + MRZ noise the extractor must drop.
     spans.append(f"72.0,30.0,300.0,41.0|{rng.choice(_WORDS).title()} Quarterly Report")
     spans.append(f"290.0,742.0,322.0,753.0|Page {rng.randint(1, 99)}")

@@ -208,3 +208,32 @@ def test_html_comment_and_doctype_ignored():
     assert r.success
     assert "comment" not in r.extracted_text
     assert "visible paragraph" in r.extracted_text
+
+
+def test_pdf_three_column_reading_order():
+    from ocr_poc_ray.extractors.pdf import extract_pdf
+
+    spans = []
+    words = [f"w{i}" for i in range(9)]
+    for ci, base in enumerate((72.0, 250.0, 428.0)):
+        for ri in range(3):
+            w = words[ci * 3 + ri]
+            y = 60.0 + 14.0 * ri
+            spans.append(f"{base + ri:.1f},{y:.1f},{base + 40:.1f},{y + 11:.1f}|{w}")
+    import random
+
+    random.Random(0).shuffle(spans)
+    r = extract_pdf("\n".join(spans))
+    assert r.success
+    assert r.extracted_text == " ".join(words)
+
+
+def test_pdf_single_column_wide_jitter_stays_one_column():
+    from ocr_poc_ray.extractors.pdf import extract_pdf
+
+    spans = [
+        f"{72.0 + j:.1f},{60.0 + 14 * i:.1f},{300.0:.1f},{71.0 + 14 * i:.1f}|line{i}"
+        for i, j in enumerate((0, 18, 5, 12))
+    ]
+    r = extract_pdf("\n".join(spans))
+    assert r.success and r.extracted_text == "line0 line1 line2 line3"
