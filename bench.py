@@ -46,8 +46,12 @@ def _fixture(sf: float) -> str:
     shard layout — one read task per file, as a real corpus would be)."""
     n_turns = max(2_000, int(TURNS_PER_SF * sf))
     n_convs = max(100, int(CONVS_PER_SF * sf))
+    from ocr_poc_ray.synth import FIXTURE_VERSION
+
     n_files = max(8, min(64, n_turns // 2_000))
-    path = os.path.join(BENCH_TMP, f"transcripts_{n_turns}_{n_convs}_f{n_files}")
+    path = os.path.join(
+        BENCH_TMP, f"transcripts_v{FIXTURE_VERSION}_{n_turns}_{n_convs}_f{n_files}"
+    )
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from ocr_poc_ray.synth import write_fixtures

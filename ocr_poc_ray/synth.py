@@ -56,6 +56,10 @@ _MRZ_SAMPLES = (
 
 BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
+#: bump when generator OUTPUT changes for the same (n, seed) — cache
+#: keys (bench fixtures) include it so stale corpora are regenerated.
+FIXTURE_VERSION = "2"
+
 
 def _sentence(rng: random.Random, min_chars: int = 30) -> str:
     while True:
