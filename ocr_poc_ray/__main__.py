@@ -35,12 +35,24 @@ def cmd_extract(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     from ocr_poc_ray.pipelines.extraction import resumable_extract
 
+    if args.config:
+        from ocr_poc_ray.config import EngineConfig
+
+        cfg = EngineConfig.from_json(args.config)
+        num_partitions, shard_rows = cfg.num_partitions, cfg.shard_rows
+        concurrency, batch_size = cfg.extract_concurrency, cfg.batch_size
+    else:
+        num_partitions, shard_rows = args.num_partitions, args.shard_rows
+        concurrency = (1, args.actors) if args.actors else None
+        batch_size = None
+
     result = resumable_extract(
         args.input,
         args.output,
-        num_partitions=args.num_partitions,
-        shard_rows=args.shard_rows,
-        concurrency=(1, args.actors) if args.actors else None,
+        num_partitions=num_partitions,
+        shard_rows=shard_rows,
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
     print(json.dumps(result))
     return 0
@@ -89,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--shard-rows", type=int, default=250_000)
     ex.add_argument("--actors", type=int, default=0)
     ex.add_argument("--num-cpus", type=int, default=0)
+    ex.add_argument("--config", default="", help="EngineConfig JSON (file path or inline)")
     ex.set_defaults(fn=cmd_extract)
 
     fx = sub.add_parser("fixture", help="write a synthetic transcript corpus")

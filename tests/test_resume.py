@@ -92,3 +92,49 @@ def test_expected_matches_resumed_output(ray_session, corpus, tmp_path):
         """
     ).fetchone()[0]
     assert n == 0
+
+
+def test_version_bump_invalidates_partitions(ray_session, corpus, tmp_path):
+    """Manifest entries from an older extractor version must NOT be
+    reused — a semantic change reprocesses everything."""
+    import json as _json
+
+    out = str(tmp_path / "vers")
+    resumable_extract(corpus["transcripts"], out, num_partitions=3, shard_rows=800)
+    manifest = os.path.join(out, "_manifest.jsonl")
+    records = [_json.loads(l) for l in open(manifest) if l.strip()]
+    # rewrite the manifest as if an older extractor produced it
+    with open(manifest, "w") as f:
+        for rec in records:
+            rec["extractor_version"] = "0.0.1"
+            f.write(_json.dumps(rec) + "\n")
+    r = resumable_extract(corpus["transcripts"], out, num_partitions=3, shard_rows=800)
+    assert r["partitions_skipped"] == []
+    assert len(r["partitions_ran"]) == r["partitions_total"]
+
+
+def test_engine_config_roundtrip_and_cli(ray_session, corpus, tmp_path):
+    from ocr_poc_ray.config import EngineConfig
+
+    cfg = EngineConfig(num_partitions=3, shard_rows=700, extract_actors=2)
+    back = EngineConfig.from_json(cfg.to_json())
+    assert back == cfg
+    assert back.extract_concurrency == (1, 2)
+
+    # CLI honors the config (same process: reuse the session fixture)
+    from ocr_poc_ray.__main__ import main as cli_main
+
+    cfg_path = tmp_path / "engine.json"
+    cfg_path.write_text(cfg.to_json())
+    out = str(tmp_path / "cfg_out")
+    rc = cli_main([
+        "extract", "--input", corpus["transcripts"], "--output", out,
+        "--config", str(cfg_path),
+    ])
+    assert rc == 0
+    import duckdb as _duck
+
+    n = _duck.sql(
+        f"select count(*) from read_parquet('{out}/partition=*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 4000
