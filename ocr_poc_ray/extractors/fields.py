@@ -60,6 +60,10 @@ def fuzzy_similarity(a: str, b: str) -> float:
 DATE_RE = re.compile(r"^\d{1,2}[./]\d{1,2}[./]\d{4}$")
 HEIGHT_RE = re.compile(r"^[12][,.]?\d{2}m?$")
 SEX_RE = re.compile(r"^(M|F)$")
+# back-layout regexes (cni_extractor_18_b.py:171-173)
+UNIQUE_ID_RE = re.compile(r"^\d{15,20}$")
+CARD_NO_RE = re.compile(r"^\d{9}$")
+POST_CODE_RE = re.compile(r"^[A-Z]{2}\d{2}$")
 
 ANCHOR_VOCAB: dict[str, tuple[str, ...]] = {
     "nom": ("NOM", "NAME", "NOM / NAME", "N0M", "SURNAME"),
@@ -70,12 +74,22 @@ ANCHOR_VOCAB: dict[str, tuple[str, ...]] = {
     "profession": ("PROFESSION", "OCCUPATION", "PROFESSION / OCCUPATION"),
 }
 
+BACK_ANCHOR_VOCAB: dict[str, tuple[str, ...]] = {
+    "autorite": ("AUTORITE", "AUTHORITY", "AUTORITE / AUTHORITY", "AUT0RITE"),
+    "adresse": ("ADRESSE", "ADDRESS", "ADRESSE / ADDRESS"),
+}
+
 #: fallback order for unfilled text fields (P9: y-sorted assignment,
 #: cni_extractor_18_f.py:417-438).
 FALLBACK_FIELDS = ("nom", "prenom", "lieu_naissance")
 
 ALL_FIELDS = (
     "nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession",
+)
+
+BACK_FIELDS = (
+    "identifiant_unique", "numero_carte", "code_postal",
+    "date_delivrance", "date_expiration", "autorite", "adresse",
 )
 
 SIMILARITY_THRESHOLD = 0.70  # P6 (constructor default, :12-23)
@@ -98,6 +112,66 @@ class FieldExtractorConfig:
 
 
 DEFAULT_CONFIG = FieldExtractorConfig()
+
+
+@dataclass(frozen=True)
+class FieldLayout:
+    """One extraction program — the unit of the reference's 2×2 registry
+    (``ocr/id_card_data_extractor.py:25-35``: one extractor per
+    (version, side)).  A layout bundles its field list, regex specs,
+    ordered-date rule, anchor vocabulary, and fallback order; the
+    8-stage pipeline below is shared by every layout."""
+
+    name: str
+    all_fields: tuple[str, ...]
+    #: (field, regex, validator|None, normalizer|None) tried in order per line
+    regex_specs: tuple
+    #: fields assigned from the ordered date list (P5: first date → first
+    #: field, second → second — cni_extractor_18_b.py:206-210)
+    date_fields: tuple[str, ...]
+    anchor_vocab: dict
+    fallback_fields: tuple[str, ...]
+    #: fields cleared when a label leaked into them (N2 repair)
+    repair_fields: tuple[str, ...]
+
+    @property
+    def anchor_strings(self) -> tuple[str, ...]:
+        return tuple(s for syns in self.anchor_vocab.values() for s in syns)
+
+
+FRONT_LAYOUT = FieldLayout(
+    name="front",
+    all_fields=ALL_FIELDS,
+    regex_specs=(
+        ("taille", HEIGHT_RE, "validate_height", "normalize_height"),
+        ("sexe", SEX_RE, None, None),
+    ),
+    date_fields=("date_naissance",),
+    anchor_vocab=ANCHOR_VOCAB,
+    fallback_fields=FALLBACK_FIELDS,
+    repair_fields=("nom", "prenom"),
+)
+
+BACK_LAYOUT = FieldLayout(
+    name="back",
+    all_fields=BACK_FIELDS,
+    regex_specs=(
+        ("identifiant_unique", UNIQUE_ID_RE, None, None),
+        ("numero_carte", CARD_NO_RE, None, None),
+        ("code_postal", POST_CODE_RE, None, None),
+    ),
+    date_fields=("date_delivrance", "date_expiration"),
+    anchor_vocab=BACK_ANCHOR_VOCAB,
+    fallback_fields=("autorite", "adresse"),
+    repair_fields=("autorite",),
+)
+
+#: the layout registry — add an entry to support a new document side /
+#: version, exactly how the reference grows its 2×2 dict.
+FIELD_LAYOUTS: dict[str, FieldLayout] = {
+    "front": FRONT_LAYOUT,
+    "back": BACK_LAYOUT,
+}
 
 _ALL_ANCHOR_STRINGS = tuple(s for syns in ANCHOR_VOCAB.values() for s in syns)
 
@@ -245,35 +319,48 @@ def _quality_gate(scores, cfg: FieldExtractorConfig) -> tuple[bool, float]:
     return ok, mean
 
 
-def _is_label(text: str, label_similarity: float = LABEL_SIMILARITY) -> bool:
+def _is_label(
+    text: str,
+    label_similarity: float = LABEL_SIMILARITY,
+    anchor_strings: tuple[str, ...] = _ALL_ANCHOR_STRINGS,
+) -> bool:
     """P7 (cni_extractor_18_f.py:251-291): bilingual slash test,
     similarity-to-known-label test, exact keyword test."""
     t = text.strip()
     if _BILINGUAL_RE.match(t):
         return True
     up = t.upper().rstrip(":")
-    if up in _ALL_ANCHOR_STRINGS:
+    if up in anchor_strings:
         return True
-    return any(fuzzy_similarity(up, a) >= label_similarity for a in _ALL_ANCHOR_STRINGS)
+    return any(fuzzy_similarity(up, a) >= label_similarity for a in anchor_strings)
+
+
+_VALIDATORS = {"validate_height": lambda s: validate_height(s)}
+_NORMALIZERS = {"normalize_height": lambda s: normalize_height(s)}
 
 
 def extract_fields(
-    texts, scores, polys, config: FieldExtractorConfig = DEFAULT_CONFIG
+    texts,
+    scores,
+    polys,
+    config: FieldExtractorConfig = DEFAULT_CONFIG,
+    layout: FieldLayout = FRONT_LAYOUT,
 ) -> FieldResult:
     ok, quality = _quality_gate(scores, config)
     if not ok:
         return FieldResult(
-            fields={f: None for f in ALL_FIELDS},
+            fields={f: None for f in layout.all_fields},
             success=False,
             quality_score=quality,
             confidence=0.0,
-            anchors_detected={f: False for f in ANCHOR_VOCAB},
+            anchors_detected={f: False for f in layout.anchor_vocab},
             error="quality_gate_failed",
         )
 
     polys, _skew = deskew_polys(polys)  # N3 geometric normalization
     lines = _preprocess(texts, scores, polys, config)
-    fields: dict = {f: None for f in ALL_FIELDS}
+    fields: dict = {f: None for f in layout.all_fields}
+    anchor_strings = layout.anchor_strings
 
     # ---- P4 regex pass with consumption; P5 ordered date rule --------
     dates: list[str] = []
@@ -283,28 +370,33 @@ def extract_fields(
         if DATE_RE.match(ln.text) and validate_date(ln.text):
             dates.append(ln.text)
             ln.consumed = True
-        elif HEIGHT_RE.match(ln.text) and validate_height(ln.text):
-            if fields["taille"] is None:
-                fields["taille"] = normalize_height(ln.text)
-            ln.consumed = True
-        elif SEX_RE.match(ln.text):
-            if fields["sexe"] is None:
-                fields["sexe"] = ln.text
-            ln.consumed = True
-    # P5: first date in line order is the birth date (the reference's
-    # first/second-occurrence rule — order sensitivity is the point).
-    if dates:
-        fields["date_naissance"] = dates[0]
+            continue
+        for fname, rex, validator, normalizer in layout.regex_specs:
+            if rex.match(ln.text) and (
+                validator is None or _VALIDATORS[validator](ln.text)
+            ):
+                if fields[fname] is None:
+                    v = ln.text
+                    if normalizer is not None:
+                        v = _NORMALIZERS[normalizer](v)
+                    fields[fname] = v
+                ln.consumed = True
+                break
+    # P5: the i-th date in LINE ORDER fills the i-th date field (the
+    # reference's first/second-occurrence rule — first date is the
+    # birth/delivery date, second the expiry; cni_extractor_18_b.py:206-210).
+    for fname, dt in zip(layout.date_fields, dates):
+        fields[fname] = dt
 
     # ---- P7 label classification ------------------------------------
     for ln in lines:
-        if not ln.consumed and _is_label(ln.text, config.label_similarity):
+        if not ln.consumed and _is_label(ln.text, config.label_similarity, anchor_strings):
             ln.is_label = True
 
     # ---- P6 anchor detection (fuzzy semi-join vs vocab) --------------
     anchors: dict[str, _Line] = {}
     anchors_detected = {}
-    for fname, syns in ANCHOR_VOCAB.items():
+    for fname, syns in layout.anchor_vocab.items():
         best: tuple[float, _Line] | None = None
         for ln in lines:
             if not ln.is_label:
@@ -344,7 +436,7 @@ def extract_fields(
         (ln for ln in lines if not ln.consumed and not ln.is_label and ln.text not in used),
         key=lambda ln: (ln.cy, ln.cx),
     )
-    for fname in FALLBACK_FIELDS:
+    for fname in layout.fallback_fields:
         if fields[fname] is not None:
             continue
         while leftovers:
@@ -355,18 +447,18 @@ def extract_fields(
             used.add(cand.text)
             break
 
-    # ---- N2 cross-validation repair: label words leaked into a name --
-    for fname in ("nom", "prenom"):
+    # ---- N2 cross-validation repair: label words leaked into a field --
+    for fname in layout.repair_fields:
         v = fields[fname]
-        if v and _is_label(v, config.label_similarity):
+        if v and _is_label(v, config.label_similarity, anchor_strings):
             fields[fname] = None
 
     # ---- P10 consolidation + confidence ------------------------------
-    filled = sum(1 for f in ALL_FIELDS if fields[f])
+    filled = sum(1 for f in layout.all_fields if fields[f])
     return FieldResult(
         fields=fields,
         success=True,
         quality_score=quality,
-        confidence=filled / len(ALL_FIELDS),
+        confidence=filled / len(layout.all_fields),
         anchors_detected=anchors_detected,
     )

@@ -81,6 +81,7 @@ CONVERSATION_DOC_SCHEMA = pa.schema(
 SPANS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
+        ("layout", pa.string()),  # dispatch key into FIELD_LAYOUTS (M2 analog)
         ("texts", pa.list_(pa.string())),
         ("scores", pa.list_(pa.float32())),
         ("polys", pa.list_(pa.list_(pa.list_(pa.float32())))),
@@ -89,11 +90,15 @@ SPANS_SCHEMA = pa.schema(
 
 # Typed-field extraction output (extractors/fields.py): flat nullable
 # string fields + envelope — the reference's extracted-fields record
-# (cni_extractor_18_f.py:493-520) as columns.
+# (cni_extractor_18_f.py:493-520) as columns; the union of every
+# layout's field set (a row fills only its own layout's columns), the
+# columnar form of the reference's per-(version,side) output dicts.
 FIELDS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
+        ("layout", pa.string()),
         ("success", pa.bool_()),
+        # front (cni_extractor_18_f.py:493-501)
         ("nom", pa.string()),
         ("prenom", pa.string()),
         ("date_naissance", pa.string()),
@@ -101,6 +106,14 @@ FIELDS_SCHEMA = pa.schema(
         ("sexe", pa.string()),
         ("taille", pa.string()),
         ("profession", pa.string()),
+        # back (cni_extractor_18_b.py:430-440)
+        ("identifiant_unique", pa.string()),
+        ("numero_carte", pa.string()),
+        ("code_postal", pa.string()),
+        ("date_delivrance", pa.string()),
+        ("date_expiration", pa.string()),
+        ("autorite", pa.string()),
+        ("adresse", pa.string()),
         ("quality_score", pa.float32()),
         ("confidence", pa.float32()),
         ("n_anchors", pa.int32()),

@@ -26,17 +26,40 @@ class ExtractFields:
 
 
 def extract_fields_batch(batch: pa.Table) -> pa.Table:
+    from ocr_poc_ray.extractors.fields import BACK_FIELDS, FIELD_LAYOUTS, FRONT_LAYOUT
+
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["texts"].to_pylist()
     scores = batch["scores"].to_pylist()
     polys = batch["polys"].to_pylist()
+    layouts = (
+        batch["layout"].to_pylist()
+        if "layout" in batch.column_names
+        else ["front"] * len(doc_ids)
+    )
 
+    field_cols = tuple(ALL_FIELDS) + tuple(BACK_FIELDS)
     cols: dict[str, list] = {name: [] for name in FIELDS_SCHEMA.names}
     for i in range(len(doc_ids)):
-        r = extract_fields(texts[i] or [], scores[i] or [], polys[i] or [])
+        # M2 registry dispatch — unknown layouts become failure rows,
+        # never exceptions (P12 rule).
+        layout = FIELD_LAYOUTS.get(layouts[i] or "front")
+        if layout is None:
+            cols["doc_id"].append(doc_ids[i])
+            cols["layout"].append(layouts[i])
+            cols["success"].append(False)
+            for f in field_cols:
+                cols[f].append(None)
+            cols["quality_score"].append(0.0)
+            cols["confidence"].append(0.0)
+            cols["n_anchors"].append(0)
+            cols["error"].append(f"unknown_layout:{layouts[i]}")
+            continue
+        r = extract_fields(texts[i] or [], scores[i] or [], polys[i] or [], layout=layout)
         cols["doc_id"].append(doc_ids[i])
+        cols["layout"].append(layout.name)
         cols["success"].append(r.success)
-        for f in ALL_FIELDS:
+        for f in field_cols:
             cols[f].append(r.fields.get(f))
         cols["quality_score"].append(r.quality_score)
         cols["confidence"].append(r.confidence)

@@ -315,39 +315,121 @@ def _span(text: str, x: float, y: float, score: float) -> tuple[str, float, list
     return (text, score, poly)
 
 
+def _skew_spans(rng: random.Random, spans: list) -> list:
+    """Rotate all span polys by a small random angle about page center
+    (N3: the extractor must deskew; expected fields are unchanged)."""
+    import math
+
+    angle = rng.choice((-1, 1)) * rng.uniform(0.03, 0.15)
+    cos_a, sin_a = math.cos(angle), math.sin(angle)
+    cx, cy = 306.0, 396.0
+    return [
+        (
+            t,
+            sc,
+            [
+                [cx + (x - cx) * cos_a - (y - cy) * sin_a,
+                 cy + (x - cx) * sin_a + (y - cy) * cos_a]
+                for x, y in p
+            ],
+        )
+        for t, sc, p in spans
+    ]
+
+
+_BACK_ANCHOR_LABELS = {
+    "autorite": "Autorite / Authority",
+    "adresse": "Adresse / Address",
+}
+_BACK_ROWS = {"autorite": 80.0, "adresse": 180.0}
+_AUTHORITIES = ("PREFECTURE RIVERDALE", "PREFECTURE WOLFORD", "MAIRIE DUNBARTON")
+_STREETS = ("14 RIVER ROAD", "7 MILL LANE", "22 HARBOR WAY", "3 STONE COURT")
+
+_FRONT_FIELDS = ("nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession")
+_BACK_FIELDS = ("identifiant_unique", "numero_carte", "code_postal",
+                "date_delivrance", "date_expiration", "autorite", "adresse")
+_EXP_FIELDS = _FRONT_FIELDS + _BACK_FIELDS
+
+
 def generate_span_docs(n_docs: int = 200, seed: int = 99):
     """Return (spans_table, expected_table) for field extraction.
 
-    Doc variants: anchored (labels + right-adjacent values), fallback
-    (no labels — y-ordered assignment), two-date (P5 order rule:
-    expected birth date = first date in the SHUFFLED line order),
-    gate-fail (too few / low-score lines).
+    Layouts mirror the reference's registry: ~70% "front" docs
+    (anchored / fallback / gate-fail variants) and ~30% "back" docs
+    (regex-typed ids + the TRUE P5 two-date order rule: first date in
+    SHUFFLED line order → date_delivrance, second → date_expiration).
+    Golden-forward: fields chosen first, geometry laid out, expected
+    recorded — never re-derived.  ~25% of docs are skew-rotated.
     """
     import pyarrow as pa
 
     rng = random.Random(seed)
-    doc_ids, texts_col, scores_col, polys_col = [], [], [], []
+    doc_ids, layouts_col, texts_col, scores_col, polys_col = [], [], [], [], []
     expected_rows = []
+
+    def emit(doc_id, layout, spans, exp_success, exp):
+        doc_ids.append(doc_id)
+        layouts_col.append(layout)
+        texts_col.append([sp[0] for sp in spans])
+        scores_col.append([sp[1] for sp in spans])
+        polys_col.append([sp[2] for sp in spans])
+        row = {"doc_id": doc_id, "layout": layout, "success": exp_success}
+        row.update({f: exp.get(f) for f in _EXP_FIELDS})
+        expected_rows.append(row)
 
     for d in range(n_docs):
         doc_id = f"doc-{d:06d}"
         variant = rng.random()
         spans: list[tuple[str, float, list]] = []
-        exp = {f: None for f in ("nom", "prenom", "date_naissance",
-                                 "lieu_naissance", "sexe", "taille", "profession")}
 
         if variant < 0.08:  # gate-fail: <5 positive-score lines
+            layout = rng.choice(("front", "back"))
             for i in range(rng.randint(1, 4)):
                 spans.append(_span(rng.choice(_VALUE_WORDS), 60.0, 80.0 + 40 * i, 0.4))
             rng.shuffle(spans)
-            expected_rows.append({"doc_id": doc_id, "success": False, **{k: None for k in exp}})
-            doc_ids.append(doc_id)
-            texts_col.append([s[0] for s in spans])
-            scores_col.append([s[1] for s in spans])
-            polys_col.append([s[2] for s in spans])
+            emit(doc_id, layout, spans, False, {})
             continue
 
-        use_anchors = variant >= 0.30  # else: fallback layout, no labels
+        if variant < 0.38:  # ---- back layout ----
+            exp: dict = {}
+            exp["autorite"] = rng.choice(_AUTHORITIES)
+            exp["adresse"] = rng.choice(_STREETS)
+            for fname in ("autorite", "adresse"):
+                y = _BACK_ROWS[fname]
+                label = _BACK_ANCHOR_LABELS[fname]
+                spans.append(_span(label, 60.0, y, _CONTENT_SCORE))
+                ax1 = 60.0 + 8.0 * len(label)
+                spans.append(_span(exp[fname], ax1 + 25.0, y, _CONTENT_SCORE))
+            exp["identifiant_unique"] = "".join(str(rng.randint(0, 9)) for _ in range(rng.randint(15, 20)))
+            spans.append(_span(exp["identifiant_unique"], 60.0, 320.0, _CONTENT_SCORE))
+            exp["numero_carte"] = "".join(str(rng.randint(0, 9)) for _ in range(9))
+            spans.append(_span(exp["numero_carte"], 60.0, 380.0, _CONTENT_SCORE))
+            exp["code_postal"] = (
+                chr(rng.randint(65, 90)) + chr(rng.randint(65, 90)) + f"{rng.randint(0, 99):02d}"
+            )
+            spans.append(_span(exp["code_postal"], 60.0, 440.0, _CONTENT_SCORE))
+            date_texts = [
+                f"{rng.randint(1, 28):02d}.{rng.randint(1, 12):02d}.{rng.randint(2015, 2020)}",
+                f"{rng.randint(1, 28):02d}.{rng.randint(1, 12):02d}.{rng.randint(2021, 2030)}",
+            ]
+            spans.append(_span(date_texts[0], 60.0, 500.0, _CONTENT_SCORE))
+            spans.append(_span(date_texts[1], 240.0, 500.0, _CONTENT_SCORE))
+            if rng.random() < 0.5:
+                spans.append(_span(rng.choice(_MRZ_SAMPLES), 60.0, 600.0, _CONTENT_SCORE))
+            for _ in range(rng.randint(0, 3)):
+                spans.append(_span(rng.choice(_WORDS), 300.0, 640.0, 0.2))
+            if rng.random() < 0.25:
+                spans = _skew_spans(rng, spans)
+            rng.shuffle(spans)
+            # TRUE P5: first date in final line order is the delivery date
+            ordered_dates = [t for t, _s, _p in spans if t in date_texts]
+            exp["date_delivrance"], exp["date_expiration"] = ordered_dates[0], ordered_dates[1]
+            emit(doc_id, "back", spans, True, exp)
+            continue
+
+        # ---- front layout ----
+        exp = {}
+        use_anchors = variant >= 0.55  # else: fallback layout, no labels
         exp["nom"] = rng.choice(_VALUE_WORDS)
         exp["prenom"] = rng.choice([w for w in _VALUE_WORDS if w != exp["nom"]])
         exp["lieu_naissance"] = rng.choice(
@@ -392,40 +474,18 @@ def generate_span_docs(n_docs: int = 200, seed: int = 99):
         for _ in range(rng.randint(0, 3)):
             spans.append(_span(rng.choice(_WORDS), 300.0, 640.0, 0.2))
 
-        # ~25% of docs are skewed (N3: the extractor must deskew before
-        # any proximity geometry; expected fields are unchanged).
         if rng.random() < 0.25:
-            import math
-
-            angle = rng.choice((-1, 1)) * rng.uniform(0.03, 0.15)
-            cos_a, sin_a = math.cos(angle), math.sin(angle)
-            cx, cy = 306.0, 396.0
-            spans = [
-                (
-                    t,
-                    s,
-                    [
-                        [cx + (x - cx) * cos_a - (y - cy) * sin_a,
-                         cy + (x - cx) * sin_a + (y - cy) * cos_a]
-                        for x, y in p
-                    ],
-                )
-                for t, s, p in spans
-            ]
+            spans = _skew_spans(rng, spans)
 
         rng.shuffle(spans)
         # P5: expected birth date = first valid date in final line order
         exp["date_naissance"] = next(t for t, _s, _p in spans if t in date_texts)
-
-        expected_rows.append({"doc_id": doc_id, "success": True, **exp})
-        doc_ids.append(doc_id)
-        texts_col.append([s[0] for s in spans])
-        scores_col.append([s[1] for s in spans])
-        polys_col.append([s[2] for s in spans])
+        emit(doc_id, "front", spans, True, exp)
 
     spans_tbl = pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.string()),
+            "layout": pa.array(layouts_col, pa.string()),
             "texts": pa.array(texts_col, pa.list_(pa.string())),
             "scores": pa.array(scores_col, pa.list_(pa.float32())),
             "polys": pa.array(
@@ -433,9 +493,7 @@ def generate_span_docs(n_docs: int = 200, seed: int = 99):
             ),
         }
     )
-    cols = ["doc_id", "success"] + list(
-        ("nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession")
-    )
+    cols = ["doc_id", "layout", "success"] + list(_EXP_FIELDS)
     expected_tbl = pa.table(
         {
             c: pa.array([r[c] for r in expected_rows],

@@ -16,7 +16,11 @@ from ocr_poc_ray.extractors.fields import (
 )
 from ocr_poc_ray.synth import generate_span_docs
 
-FIELDS = ("nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession")
+FIELDS = (
+    "nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession",
+    "identifiant_unique", "numero_carte", "code_postal",
+    "date_delivrance", "date_expiration", "autorite", "adresse",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -139,3 +143,48 @@ def test_postprocessor_stub(ray_session):
     assert out["postprocessed"].all()
     names = out.loc[out["success"] & out["nom"].notna(), "nom"]
     assert len(names) > 0 and all(v == v.title() for v in names)
+
+
+def test_back_layout_two_date_order_rule():
+    """TRUE P5 (cni_extractor_18_b.py:206-210): the FIRST date in line
+    order is the delivery date, the second the expiry — swapping the
+    line order swaps the assignment."""
+    from ocr_poc_ray.extractors.fields import BACK_LAYOUT, extract_fields
+
+    def doc(date_first, date_second):
+        texts = ["12345678901234567", date_first, date_second, "AB12", "987654321"]
+        scores = [0.95] * 5
+        polys = [[[60, 80 + 60 * i], [160, 80 + 60 * i], [160, 92 + 60 * i], [60, 92 + 60 * i]]
+                 for i in range(5)]
+        return extract_fields(texts, scores, polys, layout=BACK_LAYOUT)
+
+    r = doc("01.02.2018", "01.02.2028")
+    assert r.success
+    assert r.fields["date_delivrance"] == "01.02.2018"
+    assert r.fields["date_expiration"] == "01.02.2028"
+    assert r.fields["identifiant_unique"] == "12345678901234567"
+    assert r.fields["numero_carte"] == "987654321"
+    assert r.fields["code_postal"] == "AB12"
+
+    swapped = doc("01.02.2028", "01.02.2018")
+    assert swapped.fields["date_delivrance"] == "01.02.2028"
+    assert swapped.fields["date_expiration"] == "01.02.2018"
+
+
+def test_unknown_layout_is_failure_row(ray_session):
+    import ray.data as rd
+
+    from ocr_poc_ray.stages.fields import extract_fields_ds
+    from ocr_poc_ray.synth import generate_span_docs
+
+    spans, _ = generate_span_docs(n_docs=5, seed=3)
+    import pyarrow as pa
+
+    bad = spans.set_column(
+        spans.schema.get_field_index("layout"),
+        "layout",
+        pa.array(["mystery"] * spans.num_rows, pa.string()),
+    )
+    out = extract_fields_ds(rd.from_arrow(bad)).to_pandas()
+    assert (~out["success"]).all()
+    assert (out["error"] == "unknown_layout:mystery").all()
