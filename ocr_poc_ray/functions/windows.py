@@ -275,6 +275,58 @@ def asof_match(
 
 
 # ---------------------------------------------------------------------------
+# Bounded-preceding rolling aggregate (per-key moving average)
+# ---------------------------------------------------------------------------
+
+
+def rolling_mean(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 3,
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """Per-key moving average over the current + (window_rows−1)
+    preceding rows in (ts, order) order — SQL ``avg(value) over
+    (partition by key order by ts, order rows between k-1 preceding
+    and current row)``.  Rides ``keyed_sorted_match``: interior keys
+    compute in-block with one vectorized pandas groupby-rolling, edge
+    keys' raw rows go to the small combine.
+
+    Output: (order_col, key_col, rolling_avg) rounded to 6 dp.
+    """
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        avg = (
+            g.groupby(key_col, sort=False)[value_col]
+            .rolling(window_rows, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                order_col: g[order_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "rolling_avg": avg.round(6).to_numpy(),
+            }
+        )
+
+    return keyed_sorted_match(
+        ds.select_columns([key_col, ts_col, order_col, value_col]),
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, value_col],
+        match_fn=_match,
+        out_meta={order_col: "int64", key_col: "int64", "rolling_avg": "float64"},
+        sort_num_blocks=sort_num_blocks,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Windowed range join (self-join: right rows within [left.ts, left.ts+w))
 # ---------------------------------------------------------------------------
 

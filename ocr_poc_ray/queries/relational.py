@@ -579,10 +579,34 @@ where a.event_type = 'click' and b.event_type = 'error'
 """
 
 
+def rel_rolling_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user 3-row moving average (bounded-preceding rolling window
+    via functions.windows.rolling_mean)."""
+    from ocr_poc_ray.functions.windows import rolling_mean
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rolling_mean(ds).to_pandas()
+    return out.astype(
+        {"event_id": "int64", "user_id": "int64", "rolling_avg": "float64"}
+    )
+
+
+REL_ROLLING_VALUE_SQL = """
+select event_id, user_id,
+       round(avg(value) over (partition by user_id order by ts, event_id
+                              rows between 2 preceding and current row), 6)
+         as rolling_avg
+from events
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
+    "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),

@@ -136,3 +136,26 @@ def test_range_join_split_boundaries(ray_session, events_df, nblocks):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("nblocks", [2, 7])
+def test_rolling_mean_split_boundaries(ray_session, events_df, nblocks):
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import rolling_mean
+
+    df = events_df.assign(value=np.arange(len(events_df), dtype="float64"))
+    ds = rd.from_pandas(df)
+    got = (
+        rolling_mean(ds, window_rows=3, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        avg = g["value"].rolling(3, min_periods=1).mean().round(6)
+        for eid, a in zip(g["event_id"], avg):
+            exp_rows.append({"event_id": eid, "user_id": u, "rolling_avg": a})
+    exp = pd.DataFrame(exp_rows).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
