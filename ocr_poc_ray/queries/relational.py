@@ -11,9 +11,10 @@ with the 100-TB patterns:
   join of the orders table.
 - **top-k without a global sort**: per-batch local top-k partials, then
   one final merge of ``k × num_blocks`` rows.
-- **windowed aggregate** (sessionization): the only true per-key
-  shuffle, grouped on ``user_id`` with the in-group sort done on the
-  (small) per-user slice.
+- **windowed / order-sensitive ops** (sessionization, as-of, range
+  join, rolling mean): the sort-based interior-final / edge-raw shape
+  from ``ocr_poc_ray.functions.windows`` — key cardinality never
+  appears as a group count.
 """
 
 from __future__ import annotations
@@ -579,6 +580,49 @@ where a.event_type = 'click' and b.event_type = 'error'
 """
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def rel_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles of a low-cardinality measure via the
+    histogram-combine pattern: per-batch value counts (vectorized),
+    one tiny combine (distinct-value-bounded), then interpolated
+    quantile_cont semantics computed from the cumulative histogram —
+    no sort of the fact table at any point."""
+    ds = ray.data.read_parquet(_path(sf_dir, "lineitem"), columns=["l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("l_quantity", as_index=False).size()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_quantity")["size"]
+        .sum()
+        .sort_index()
+    )
+    values = hist.index.to_numpy(dtype="float64")
+    counts = hist.to_numpy(dtype="int64")
+    cum = counts.cumsum()
+    n = int(cum[-1])
+
+    rows = []
+    for q in QUANTILES:
+        pos = (n - 1) * q  # quantile_cont: linear interpolation
+        lo_idx = int(np.searchsorted(cum, int(np.floor(pos)) + 1))
+        hi_idx = int(np.searchsorted(cum, int(np.ceil(pos)) + 1))
+        frac = pos - np.floor(pos)
+        val = values[lo_idx] + frac * (values[hi_idx] - values[lo_idx])
+        rows.append({"q": q, "value": round(float(val), 6)})
+    return pd.DataFrame(rows)
+
+
+REL_QUANTITY_QUANTILES_SQL = " union all ".join(
+    f"select {q} as q, round(quantile_cont(l_quantity, {q}), 6) as value from lineitem"
+    for q in QUANTILES
+)
+
+
 def rel_rolling_value(sf_dir: str) -> pd.DataFrame:
     """Per-user 3-row moving average (bounded-preceding rolling window
     via functions.windows.rolling_mean)."""
@@ -607,6 +651,7 @@ REGISTRY = {
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),
+    "rel_quantity_quantiles": (rel_quantity_quantiles, REL_QUANTITY_QUANTILES_SQL),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),
