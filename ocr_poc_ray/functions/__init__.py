@@ -26,10 +26,16 @@ from ocr_poc_ray.functions.similarity import (
     knn_brute_force,
     knn_lsh,
 )
-from ocr_poc_ray.functions.windows import sessionize
+from ocr_poc_ray.functions.sketches import hll_count_distinct, hll_count_distinct_by
+from ocr_poc_ray.functions.windows import asof_match, range_join_window, rolling_mean, sessionize
 
 __all__ = [
     "sessionize",
+    "asof_match",
+    "range_join_window",
+    "rolling_mean",
+    "hll_count_distinct",
+    "hll_count_distinct_by",
     "add_fingerprints",
     "add_langid",
     "add_quality",

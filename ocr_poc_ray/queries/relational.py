@@ -646,12 +646,26 @@ from events
 """
 
 
+def rel_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via mergeable HLL
+    registers (functions.sketches) — rows-only: the estimate is within
+    ~1.6% of exact by construction, asserted with tolerance in tests."""
+    from ocr_poc_ray.functions.sketches import hll_count_distinct_by
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+    out = hll_count_distinct_by(ds, "event_type", "user_id")
+    return out.astype({"approx_distinct": "int64"})
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),
     "rel_quantity_quantiles": (rel_quantity_quantiles, REL_QUANTITY_QUANTILES_SQL),
+    "rel_hll_distinct_users": (rel_hll_distinct_users, None),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),

@@ -281,3 +281,21 @@ def test_embed_text_deterministic(ray_session):
 
     with _pytest.raises(NotImplementedError):
         TextEmbedder(use_real_model=True)
+
+
+def test_hll_distinct_within_tolerance(ray_session):
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.sketches import hll_count_distinct, hll_count_distinct_by
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet", columns=["user_id", "event_type"])
+    df = ds.to_pandas()
+    exact = df["user_id"].nunique()
+    approx = hll_count_distinct(ds, "user_id", p=12)
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+    by = hll_count_distinct_by(ds, "event_type", "user_id", p=12)
+    exact_by = df.groupby("event_type")["user_id"].nunique()
+    for _, row in by.iterrows():
+        e = exact_by[row["event_type"]]
+        assert abs(row["approx_distinct"] - e) / e < 0.05
