@@ -95,18 +95,36 @@ def run_extraction(
     input_path: str | list[str],
     output_dir: str,
     *,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = DEFAULT_BATCH_SIZE,
     concurrency: int | tuple[int, int] | None = None,
     ordered: bool = True,
 ) -> dict:
-    """One-shot (non-checkpointed) run; returns summary metrics."""
+    """One-shot (non-checkpointed) run; returns summary metrics
+    (rows, success/failure counts, throughput) read back from the
+    written files' ``success`` column — the S5 metrics record for runs
+    that skip the manifest."""
+    import os
+
     t0 = time.perf_counter()
     ds = extract_transcripts(
         input_path, batch_size=batch_size, concurrency=concurrency, ordered=ordered
     )
     ds.write_parquet(output_dir)
     wall = time.perf_counter() - t0
-    return {"output_dir": output_dir, "wall_time_s": wall}
+    files = sorted(
+        os.path.join(output_dir, f)
+        for f in os.listdir(output_dir)
+        if f.endswith(".parquet")
+    )
+    metrics = _partition_metrics(files)
+    return {
+        "output_dir": output_dir,
+        "wall_time_s": round(wall, 3),
+        "rows": metrics["rows"],
+        "success": metrics["success"],
+        "failed": metrics["failed"],
+        "turns_per_sec": round(metrics["rows"] / wall, 1) if wall > 0 else 0.0,
+    }
 
 
 def _partition_metrics(files: list[str]) -> dict:

@@ -138,3 +138,26 @@ def test_engine_config_roundtrip_and_cli(ray_session, corpus, tmp_path):
         f"select count(*) from read_parquet('{out}/partition=*/*.parquet')"
     ).fetchone()[0]
     assert n == 4000
+
+
+def test_cli_fields_and_run_extraction(ray_session, corpus, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.__main__ import main as cli_main
+    from ocr_poc_ray.pipelines.extraction import run_extraction
+    from ocr_poc_ray.synth import generate_span_docs
+
+    spans, expected = generate_span_docs(n_docs=60, seed=17)
+    spans_path = str(tmp_path / "spans.parquet")
+    pq.write_table(spans, spans_path)
+    out = str(tmp_path / "fields_out")
+    assert cli_main(["fields", "--input", spans_path, "--output", out]) == 0
+    import duckdb as _duck
+
+    n = _duck.sql(f"select count(*) from read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == 60
+
+    summary = run_extraction(corpus["transcripts"], str(tmp_path / "one_shot"))
+    assert summary["rows"] == 4000
+    assert summary["success"] + summary["failed"] == 4000
+    assert summary["turns_per_sec"] > 0
