@@ -59,7 +59,10 @@ def _column_of(x0: float, starts: list[float]) -> int:
 
 
 def extract_pdf(text: str) -> ExtractionResult:
-    parsed: list[tuple[float, float, str]] = []
+    """Span lines are ``x0,y0,x1,y1|text`` (page 0) or
+    ``page,x0,y0,x1,y1|text`` (multi-page).  Reading order:
+    page → column (clustered per page) → y → x."""
+    parsed: list[tuple[int, float, float, str]] = []
     n_lines = 0
     n_invalid = 0
     for raw in text.split("\n"):
@@ -72,11 +75,16 @@ def extract_pdf(text: str) -> ExtractionResult:
             n_invalid += 1
             continue
         parts = head.split(",")
-        if len(parts) != 4:
+        if len(parts) == 4:
+            page_s, coords = "0", parts
+        elif len(parts) == 5:
+            page_s, coords = parts[0], parts[1:]
+        else:
             n_invalid += 1
             continue
         try:
-            x0, y0, _x1, _y1 = (float(p) for p in parts)
+            page = int(page_s)
+            x0, y0, _x1, _y1 = (float(p) for p in coords)
         except ValueError:
             n_invalid += 1
             continue
@@ -85,21 +93,25 @@ def extract_pdf(text: str) -> ExtractionResult:
             continue
         if y0 < MARGIN_TOP_Y or y0 > MARGIN_BOTTOM_Y:
             continue  # margin furniture
-        parsed.append((x0, y0, t))
+        parsed.append((page, x0, y0, t))
 
-    spans: list[tuple[int, float, float, str]] = []
+    spans: list[tuple[int, int, float, float, str]] = []
     if parsed:
-        starts = _column_starts([p[0] for p in parsed])
-        for x0, y0, t in parsed:
-            spans.append((_column_of(x0, starts), y0, x0, t))
+        pages = sorted({p[0] for p in parsed})
+        starts_by_page = {
+            pg: _column_starts([x for p, x, _y, _t in parsed if p == pg])
+            for pg in pages
+        }
+        for page, x0, y0, t in parsed:
+            spans.append((page, _column_of(x0, starts_by_page[page]), y0, x0, t))
 
     if not spans:
         # Quality gate (P1 analog): no valid content spans.
         reason = "no_valid_spans" if n_invalid else "no_content_spans"
         return ExtractionResult.failure(reason, n_blocks=n_lines)
 
-    spans.sort(key=lambda s: (s[0], s[1], s[2]))
-    out = normalize_ws(" ".join(s[3] for s in spans))
+    spans.sort(key=lambda s: (s[0], s[1], s[2], s[3]))
+    out = normalize_ws(" ".join(s[4] for s in spans))
     valid = n_lines - n_invalid
     return ExtractionResult(
         extracted_text=out,

@@ -58,7 +58,7 @@ BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 #: bump when generator OUTPUT changes for the same (n, seed) — cache
 #: keys (bench fixtures) include it so stale corpora are regenerated.
-FIXTURE_VERSION = "2"
+FIXTURE_VERSION = "3"
 
 
 def _sentence(rng: random.Random, min_chars: int = 30) -> str:
@@ -151,29 +151,36 @@ def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
         k = rng.randint(4, 8)
         runs.append(" ".join(words[i : i + k]))
         i += k
-    if len(runs) >= 9 and rng.random() < 0.25:
-        n_cols = 3
-    elif len(runs) >= 6 and rng.random() < 0.5:
-        n_cols = 2
-    else:
-        n_cols = 1
-    col_bases = ([72.0], [72.0, PAGE_MID + 20.0], [72.0, 250.0, 428.0])[n_cols - 1]
+    n_pages = 2 if len(runs) >= 8 and rng.random() < 0.2 else 1
     spans: list[str] = []
     y_step = 14.0
 
-    def emit(col_runs: list[str], x_base: float) -> None:
+    def emit(col_runs: list[str], x_base: float, page: int) -> None:
         y = MARGIN_TOP_Y + 10.0
         for run in col_runs:
             x0 = x_base + rng.randint(0, 18)
             x1 = x0 + 8.0 * len(run)
-            spans.append(f"{x0:.1f},{y:.1f},{x1:.1f},{y + 11:.1f}|{run}")
+            prefix = f"{page}," if n_pages > 1 else ""
+            spans.append(f"{prefix}{x0:.1f},{y:.1f},{x1:.1f},{y + 11:.1f}|{run}")
             y += y_step
 
-    per = (len(runs) + n_cols - 1) // n_cols
-    for ci, base in enumerate(col_bases):
-        chunk = runs[ci * per : (ci + 1) * per]
-        if chunk:
-            emit(chunk, base)
+    per_page = (len(runs) + n_pages - 1) // n_pages
+    for page in range(n_pages):
+        page_runs = runs[page * per_page : (page + 1) * per_page]
+        if not page_runs:
+            continue
+        if len(page_runs) >= 9 and rng.random() < 0.25:
+            n_cols = 3
+        elif len(page_runs) >= 6 and rng.random() < 0.5:
+            n_cols = 2
+        else:
+            n_cols = 1
+        col_bases = ([72.0], [72.0, PAGE_MID + 20.0], [72.0, 250.0, 428.0])[n_cols - 1]
+        per = (len(page_runs) + n_cols - 1) // n_cols
+        for ci, base in enumerate(col_bases):
+            chunk = page_runs[ci * per : (ci + 1) * per]
+            if chunk:
+                emit(chunk, base, page)
     # Margin furniture + MRZ noise the extractor must drop.
     spans.append(f"72.0,30.0,300.0,41.0|{rng.choice(_WORDS).title()} Quarterly Report")
     spans.append(f"290.0,742.0,322.0,753.0|Page {rng.randint(1, 99)}")

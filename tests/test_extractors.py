@@ -237,3 +237,20 @@ def test_pdf_single_column_wide_jitter_stays_one_column():
     ]
     r = extract_pdf("\n".join(spans))
     assert r.success and r.extracted_text == "line0 line1 line2 line3"
+
+
+def test_pdf_multipage_reading_order():
+    from ocr_poc_ray.extractors.pdf import extract_pdf
+
+    spans = [
+        "1,72.0,60.0,150.0,71.0|page1-first",
+        "0,72.0,74.0,150.0,85.0|page0-second",
+        "0,72.0,60.0,150.0,71.0|page0-first",
+        "1,72.0,74.0,150.0,85.0|page1-second",
+    ]
+    import random
+
+    random.Random(1).shuffle(spans)
+    r = extract_pdf("\n".join(spans))
+    assert r.success
+    assert r.extracted_text == "page0-first page0-second page1-first page1-second"
