@@ -116,7 +116,7 @@ def _oracle_range(df: pd.DataFrame, window_s: float) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["event_id", "user_id", "matched_event_id"])
 
 
-@pytest.mark.parametrize("nblocks", [2, 7])
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
 def test_range_join_split_boundaries(ray_session, events_df, nblocks):
     import ray.data as rd
 
@@ -138,7 +138,7 @@ def test_range_join_split_boundaries(ray_session, events_df, nblocks):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
-@pytest.mark.parametrize("nblocks", [2, 7])
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
 def test_rolling_mean_split_boundaries(ray_session, events_df, nblocks):
     import ray.data as rd
 
@@ -159,3 +159,40 @@ def test_rolling_mean_split_boundaries(ray_session, events_df, nblocks):
             exp_rows.append({"event_id": eid, "user_id": u, "rolling_avg": a})
     exp = pd.DataFrame(exp_rows).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rolling_and_asof_with_timestamp_ties(ray_session):
+    """Equal timestamps within a key: the order tiebreak (event_id)
+    must agree with the SQL rows-frame ordering."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import asof_match, rolling_mean
+
+    t = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 6,
+            "ts": [t, t, t + pd.Timedelta(seconds=10), t + pd.Timedelta(seconds=10),
+                   t + pd.Timedelta(seconds=20), t + pd.Timedelta(seconds=20)],
+            "event_id": [3, 1, 2, 5, 4, 6],
+            "event_type": ["click", "click", "purchase", "purchase", "purchase", "click"],
+            "value": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    got = (
+        rolling_mean(rd.from_pandas(df), window_rows=2, sort_num_blocks=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # order by (ts, event_id): e1(20), e3(10), e2(30), e5(40), e4(50), e6(60)
+    exp = {1: 20.0, 3: 15.0, 2: 20.0, 5: 35.0, 4: 45.0, 6: 55.0}
+    for _, row in got.iterrows():
+        assert row["rolling_avg"] == exp[row["event_id"]], row.to_dict()
+
+    asof = asof_match(rd.from_pandas(df), sort_num_blocks=2).to_pandas()
+    m = dict(zip(asof["event_id"], asof["click_event_id"]))
+    # ASOF semantics: greatest click ts <= purchase ts, exact ties
+    # included — purchase 4 (ts+20) matches click 6 (also ts+20),
+    # matching DuckDB's ASOF JOIN (the oracle for this operator)
+    assert m[2] == 3 and m[5] == 3 and m[4] == 6
