@@ -59,3 +59,72 @@ def test_extract_fields_is_total(rows):
     assert set(res.fields) == {
         "nom", "prenom", "date_naissance", "lieu_naissance", "sexe", "taille", "profession",
     }
+
+
+# ---------------------------------------------------------------------------
+# Window operators: random corpora through forced splits must equal the
+# pandas oracle (the interior/edge machinery is the most intricate code
+# in the engine — fuzz it).
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from hypothesis import HealthCheck
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_users=st.integers(min_value=1, max_value=5),
+    per_user=st.integers(min_value=1, max_value=25),
+    nblocks=st.integers(min_value=2, max_value=6),
+)
+def test_sessionize_random_corpora(ray_session, seed, n_users, per_user, nblocks):
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import sessionize
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(per_user):
+            t = t + pd.Timedelta(seconds=int(rng.randint(1, 4000)))
+            rows.append({"user_id": u, "ts": t, "event_id": eid})
+            eid += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+    got = (
+        sessionize(rd.from_pandas(df), gap_s=1800.0, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        gaps = g["ts"].diff().dt.total_seconds()
+        exp_rows.append(
+            {"user_id": u, "n_events": len(g),
+             "n_sessions": int((gaps.isna() | (gaps > 1800.0)).sum())}
+        )
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_registered_extractor_exceptions_are_contained():
+    """An extractor that raises becomes a failure ROW via extract_turn's
+    containment — the registry guarantee plugins inherit."""
+    from ocr_poc_ray.extractors.registry import EXTRACTORS, extract_turn, register_extractor
+
+    def exploding(_text: str):
+        raise RuntimeError("boom")
+
+    try:
+        register_extractor("exploding", exploding)
+        r = extract_turn("anything", "exploding")
+        assert not r.success
+        assert r.error == "extractor_error:RuntimeError"
+    finally:
+        EXTRACTORS.pop("exploding", None)
