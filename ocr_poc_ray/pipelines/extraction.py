@@ -98,11 +98,17 @@ def run_extraction(
     batch_size: int | None = DEFAULT_BATCH_SIZE,
     concurrency: int | tuple[int, int] | None = None,
     ordered: bool = True,
+    failed_json_dir: str | None = None,
 ) -> dict:
     """One-shot (non-checkpointed) run; returns summary metrics
     (rows, success/failure counts, throughput) read back from the
     written files' ``success`` column — the S5 metrics record for runs
-    that skip the manifest."""
+    that skip the manifest.
+
+    ``failed_json_dir``: also write the failure envelopes as JSON (the
+    S3 debug-artifact sink — human-greppable triage of every turn that
+    produced ``success=false``, keyed by its error class).
+    """
     import os
 
     t0 = time.perf_counter()
@@ -111,6 +117,18 @@ def run_extraction(
     )
     ds.write_parquet(output_dir)
     wall = time.perf_counter() - t0
+    if failed_json_dir:
+        import pyarrow.compute as pc
+
+        failed = ray.data.read_parquet(
+            output_dir, columns=["conv_id", "turn_idx", "tool", "error", "success"]
+        ).map_batches(
+            lambda b: b.filter(pc.invert(b["success"].combine_chunks())).drop_columns(
+                ["success"]
+            ),
+            batch_format="pyarrow",
+        )
+        failed.write_json(failed_json_dir)
     files = sorted(
         os.path.join(output_dir, f)
         for f in os.listdir(output_dir)

@@ -157,7 +157,19 @@ def test_cli_fields_and_run_extraction(ray_session, corpus, tmp_path):
     n = _duck.sql(f"select count(*) from read_parquet('{out}/*.parquet')").fetchone()[0]
     assert n == 60
 
-    summary = run_extraction(corpus["transcripts"], str(tmp_path / "one_shot"))
+    summary = run_extraction(
+        corpus["transcripts"], str(tmp_path / "one_shot"),
+        failed_json_dir=str(tmp_path / "failures"),
+    )
     assert summary["rows"] == 4000
     assert summary["success"] + summary["failed"] == 4000
     assert summary["turns_per_sec"] > 0
+    # the failures debug sink holds exactly the failed envelopes
+    import glob as _glob
+    import json as _json
+
+    failure_lines = []
+    for f in _glob.glob(str(tmp_path / "failures" / "*.json")):
+        failure_lines += [_json.loads(l) for l in open(f) if l.strip()]
+    assert len(failure_lines) == summary["failed"]
+    assert all(rec["error"] for rec in failure_lines)
