@@ -113,3 +113,35 @@ def test_dedup_turns_idempotence(fixture_dir):
     assert len(out) == t.num_rows
     key = out["conv_id"] + "\x1f" + out["turn_idx"].astype(str)
     assert not key.duplicated().any()
+
+
+def test_jsonl_source_matches_parquet(fixture_dir):
+    """The same corpus via the JSONL source extracts identically to the
+    parquet path (source-format parity, S1)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+    from ocr_poc_ray.sources.jsonl import read_transcripts_jsonl
+
+    t = pq.read_table(fixture_dir["transcripts"]).slice(0, 400)
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="jsonl_src_")
+    with open(os.path.join(d, "part-0.jsonl"), "w") as f:
+        for row in t.to_pylist():
+            row["ts"] = row["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps(row) + "\n")
+
+    via_jsonl = (
+        extract_transcripts(read_transcripts_jsonl(d), ordered=True)
+        .to_pandas()[["conv_id", "turn_idx", "extracted_text", "success"]]
+    )
+    import ray.data as rd
+
+    via_parquet = (
+        extract_transcripts(rd.from_arrow(t), ordered=True)
+        .to_pandas()[["conv_id", "turn_idx", "extracted_text", "success"]]
+    )
+    assert via_jsonl.equals(via_parquet)
