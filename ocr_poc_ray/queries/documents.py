@@ -332,8 +332,72 @@ group by lang
 """
 
 
+TFIDF_TERMS = ("spark", "window", "stream")
+
+
+def doc_tfidf_scores(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF relevance of every document to a fixed term set — the
+    search-scoring pass of a retrieval pipeline.  Two passes: partial
+    per-batch document-frequency counts combined once (terms are few),
+    the tiny IDF vector rides into the scoring pass as a plain
+    broadcast; score = Σ tf(term) · ln(N / df(term)), 0 when df = 0."""
+    import math
+
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial_df(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": len(batch)}
+        for t in TFIDF_TERMS:
+            row[f"df_{t}"] = int(batch["text"].str.contains(t, regex=False).sum())
+        return pd.DataFrame([row])
+
+    partials = ds.map_batches(partial_df, batch_format="pandas").to_pandas()
+    n_total = int(partials["n_docs"].sum())
+    idf = {
+        t: (math.log(n_total / int(partials[f"df_{t}"].sum()))
+            if int(partials[f"df_{t}"].sum()) else 0.0)
+        for t in TFIDF_TERMS
+    }
+    idf_ref = _ray.put(idf)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        w = _ray.get(idf_ref)
+        total = None
+        for t in TFIDF_TERMS:
+            tf = batch["text"].str.count(t)
+            part = tf * w[t]
+            total = part if total is None else total + part
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "tfidf": total.round(6)}
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "tfidf": "float64"})
+
+
+def _tfidf_sql() -> str:
+    df_ctes = ", ".join(
+        f"df_{t} as (select count(*) c from documents where contains(text, '{t}'))"
+        for t in TFIDF_TERMS
+    )
+    n = "(select count(*) from documents)"
+    terms = " + ".join(
+        f"len(regexp_extract_all(text, '{t}')) * "
+        f"(case when (select c from df_{t}) = 0 then 0.0 "
+        f"else ln({n}::DOUBLE / (select c from df_{t})) end)"
+        for t in TFIDF_TERMS
+    )
+    return f"with {df_ctes} select doc_id, round({terms}, 6) as tfidf from documents"
+
+
+DOC_TFIDF_SQL = _tfidf_sql()
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
+    "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
     "doc_sample_per_lang": (doc_sample_per_lang, DOC_SAMPLE_PER_LANG_SQL),
     "doc_lang_quality_stats": (doc_lang_quality_stats, DOC_LANG_QUALITY_STATS_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
