@@ -241,6 +241,55 @@ def xs_training_pipeline(sf_dir: str) -> pd.DataFrame:
     return pairs.astype({"cosine": "float64"})
 
 
+def xs_conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation rollup over real data with a SQL oracle:
+    turn counts, success counts, and extracted-character totals —
+    partial-agg per batch, tiny combine per conversation."""
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(n_chars=batch["extracted_text"].str.len())
+        return b.groupby("conv_id", as_index=False).agg(
+            n_turns=("turn_idx", "size"),
+            n_success=("success", "sum"),
+            total_chars=("n_chars", "sum"),
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": [group["conv_id"].iloc[0]],
+                "n_turns": [int(group["n_turns"].sum())],
+                "n_success": [int(group["n_success"].sum())],
+                "total_chars": [int(group["total_chars"].sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("conv_id")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype(
+        {"n_turns": "int64", "n_success": "int64", "total_chars": "int64"}
+    )
+
+
+XS_CONV_STATS_SQL = rf"""
+with e as (
+  select source as conv_id,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+)
+select conv_id, count(*) as n_turns,
+       sum(case when extracted_text <> '' then 1 else 0 end) as n_success,
+       sum(length(extracted_text)) as total_chars
+from e
+group by conv_id
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
@@ -248,6 +297,7 @@ REGISTRY = {
     "xs_conversation_docs": (xs_conversation_docs, None),
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),
+    "xs_conv_stats": (xs_conv_stats, XS_CONV_STATS_SQL),
     "mm_decode": (mm_decode, None),
     "mm_frame_sample": (mm_frame_sample, None),
 }

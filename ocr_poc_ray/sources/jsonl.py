@@ -40,3 +40,10 @@ def read_transcripts_jsonl(path: str | list[str]) -> Dataset:
     """JSONL file(s)/dir → Dataset in the canonical transcript schema."""
     ds = ray.data.read_json(path)
     return ds.map_batches(_canonicalize, batch_format="pyarrow")
+
+
+def read_transcripts_csv(path: str | list[str]) -> Dataset:
+    """CSV file(s)/dir → Dataset in the canonical transcript schema
+    (same canonicalization as the JSONL source; ts as ISO strings)."""
+    ds = ray.data.read_csv(path)
+    return ds.map_batches(_canonicalize, batch_format="pyarrow")

@@ -145,3 +145,35 @@ def test_jsonl_source_matches_parquet(fixture_dir):
         .to_pandas()[["conv_id", "turn_idx", "extracted_text", "success"]]
     )
     assert via_jsonl.equals(via_parquet)
+
+
+def test_csv_source_matches_parquet(fixture_dir):
+    import csv as _csv
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+    from ocr_poc_ray.sources.jsonl import read_transcripts_csv
+
+    t = pq.read_table(fixture_dir["transcripts"]).slice(0, 200)
+    d = tempfile.mkdtemp(prefix="csv_src_")
+    rows = t.to_pylist()
+    with open(os.path.join(d, "part-0.csv"), "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        w.writeheader()
+        for row in rows:
+            row["ts"] = row["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            w.writerow(row)
+
+    via_csv = (
+        extract_transcripts(read_transcripts_csv(d), ordered=True)
+        .to_pandas()[["conv_id", "turn_idx", "extracted_text", "success"]]
+    )
+    via_parquet = (
+        extract_transcripts(rd.from_arrow(t), ordered=True)
+        .to_pandas()[["conv_id", "turn_idx", "extracted_text", "success"]]
+    )
+    assert via_csv.equals(via_parquet)
