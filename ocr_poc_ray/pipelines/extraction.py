@@ -163,14 +163,18 @@ def resumable_extract(
     *,
     num_partitions: int = 16,
     shard_rows: int = 250_000,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = DEFAULT_BATCH_SIZE,
     concurrency: int | tuple[int, int] | None = None,
     max_partitions_this_run: int | None = None,
+    dedup_input: bool = False,
 ) -> dict:
     """Checkpointed extraction: skip committed partitions, commit atomically.
 
     ``max_partitions_this_run`` exists for the kill/resume test: stop
     after k commits and a rerun finishes the rest without reprocessing.
+    ``dedup_input`` collapses duplicated (conv_id, turn_idx) rows per
+    partition before extraction (stages.validate.dedup_turns) — the
+    hygiene guard for corpora assembled from retried upstream writes.
     """
     shards = plan_shards(input_path, target_rows=shard_rows)
     # Deterministic partition assignment: contiguous shard ranges.
@@ -191,6 +195,10 @@ def resumable_extract(
         t0 = time.perf_counter()
         tmp = manifest.begin(pid)
         ds = read_shards(parts[pid])
+        if dedup_input:
+            from ocr_poc_ray.stages.validate import dedup_turns
+
+            ds = dedup_turns(ds)
         ds = extract_transcripts(
             ds, batch_size=batch_size, concurrency=concurrency, ordered=False
         )

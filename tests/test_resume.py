@@ -173,3 +173,27 @@ def test_cli_fields_and_run_extraction(ray_session, corpus, tmp_path):
         failure_lines += [_json.loads(l) for l in open(f) if l.strip()]
     assert len(failure_lines) == summary["failed"]
     assert all(rec["error"] for rec in failure_lines)
+
+
+def test_resumable_dedup_input(ray_session, corpus, tmp_path):
+    """A corpus with duplicated turns (retried upstream writes) still
+    produces exactly one output row per (conv_id, turn_idx)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(corpus["transcripts"])
+    doubled = pa.concat_tables([t, t.slice(0, t.num_rows // 5)])
+    src = str(tmp_path / "doubled.parquet")
+    pq.write_table(doubled, src, row_group_size=500)
+
+    out = str(tmp_path / "dedup_out")
+    resumable_extract(src, out, num_partitions=4, shard_rows=800, dedup_input=True)
+    import duckdb as _duck
+
+    n, dup = _duck.sql(
+        f"""select count(*),
+                   count(*) - count(distinct conv_id || chr(31) || turn_idx)
+            from read_parquet('{out}/partition=*/*.parquet')"""
+    ).fetchone()
+    assert dup == 0
+    assert n == t.num_rows  # every original turn exactly once
