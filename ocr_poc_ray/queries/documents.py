@@ -395,9 +395,87 @@ def _tfidf_sql() -> str:
 DOC_TFIDF_SQL = _tfidf_sql()
 
 
+TOP_TFIDF_K = 3
+
+
+def doc_top_tfidf_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k over a computed score: TF-IDF per doc (broadcast
+    IDF), per-batch local top-k per language, one tiny merge — the
+    retrieval 'best hits per shard' composite."""
+    import math
+
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang"])
+
+    def partial_df(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": len(batch)}
+        for t in TFIDF_TERMS:
+            row[f"df_{t}"] = int(batch["text"].str.contains(t, regex=False).sum())
+        return pd.DataFrame([row])
+
+    partials = ds.map_batches(partial_df, batch_format="pandas").to_pandas()
+    n_total = int(partials["n_docs"].sum())
+    idf = {
+        t: (math.log(n_total / int(partials[f"df_{t}"].sum()))
+            if int(partials[f"df_{t}"].sum()) else 0.0)
+        for t in TFIDF_TERMS
+    }
+    idf_ref = _ray.put(idf)
+
+    def score_and_local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        w = _ray.get(idf_ref)
+        total = None
+        for t in TFIDF_TERMS:
+            part = batch["text"].str.count(t) * w[t]
+            total = part if total is None else total + part
+        b = pd.DataFrame({"lang": batch["lang"], "doc_id": batch["doc_id"], "tfidf": total})
+        return (
+            b.sort_values(["tfidf", "doc_id"], ascending=[False, True], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(TOP_TFIDF_K)
+        )
+
+    cands = ds.map_batches(score_and_local_topk, batch_format="pandas").to_pandas()
+    out = (
+        cands.sort_values(["tfidf", "doc_id"], ascending=[False, True], kind="mergesort")
+        .groupby("lang", as_index=False, sort=False)
+        .head(TOP_TFIDF_K)
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    out["tfidf"] = out["tfidf"].round(6)
+    return out.astype({"doc_id": "int64", "tfidf": "float64"})
+
+
+def _top_tfidf_sql() -> str:
+    df_ctes = ", ".join(
+        f"df_{t} as (select count(*) c from documents where contains(text, '{t}'))"
+        for t in TFIDF_TERMS
+    )
+    n = "(select count(*) from documents)"
+    terms = " + ".join(
+        f"len(regexp_extract_all(text, '{t}')) * "
+        f"(case when (select c from df_{t}) = 0 then 0.0 "
+        f"else ln({n}::DOUBLE / (select c from df_{t})) end)"
+        for t in TFIDF_TERMS
+    )
+    return (
+        f"with {df_ctes}, scored as "
+        f"(select lang, doc_id, {terms} as tfidf from documents) "
+        f"select lang, doc_id, round(tfidf, 6) as tfidf from scored "
+        f"qualify row_number() over (partition by lang order by tfidf desc, doc_id) "
+        f"<= {TOP_TFIDF_K}"
+    )
+
+
+DOC_TOP_TFIDF_SQL = _top_tfidf_sql()
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
+    "doc_top_tfidf_per_lang": (doc_top_tfidf_per_lang, DOC_TOP_TFIDF_SQL),
     "doc_sample_per_lang": (doc_sample_per_lang, DOC_SAMPLE_PER_LANG_SQL),
     "doc_lang_quality_stats": (doc_lang_quality_stats, DOC_LANG_QUALITY_STATS_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
