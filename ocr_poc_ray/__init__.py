@@ -16,18 +16,28 @@ Layout
 - ``synth``       deterministic seeded transcript/expected generator
                   (FIXTURES.md §1–2); no external data.
 - ``extractors``  pure per-row extraction programs keyed by the `tool`
-                  column (plain / html / pdf) — the analog of the
-                  reference's 2x2 extractor registry
+                  column (plain / html / pdf) plus the layout-driven
+                  typed-field pipeline — the analog of the reference's
+                  2x2 extractor registry
                   (ocr/id_card_data_extractor.py:25-35).
-- ``stages``      Ray Data stages: validation, the stateful actor-pool
-                  extraction stage, the conversation-ordering shuffle.
-- ``pipelines``   end-to-end pipelines (read → extract → order → write).
+- ``stages``      Ray Data stages: validation + turn-key dedup, the
+                  actor-pool extraction stages, the conversation-
+                  ordering shuffle + assembly, batched embedding, the
+                  LLM post-processor slot.
+- ``sources``     row-group-granular parquet shard planner (checkpoint
+                  unit) + JSONL/CSV transcript sources.
+- ``pipelines``   end-to-end pipelines (read → extract → order → write),
+                  one-shot and checkpointed/resumable.
 - ``state``       checkpoint manifest + resumable partitioned writer.
 - ``functions``   large-scale training-data ops: dedup (exact, MinHash-
-                  LSH, SimHash, n-gram Jaccard, embedding), ANN
-                  similarity search, text analysis, multimodal stubs.
-- ``queries``     relational pipelines over the TPC-H-ish test tables
-                  used by the driver's DuckDB correctness gate.
+                  LSH, SimHash, n-gram Jaccard, components), ANN
+                  (brute/LSH/IVF), windowed operators (sessionize,
+                  as-of, range join, rolling), HLL sketches, text
+                  analysis, multimodal stubs.
+- ``queries``     the public correctness surface: every operator as a
+                  named pipeline with, where SQL-expressible, a DuckDB
+                  oracle (driver gate).
+- ``config``      EngineConfig (config.yaml analog, JSON round-trip).
 
 None of this module's import-time code calls ``ray.init`` — sessions are
 owned by the caller (driver / bench.py / test fixture).
