@@ -233,13 +233,17 @@ def generate_transcripts(
     """Return (transcripts, expected) Arrow tables, row order shuffled."""
     rng = random.Random(seed)
     convs = [f"conv-{i:06d}" for i in range(n_convs)]
-    weights = _conv_weights(n_convs)
+    # cumulative weights precomputed ONCE: random.choices(weights=...)
+    # re-accumulates per call, turning generation O(n_turns * n_convs)
+    from itertools import accumulate
+
+    cum_weights = list(accumulate(_conv_weights(n_convs)))
     turn_counters = [0] * n_convs
 
     rows: list[tuple] = []
     expected: list[tuple] = []
     for _ in range(n_turns):
-        ci = rng.choices(range(n_convs), weights=weights, k=1)[0]
+        ci = rng.choices(range(n_convs), cum_weights=cum_weights, k=1)[0]
         turn_idx = turn_counters[ci]
         turn_counters[ci] += 1
         ts = BASE_TS_US + ci * 86_400_000_000 + turn_idx * 7_000_000
