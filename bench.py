@@ -186,6 +186,11 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
             [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            raise RuntimeError(
+                f"child bench (cpus={cpus}) rc={proc.returncode}; "
+                f"stderr tail: {proc.stderr[-2000:]}"
+            )
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
     thr_low = results[low]["turns_per_sec"]

@@ -325,7 +325,7 @@ with m as (
 select lang, count(*) as n_docs,
        sum(case when n_chars >= 50
                  and (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.20
-                 and ws_tokens >= 10 then 1 else 0 end) as n_quality,
+                 and ws_tokens >= 10 then 1 else 0 end)::BIGINT as n_quality,
        round(sum(ws_tokens) / count(*), 6) as avg_ws_tokens
 from m
 group by lang

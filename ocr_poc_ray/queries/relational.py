@@ -262,7 +262,7 @@ def rel_sessionize(sf_dir: str) -> pd.DataFrame:
 REL_SESSIONIZE_SQL = f"""
 select user_id, count(*) as n_events,
        sum(case when prev is null or epoch(ts - prev) > {SESSION_GAP_S}
-                then 1 else 0 end) as n_sessions
+                then 1 else 0 end)::BIGINT as n_sessions
 from (
   select user_id, ts,
          lag(ts) over (partition by user_id order by ts, event_id) as prev

@@ -283,8 +283,8 @@ with e as (
   from documents
 )
 select conv_id, count(*) as n_turns,
-       sum(case when extracted_text <> '' then 1 else 0 end) as n_success,
-       sum(length(extracted_text)) as total_chars
+       sum(case when extracted_text <> '' then 1 else 0 end)::BIGINT as n_success,
+       sum(length(extracted_text))::BIGINT as total_chars
 from e
 group by conv_id
 """

@@ -104,7 +104,21 @@ def main() -> int:
             problems.append(f"rows {len(mine)} vs {len(oracle)}")
         if list(mine.columns) != list(oracle.columns):
             problems.append(f"cols {list(mine.columns)} vs {list(oracle.columns)}")
-        elif len(mine) == len(oracle) and value_hash(mine) != value_hash(oracle):
+        else:
+            # The driver hashes stringified values, so int64 47 vs float64
+            # 47.0 is a FAIL there even though both round to the same float
+            # — flag dtype-family mismatches (DuckDB sum(<int>) → HUGEINT →
+            # fetchdf float64 is the classic cause; cast ::BIGINT in SQL).
+            fam = lambda k: {"i": "int", "u": "int", "b": "bool", "f": "float"}.get(k, "obj")
+            for c in mine.columns:
+                fa, fb = fam(mine[c].dtype.kind), fam(oracle[c].dtype.kind)
+                if fa != fb:
+                    problems.append(f"dtype {c}: {mine[c].dtype} vs {oracle[c].dtype}")
+        if (
+            not problems
+            and len(mine) == len(oracle)
+            and value_hash(mine) != value_hash(oracle)
+        ):
             diff_cols = []
             for c in mine.columns:
                 a, b = mine[c], oracle[c]
