@@ -43,11 +43,53 @@ def _stable_hash64(s: str) -> int:
 
 
 def _shingles(text: str, n: int = 3) -> set[str]:
-    """Word n-gram shingles of a lowercased text."""
+    """Word n-gram shingles of a lowercased text (exact-verify kernel)."""
     toks = text.lower().split()
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+# Vectorized batch tokenizer+hasher shared by MinHash and SimHash: ONE
+# pd.util.hash_array call (deterministic siphash, fixed key — stable
+# across processes, unlike Python's seeded hash) over the whole batch's
+# flattened tokens.  This replaced a per-shingle Python blake2b loop
+# that dominated dedup_minhash wall time (VERDICT r1 item 6).
+
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _batch_token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 token hashes, doc offsets) for a batch of texts."""
+    from itertools import chain
+
+    token_lists = texts.fillna("").str.lower().str.split()
+    lens = np.asarray([len(t) for t in token_lists], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.fromiter(
+        chain.from_iterable(token_lists), dtype=object, count=int(offsets[-1])
+    )
+    hashes = pd.util.hash_array(flat) if len(flat) else np.array([], dtype=np.uint64)
+    return hashes, offsets
+
+
+def _doc_shingle_hashes(th: np.ndarray, n: int = 3) -> np.ndarray:
+    """Distinct uint64 word-n-gram hashes from one doc's token hashes,
+    via a vectorized positional polynomial (no n-gram strings built)."""
+    m = len(th)
+    if m == 0:
+        return th
+    with np.errstate(over="ignore"):
+        if m < n:
+            acc = np.uint64(0xCBF29CE484222325)
+            for v in th:
+                acc = acc * _SHINGLE_MULT + v
+            return np.array([acc], dtype=np.uint64)
+        k = m - n + 1
+        acc = np.zeros(k, dtype=np.uint64)
+        for i in range(n):
+            acc = acc * _SHINGLE_MULT + th[i : i + k]
+    return np.unique(acc)
 
 
 # --------------------------------------------------------------------------
@@ -87,13 +129,34 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
     hashed = ds.map_batches(hash_batch, batch_format="pandas").materialize()
 
     # duplicate hashes via per-batch partial counts (hash appears twice
-    # in one batch OR in two different batches)
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("content_hash", as_index=False).size()
+    # in one batch OR in two different batches).  The partials are
+    # corpus-sized for a mostly-unique corpus, so they are NOT collected
+    # to the driver: a bounded bucket groupby (32 groups — never one per
+    # hash) sums them distributedly and only the TRUE duplicates (the
+    # quantity dedup exists to remove) reach the driver for broadcast.
+    _N_BUCKETS = 32
 
-    partials = hashed.map_batches(partial_counts, batch_format="pandas").to_pandas()
-    totals = partials.groupby("content_hash")["size"].sum()
-    dup_hashes = set(totals[totals > 1].index)
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("content_hash", as_index=False).size()
+        g["bucket"] = (
+            pd.util.hash_array(g["content_hash"].to_numpy(dtype=object)) % _N_BUCKETS
+        ).astype("int64")
+        return g
+
+    def find_dups(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.groupby("content_hash", as_index=False)["size"].sum()
+        return t.loc[t["size"] > 1, ["content_hash"]]
+
+    dups = (
+        hashed.map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(find_dups, batch_format="pandas")
+        .to_pandas()
+    )
+    # a fully-unique corpus yields zero rows (and no columns) here
+    dup_hashes = (
+        set(dups["content_hash"]) if "content_hash" in dups.columns else set()
+    )
 
     if not dup_hashes:
         return hashed
@@ -197,17 +260,20 @@ class _MinHasher:
         self.num_perm = num_perm
         self.ngram = ngram
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.ngram)
-        if not sh:
-            return np.full(self.num_perm, np.uint64(_MERSENNE_P), dtype=np.uint64)
-        base = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
-        # (a*x + b) mod p, per permutation — vectorized (num_perm, n_shingles)
-        with np.errstate(over="ignore"):
-            vals = (
-                self.a[:, None] * (base[None, :] % _MERSENNE_P) + self.b[:, None]
-            ) % np.uint64(_MERSENNE_P)
-        return vals.min(axis=1)
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a whole batch —
+        one vectorized token-hash pass, numpy permutation mins per doc."""
+        th, offsets = _batch_token_hashes(texts)
+        out = np.full((len(texts), self.num_perm), np.uint64(_MERSENNE_P), dtype=np.uint64)
+        p = np.uint64(_MERSENNE_P)
+        for d in range(len(texts)):
+            base = _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], self.ngram)
+            if len(base) == 0:
+                continue
+            with np.errstate(over="ignore"):
+                vals = (self.a[:, None] * (base[None, :] % p) + self.b[:, None]) % p
+            out[d] = vals.min(axis=1)
+        return out
 
 
 class _MinHashBands:
@@ -221,27 +287,25 @@ class _MinHashBands:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = self.hasher.signature(text)
-            sig_bytes = sig.tobytes()
+        n = len(batch)
+        sig = self.hasher.signatures(batch[self.text_col])  # (n, num_perm)
+        # band hash: vectorized polynomial over the band's signature
+        # values for ALL docs at once (replaced per-band blake2b calls)
+        bh = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(
-                    int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                    )
-                    >> 1  # keep in int64 range
-                )
-                sigs.append(sig_bytes)
+                acc = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+                for k in range(self.rows_per_band):
+                    acc = acc * _SHINGLE_MULT + sig[:, b * self.rows_per_band + k]
+                bh[:, b] = acc >> np.uint64(1)  # keep in int64 range
+        sig_bytes = [s.tobytes() for s in sig]
+        ids = batch[self.id_col].to_numpy()
         return pd.DataFrame(
             {
-                "doc_id": ids,
-                "band_id": band_ids,
-                "band_hash": band_hashes,
-                "signature": sigs,
+                "doc_id": np.repeat(ids, self.bands),
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+                "signature": [sb for sb in sig_bytes for _ in range(self.bands)],
             }
         )
 
@@ -313,33 +377,43 @@ def minhash_lsh_pairs(
 
 
 class _SimHasher:
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+    _POWERS = np.left_shift(np.uint64(1), _SHIFTS)
+
     def __init__(self, id_col: str, text_col: str):
         self.id_col, self.text_col = id_col, text_col
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.lower().split()):
-            h = _stable_hash64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = 0
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= 1 << i
-        return sig
+    @classmethod
+    def simhash_batch(cls, texts: pd.Series) -> np.ndarray:
+        """(n_docs,) uint64 simhash signatures — vectorized token
+        hashing for the whole batch, numpy bit-vote per doc."""
+        th, offsets = _batch_token_hashes(texts)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        for d in range(len(texts)):
+            u = np.unique(th[offsets[d] : offsets[d + 1]])  # distinct tokens
+            if len(u) == 0:
+                continue
+            bits = (u[:, None] >> cls._SHIFTS[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sigs[d] = ((votes > 0) * cls._POWERS).sum(dtype=np.uint64)
+        return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = self.simhash64(text)
-            for b in range(4):  # 4×16-bit bands → catches Hamming ≤ 3
-                out_id.append(doc_id)
-                out_band.append(b)
-                out_key.append((sig >> (16 * b)) & 0xFFFF)
-                out_sig.append(sig - (1 << 63))  # int64 range
+        n = len(batch)
+        sig = self.simhash_batch(batch[self.text_col])
+        ids = batch[self.id_col].to_numpy()
+        bands = np.arange(4, dtype=np.uint64)  # 4×16-bit bands → Hamming ≤ 3
+        keys = (sig[:, None] >> (np.uint64(16) * bands[None, :])) & np.uint64(0xFFFF)
         return pd.DataFrame(
-            {"doc_id": out_id, "band_id": out_band, "band_key": out_key, "simhash": out_sig}
+            {
+                "doc_id": np.repeat(ids, 4),
+                "band_id": np.tile(bands.astype(np.int64), n),
+                "band_key": keys.reshape(-1).astype(np.int64),
+                # stored as sig - 2^63 to stay in int64 (Arrow-friendly)
+                "simhash": np.repeat(
+                    (sig ^ np.uint64(1 << 63)).view(np.int64), 4
+                ),
+            }
         )
 
 
@@ -400,46 +474,77 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
+    num_partitions: int = 8,
 ) -> Dataset:
-    """Exact Jaccard for (doc_a, doc_b) candidate pairs.
+    """Exact Jaccard for (doc_a, doc_b) candidate pairs — distributed.
 
-    Broadcast-joins the candidate docs' texts (candidates are a tiny
-    fraction of the corpus — this is the "small side broadcast" rule;
-    at extreme scale swap for a partitioned hash join on doc id).
+    The candidate ID set (pair-output-sized, ids only — never texts)
+    is broadcast once to pre-filter the corpus down to candidate rows;
+    the texts are then attached to the pair rows with two partitioned
+    hash joins on doc id, and the shingle/Jaccard kernel runs per
+    joined batch.  No driver-side text materialization at any point;
+    size ``num_partitions`` to the verified-pair volume at scale.
     """
     import ray
 
-    need_ids = set()
     pairs_mat = pairs.materialize()
-    for batch in pairs_mat.iter_batches(batch_format="pandas"):
-        need_ids.update(batch["doc_a"])
-        need_ids.update(batch["doc_b"])
-    need_ids_ref = ray.put(need_ids)
-
-    def collect(batch: pd.DataFrame) -> pd.DataFrame:
-        need = ray.get(need_ids_ref)
-        sub = batch[batch[id_col].isin(need)]
-        return pd.DataFrame({id_col: sub[id_col], text_col: sub[text_col]})
-
-    texts: dict = {}
-    for batch in docs.map_batches(collect, batch_format="pandas").iter_batches(
+    need_ids: set = set()
+    for batch in pairs_mat.select_columns(["doc_a", "doc_b"]).iter_batches(
         batch_format="pandas"
     ):
-        texts.update(zip(batch[id_col], batch[text_col]))
-    texts_ref = ray.put(texts)
+        need_ids.update(batch["doc_a"])
+        need_ids.update(batch["doc_b"])
+    if not need_ids:
+        return pairs_mat.map_batches(
+            lambda b: b.assign(jaccard=pd.Series([], dtype="float64")),
+            batch_format="pandas",
+        )
+    need_ids_ref = ray.put(pa.array(sorted(need_ids)))
+
+    def collect(batch: pa.Table) -> pa.Table:
+        # Arrow filter, not pandas: an empty pandas block would type
+        # its columns as null and break the hash join's schema unify.
+        import pyarrow.compute as pc
+
+        need = ray.get(need_ids_ref)
+        mask = pc.is_in(batch[id_col], value_set=need)
+        return batch.filter(mask).select([id_col, text_col]).rename_columns(
+            ["_jid", "_jtext"]
+        )
+
+    # repartition merges away 0-row blocks — Ray's hash join (2.49)
+    # raises FieldRef errors when an input block is empty
+    cand_texts = docs.map_batches(collect, batch_format="pyarrow").repartition(
+        num_partitions
+    )
+
+    j1 = pairs_mat.join(
+        cand_texts, "inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("_jid",),
+    ).map_batches(
+        # the join consumes the right key column (_jid); only the text survives
+        lambda b: b.rename(columns={"_jtext": "_text_a"}),
+        batch_format="pandas",
+    ).repartition(num_partitions)
+    j2 = j1.join(
+        cand_texts, "inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("_jid",),
+    ).map_batches(
+        lambda b: b.rename(columns={"_jtext": "_text_b"}),
+        batch_format="pandas",
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(texts_ref)
         jac = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa, sb = _shingles(tx.get(a, ""), ngram), _shingles(tx.get(b, ""), ngram)
+        for ta, tb in zip(batch["_text_a"], batch["_text_b"]):
+            sa, sb = _shingles(ta or "", ngram), _shingles(tb or "", ngram)
             union = len(sa | sb)
             jac.append(len(sa & sb) / union if union else 0.0)
-        batch = batch.copy()
-        batch["jaccard"] = jac
-        return batch
+        out = batch.drop(columns=["_text_a", "_text_b"]).copy()
+        out["jaccard"] = jac
+        return out
 
-    return pairs_mat.map_batches(verify, batch_format="pandas")
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

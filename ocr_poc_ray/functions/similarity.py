@@ -229,7 +229,14 @@ def knn_ivf(
     per-batch cluster assignment (one matmul) + per-query scoring
     restricted to its probed clusters + local top-k partials.
     """
-    sample = ds.limit(train_size).to_pandas()
+    # seeded uniform draw, not a file-order prefix: a prefix biases the
+    # centroids (and kills recall) when the corpus is sorted/clustered
+    # on disk.  count() on a parquet read is metadata-only.
+    n = ds.count()
+    frac = min(1.0, (train_size * 1.2) / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(train_size).to_pandas()
+    if sample.empty:
+        sample = ds.limit(train_size).to_pandas()
     X_train = _normalize(_to_matrix(sample[vec_col]))
     C = _kmeans_lite(X_train, nlist, seed=seed)
 
@@ -285,6 +292,13 @@ def knn_ivf(
 # --------------------------------------------------------------------------
 
 
+def _unpack_vec_table(t) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, X) from an Arrow chunk table with packed float64 vec bytes."""
+    ids = np.asarray(t["ids_"].to_pandas())
+    X = np.vstack([np.frombuffer(v, dtype=np.float64) for v in t["vec"].to_pylist()])
+    return ids, X
+
+
 def embedding_near_dup_pairs(
     ds: Dataset,
     *,
@@ -293,44 +307,95 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = 8192,
 ) -> Dataset:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold, id_a < id_b.
 
-    nbits=0 → exact all-pairs via a per-bucket matmul over ONE bucket
-    (fine to ~100k rows); nbits>0 → hyperplane buckets bound each
-    group (the 100-TB path, trading recall near the threshold).
+    nbits=0 → EXACT via a blocked pair-grid: the normalized corpus is
+    repartitioned into C row-chunks (``chunk_rows`` each) and one Ray
+    task scores each (i ≤ j) chunk pair — no task ever holds more than
+    two chunks, so the exact path survives corpora far beyond a single
+    task's heap (C² tasks; quadratic work is inherent to exact
+    all-pairs).  nbits>0 → hyperplane buckets bound each group (the
+    100-TB path, trading recall near the threshold).
     """
-    def code_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        X = _normalize(_to_matrix(batch[vec_col]))
-        if nbits:
+    if nbits:
+        def code_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            X = _normalize(_to_matrix(batch[vec_col]))
             pl = np.random.RandomState(seed).standard_normal((nbits, X.shape[1]))
             codes = _lsh_codes(X, pl)
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "bucket": codes,
+                    "vec": [row.tobytes() for row in X],
+                }
+            )
+
+        coded = ds.map_batches(code_batch, batch_format="pandas")
+
+        def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(id_col)
+            X = np.vstack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+            ids = g[id_col].to_numpy()
+            sims = X @ X.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[mask]],
+                    "id_b": ids[ju[mask]],
+                    "cosine": np.round(sims[iu[mask], ju[mask]], 4),
+                }
+            )
+
+        return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+    # ---- exact blocked pair-grid ----
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        X = _normalize(_to_matrix(batch[vec_col]))
+        return pd.DataFrame(
+            {"ids_": batch[id_col], "vec": [row.tobytes() for row in X]}
+        )
+
+    packed = ds.map_batches(pack, batch_format="pandas").materialize()
+    n = packed.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ).limit(0)
+    n_chunks = max(1, -(-n // chunk_rows))
+    blocks = packed.repartition(n_chunks).to_arrow_refs()
+
+    @ray.remote
+    def pair_block(ta, tb, same: bool) -> pd.DataFrame:
+        ids_a, Xa = _unpack_vec_table(ta)
+        if same:
+            order = np.argsort(ids_a, kind="mergesort")
+            ids_a, Xa = ids_a[order], Xa[order]
+            sims = Xa @ Xa.T
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            keep = sims[iu, ju] >= threshold
+            a, b = ids_a[iu[keep]], ids_a[ju[keep]]
+            cos = sims[iu[keep], ju[keep]]
         else:
-            codes = np.zeros(len(batch), dtype=np.int64)
-        return pd.DataFrame(
-            {
-                id_col: batch[id_col],
-                "bucket": codes,
-                "vec": [row.tobytes() for row in X],
-                "dim": X.shape[1],
-            }
-        )
+            ids_b, Xb = _unpack_vec_table(tb)
+            sims = Xa @ Xb.T  # (na, nb)
+            ri, ci = np.nonzero(sims >= threshold)
+            a0, b0 = ids_a[ri], ids_b[ci]
+            swap = a0 > b0
+            a = np.where(swap, b0, a0)
+            b = np.where(swap, a0, b0)
+            cos = sims[ri, ci]
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": np.round(cos, 4)})
 
-    coded = ds.map_batches(code_batch, batch_format="pandas")
+    refs = [
+        pair_block.remote(blocks[i], blocks[j] if j != i else blocks[i], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    import ray.data as rd
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        X = np.vstack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
-        ids = g[id_col].to_numpy()
-        sims = X @ X.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[mask]],
-                "id_b": ids[ju[mask]],
-                "cosine": np.round(sims[iu[mask], ju[mask]], 4),
-            }
-        )
-
-    return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return rd.from_pandas_refs(refs)

@@ -196,7 +196,14 @@ def sessionize(
     ).to_pandas()
 
     merged_rows = []
-    for key, grp in edges.sort_values([key_col, "first_ts"]).groupby(key_col, sort=False):
+    # Partial order: block A precedes B iff A.last_ts ≤ B.first_ts (the
+    # input is ts-sorted), which implies (first_ts, last_ts) lexicographic
+    # order — the last_ts tie-break makes the merge deterministic when two
+    # partials of one key share first_ts (a block split between equal
+    # timestamps); remaining full ties are symmetric under the gap test.
+    for key, grp in edges.sort_values(
+        [key_col, "first_ts", "last_ts"], kind="mergesort"
+    ).groupby(key_col, sort=False):
         n_events = int(grp["n_events"].sum())
         n_sessions = int(grp["n_sessions"].sum())
         last = None

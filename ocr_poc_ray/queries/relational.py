@@ -149,10 +149,36 @@ limit {TOPK_N}
 # ---------------------------------------------------------------------------
 
 def _broadcast_lookup(sf_dir: str, table: str, key: str, val: str):
+    """Broadcast a key→value map as (sorted keys, value codes, categories)
+    numpy arrays.  ``ray.get`` of numpy arrays is a true zero-copy plasma
+    read cached per worker; a broadcast dict would be re-unpickled on
+    every task invocation (pickle deserialization is NOT zero-copy for
+    Python objects — only the array buffers ride out-of-band)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_path(sf_dir, table), columns=[key, val])
-    return ray.put(dict(zip(t[key].to_pylist(), t[val].to_pylist())))
+    keys = t[key].to_numpy()
+    order = np.argsort(keys, kind="mergesort")
+    vals = t[val].to_pandas()
+    if vals.dtype == object:
+        cat = pd.Categorical(vals)
+        codes = cat.codes.astype(np.int64)[order]
+        cats = np.asarray(cat.categories, dtype=object)  # tiny (dim values)
+    else:
+        codes = vals.to_numpy()[order]
+        cats = None
+    return ray.put({"keys": keys[order], "codes": codes, "cats": cats})
+
+
+def _lookup(state, arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values, hit_mask) for `arr` against a `_broadcast_lookup` state —
+    one vectorized searchsorted over the zero-copy key array."""
+    keys, codes, cats = state["keys"], state["codes"], state["cats"]
+    pos = np.minimum(np.searchsorted(keys, arr), len(keys) - 1)
+    hit = keys[pos] == arr
+    c = codes[pos]
+    vals = cats[c] if cats is not None else c
+    return vals, hit
 
 
 def rel_mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
@@ -162,11 +188,12 @@ def rel_mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def annotate_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # ray.get of a shared ref is a zero-copy plasma read, cached per
-        # worker — a plain task avoids actor-pool spin-up latency.
-        seg = batch["o_custkey"].map(ray.get(seg_ref))
-        b = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]})
-        b = b.dropna(subset=["c_mktsegment"])
+        # the ref holds numpy arrays → ray.get is a zero-copy plasma
+        # read cached per worker; a plain task avoids actor spin-up.
+        seg, hit = _lookup(ray.get(seg_ref), batch["o_custkey"].to_numpy())
+        b = pd.DataFrame(
+            {"c_mktsegment": seg[hit], "o_totalprice": batch["o_totalprice"].to_numpy()[hit]}
+        )
         return b.groupby("c_mktsegment", as_index=False).agg(
             total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
@@ -204,9 +231,14 @@ def rel_nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def annotate_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        n_name = batch["o_custkey"].map(ray.get(nat_ref)).map(ray.get(name_ref))
-        b = pd.DataFrame({"n_name": n_name, "o_totalprice": batch["o_totalprice"]})
-        b = b.dropna(subset=["n_name"])
+        nat, hit1 = _lookup(ray.get(nat_ref), batch["o_custkey"].to_numpy())
+        name, hit2 = _lookup(ray.get(name_ref), nat[hit1])
+        b = pd.DataFrame(
+            {
+                "n_name": name[hit2],
+                "o_totalprice": batch["o_totalprice"].to_numpy()[hit1][hit2],
+            }
+        )
         return b.groupby("n_name", as_index=False).agg(
             total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
@@ -492,50 +524,83 @@ Q3_SEGMENT = "BUILDING"
 Q3_TOPK = 10
 
 
+Q3_BUCKETS = 32
+
+
 def rel_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
-    """Top revenue orders for one market segment: broadcast the
-    qualifying custkeys, partial-aggregate revenue per order inside
-    map_batches, combine, then local-top-k merge — the whole composite
-    touches lineitem once and shuffles only (orderkey, partial-sum)
-    pairs."""
+    """Top revenue orders for one market segment, with no driver-side
+    fact-table read: broadcast ONLY the segment custkeys (a sorted
+    int64 numpy array — true zero-copy plasma reads in the tasks),
+    derive qualifying orderkeys with a distributed scan of orders,
+    partial-aggregate lineitem revenue per batch, then co-group the
+    (orderkey, partial) rows with the qualifying keys in Q3_BUCKETS
+    hash buckets — each bucket finishes its orders' sums, semi-joins
+    against its qualifying keys, and emits a local top-k.  The driver
+    only ever sees Q3_BUCKETS × k candidate rows."""
     import pyarrow.parquet as pq_
 
     cust = pq_.read_table(
         _path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    seg_keys = set(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"])
-    orders = pq_.read_table(
-        _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
-    ).to_pandas()
-    ok_orders = ray.put(set(orders.loc[orders["o_custkey"].isin(seg_keys), "o_orderkey"]))
+    )
+    seg_mask = pd.Series(cust["c_mktsegment"].to_pandas()) == Q3_SEGMENT
+    seg_keys = np.sort(cust["c_custkey"].to_numpy()[seg_mask.to_numpy()])
+    seg_ref = ray.put(seg_keys)
 
-    ds = ray.data.read_parquet(
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def qualifying(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(seg_ref)  # zero-copy numpy view of the plasma buffer
+        ok = batch["o_custkey"].to_numpy()
+        pos = np.searchsorted(keys, ok)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == ok)
+        q = batch.loc[hit, ["o_orderkey"]].rename(columns={"o_orderkey": "l_orderkey"})
+        return q.assign(revenue=0.0, src=np.int8(0))
+
+    qual = orders.map_batches(qualifying, batch_format="pandas")
+
+    lineitem = ray.data.read_parquet(
         _path(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
     def partial_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["l_orderkey"].isin(ray.get(ok_orders))]
-        if b.empty:
-            return pd.DataFrame({"l_orderkey": [], "revenue": []})
-        b = b.assign(revenue=b["l_extendedprice"] * (1.0 - b["l_discount"]))
-        return b.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        b = batch.assign(revenue=batch["l_extendedprice"] * (1.0 - batch["l_discount"]))
+        g = b.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return g.assign(src=np.int8(1))
 
-    # The heavy distributed work is the lineitem scan + per-batch partial
-    # sums; the combined partials are one row per (batch, qualifying
-    # order) — already shrunk by orders/batch locality — and a grouped
-    # Ray pass per order key would pay per-group overhead for each of
-    # them, so the final sum + top-k runs on the collected partials.
-    partials = (
-        ds.map_batches(partial_fn, batch_format="pandas").to_pandas()
+    partials = lineitem.map_batches(partial_fn, batch_format="pandas")
+
+    def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(bucket=(batch["l_orderkey"] % Q3_BUCKETS).astype("int64"))
+
+    both = qual.union(partials).map_batches(bucketed, batch_format="pandas")
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        quals = group.loc[group["src"] == 0, "l_orderkey"].unique()
+        sums = (
+            group[group["src"] == 1]
+            .groupby("l_orderkey", as_index=False)["revenue"].sum()
+        )
+        sums = sums[sums["l_orderkey"].isin(quals)]
+        return sums.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(Q3_TOPK)
+
+    cands = (
+        both.groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
     )
-    per_order = partials.groupby("l_orderkey", as_index=False)["revenue"].sum()
-    out = per_order.sort_values(
+    out = cands.sort_values(
         ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
     ).head(Q3_TOPK)
     out = out.reset_index(drop=True)
     out["revenue"] = out["revenue"].round(2)
-    return out.astype({"l_orderkey": "int64", "revenue": "float64"})
+    return out[["l_orderkey", "revenue"]].astype(
+        {"l_orderkey": "int64", "revenue": "float64"}
+    )
 
 
 REL_TOP_REVENUE_ORDERS_SQL = f"""

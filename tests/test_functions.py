@@ -190,6 +190,23 @@ def test_embedding_near_dup_pairs():
     assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
 
 
+def test_embedding_near_dup_blocked_grid_matches_single_chunk(emb_ds):
+    """The exact blocked pair-grid (many chunks, one task per chunk
+    pair) must return exactly the single-chunk result."""
+    from ocr_poc_ray.functions import embedding_near_dup_pairs
+
+    def run(chunk_rows):
+        out = embedding_near_dup_pairs(
+            emb_ds, threshold=0.35, chunk_rows=chunk_rows
+        ).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    one = run(10**9)   # everything in one chunk
+    many = run(50)     # forces a multi-chunk C×C grid
+    pd.testing.assert_frame_equal(one, many)
+    assert len(one) > 0
+
+
 # -- multimodal --------------------------------------------------------------
 def test_media_decode_stub_pipeline():
     from ocr_poc_ray.functions.multimodal import (

@@ -196,3 +196,35 @@ def test_rolling_and_asof_with_timestamp_ties(ray_session):
     # included — purchase 4 (ts+20) matches click 6 (also ts+20),
     # matching DuckDB's ASOF JOIN (the oracle for this operator)
     assert m[2] == 3 and m[5] == 3 and m[4] == 6
+
+
+@pytest.mark.parametrize("nblocks", [2, 5, 13])
+def test_sessionize_duplicate_timestamps(ray_session, nblocks):
+    """Block splits landing BETWEEN equal timestamps must not mis-merge
+    sessions: partials of one key sharing first_ts are ordered by the
+    (first_ts, last_ts) tie-break in the edge merge."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import sessionize
+
+    rng = np.random.RandomState(11)
+    rows, eid = [], 0
+    for u in range(4):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(30):
+            # heavy duplication: 60% of steps repeat the same timestamp
+            step = rng.choice([0, 0, 0, 120, 2500])
+            t = t + pd.Timedelta(seconds=int(step))
+            rows.append({"user_id": u, "ts": t, "event_id": eid})
+            eid += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=1).reset_index(drop=True)
+
+    got = (
+        sessionize(rd.from_pandas(df), gap_s=1800.0, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        .astype({"n_events": "int64", "n_sessions": "int64"})
+    )
+    exp = _oracle_sessions(df, 1800.0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
