@@ -36,13 +36,30 @@ _MRZ_PREFIX = "I<"
 _MRZ_FILLER = "<<<"
 _COUNTRY_CODE_RE = re.compile(r"^[A-Z]{3}$")
 
+#: Watermark / country-word vocabulary dropped by the 25F-style noise
+#: filter (``cni_extractor_25_f.py:42-48``: ``ignore_words``).  Consumed
+#: per layout (``extractors/fields.FieldLayout.noise_words``) — the
+#: plain transcript path deliberately does NOT apply it, mirroring the
+#: reference where only the 25F preprocess filters watermarks.
+WATERMARK_WORDS: frozenset[str] = frozenset(
+    {
+        "TRAVAIL", "PATRIE", "WORK", "FATHERLAND",
+        "CMR", "CAMEROUN", "CAMEROON",
+        "REPUBLIQUE", "REPUBLIC", "DU", "OF",
+        "CARTE", "NATIONALE", "IDENTITE",
+        "NATIONAL", "IDENTITY", "CARD",
+    }
+)
 
-def is_noise_line(line: str) -> bool:
+
+def is_noise_line(line: str, *, noise_words: frozenset[str] = frozenset()) -> bool:
     """Line-level noise predicate (P2 analog).
 
     Drops machine-readable-zone-style lines and bare 3-letter country
     codes — cf. ``cni_extractor_25_b.py:121-129`` (``startswith('I<')``,
-    ``'<<<' in text``, bare ``CMR``).
+    ``'<<<' in text``, bare ``CMR``).  Pass ``noise_words`` (e.g.
+    ``WATERMARK_WORDS``) to also drop known single-word watermarks
+    (``cni_extractor_25_f.py:130-138``).
     """
     s = line.strip()
     if not s:
@@ -50,6 +67,8 @@ def is_noise_line(line: str) -> bool:
     if s.startswith(_MRZ_PREFIX) or _MRZ_FILLER in s:
         return True
     if _COUNTRY_CODE_RE.match(s):
+        return True
+    if noise_words and s.upper() in noise_words:
         return True
     return False
 

@@ -26,8 +26,10 @@ range 1.0–2.5 m, alpha names).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from difflib import SequenceMatcher
+
+from ocr_poc_ray.extractors.base import WATERMARK_WORDS
 
 # ---------------------------------------------------------------------------
 # P3: fuzzy similarity — SequenceMatcher ratio with a prefix bonus
@@ -113,6 +115,17 @@ class FieldExtractorConfig:
 
 DEFAULT_CONFIG = FieldExtractorConfig()
 
+# The reference's four per-extractor P1 gates — each (version, side)
+# variant hard-codes its own can_proceed counts:
+#   18F: ≥8 valid, mean ≥ 0.5, ≥5 good   (cni_extractor_18_f.py:84-87)
+#   18B: ≥5 valid, mean ≥ 0.5, ≥3 good   (cni_extractor_18_b.py:91-93)
+#   25F: ≥6 valid, mean ≥ 0.5, ≥4 good   (cni_extractor_25_f.py:96-98)
+#   25B: ≥5 valid, mean ≥ 0.5, ≥3 good   (cni_extractor_25_b.py:93-95)
+GATE_18F = FieldExtractorConfig(min_positive_lines=8, min_good_lines=5)
+GATE_18B = FieldExtractorConfig(min_positive_lines=5, min_good_lines=3)
+GATE_25F = FieldExtractorConfig(min_positive_lines=6, min_good_lines=4)
+GATE_25B = FieldExtractorConfig(min_positive_lines=5, min_good_lines=3)
+
 
 @dataclass(frozen=True)
 class FieldLayout:
@@ -133,6 +146,16 @@ class FieldLayout:
     fallback_fields: tuple[str, ...]
     #: fields cleared when a label leaked into them (N2 repair)
     repair_fields: tuple[str, ...]
+    #: per-layout P1 gate — the reference hard-codes a different
+    #: can_proceed triple in each extractor class (GATE_18F/18B/25F/25B)
+    config: FieldExtractorConfig = DEFAULT_CONFIG
+    #: 25F watermark vocabulary (cni_extractor_25_f.py:130-133): lines
+    #: whose upper() is in this set are dropped by the P2 preprocess
+    noise_words: frozenset = frozenset()
+    #: 25F country-code drop (:135-138): bare 3-letter uppercase words
+    drop_country_codes: bool = False
+    #: 25B MRZ drop (cni_extractor_25_b.py:121-124): I< / <<< lines
+    drop_mrz: bool = False
 
     @property
     def anchor_strings(self) -> tuple[str, ...]:
@@ -140,7 +163,7 @@ class FieldLayout:
 
 
 FRONT_LAYOUT = FieldLayout(
-    name="front",
+    name="front_18",
     all_fields=ALL_FIELDS,
     regex_specs=(
         ("taille", HEIGHT_RE, "validate_height", "normalize_height"),
@@ -150,10 +173,11 @@ FRONT_LAYOUT = FieldLayout(
     anchor_vocab=ANCHOR_VOCAB,
     fallback_fields=FALLBACK_FIELDS,
     repair_fields=("nom", "prenom"),
+    config=GATE_18F,
 )
 
 BACK_LAYOUT = FieldLayout(
-    name="back",
+    name="back_18",
     all_fields=BACK_FIELDS,
     regex_specs=(
         ("identifiant_unique", UNIQUE_ID_RE, None, None),
@@ -164,13 +188,39 @@ BACK_LAYOUT = FieldLayout(
     anchor_vocab=BACK_ANCHOR_VOCAB,
     fallback_fields=("autorite", "adresse"),
     repair_fields=("autorite",),
+    config=GATE_18B,
+)
+
+#: 2025-version variants: same field programs, the 25-series gates and
+#: noise filters (watermark vocabulary + country-code drop on the
+#: front, MRZ drop + bare CMR on the back).
+FRONT_25_LAYOUT = _dc_replace(
+    FRONT_LAYOUT,
+    name="front_25",
+    config=GATE_25F,
+    noise_words=WATERMARK_WORDS,
+    drop_country_codes=True,
+)
+
+BACK_25_LAYOUT = _dc_replace(
+    BACK_LAYOUT,
+    name="back_25",
+    config=GATE_25B,
+    noise_words=frozenset({"CMR"}),
+    drop_mrz=True,
 )
 
 #: the layout registry — add an entry to support a new document side /
-#: version, exactly how the reference grows its 2×2 dict.
+#: version, exactly how the reference grows its 2×2 dict
+#: (``ocr/id_card_data_extractor.py:25-35``).  "front"/"back" alias the
+#: 2018 variants (the synth corpus's default layouts).
 FIELD_LAYOUTS: dict[str, FieldLayout] = {
     "front": FRONT_LAYOUT,
     "back": BACK_LAYOUT,
+    "front_18": FRONT_LAYOUT,
+    "back_18": BACK_LAYOUT,
+    "front_25": FRONT_25_LAYOUT,
+    "back_25": BACK_25_LAYOUT,
 }
 
 _ALL_ANCHOR_STRINGS = tuple(s for syns in ANCHOR_VOCAB.values() for s in syns)
@@ -287,9 +337,14 @@ class FieldResult:
     error: str = ""
 
 
-def _preprocess(texts, scores, polys, cfg: FieldExtractorConfig) -> list[_Line]:
+def _preprocess(
+    texts, scores, polys, cfg: FieldExtractorConfig, layout: "FieldLayout" = None
+) -> list[_Line]:
     """P2: drop low-score / empty / short-non-latin lines
-    (cni_extractor_18_f.py:93-132)."""
+    (cni_extractor_18_f.py:93-132), plus the layout's own noise rules —
+    25F watermark vocabulary and bare country codes
+    (cni_extractor_25_f.py:120-138), 25B MRZ lines
+    (cni_extractor_25_b.py:121-129)."""
     lines: list[_Line] = []
     for i, (t, s, p) in enumerate(zip(texts, scores, polys)):
         if s < cfg.min_line_score:
@@ -299,6 +354,13 @@ def _preprocess(texts, scores, polys, cfg: FieldExtractorConfig) -> list[_Line]:
             continue
         if len(t) <= 2 and any(ord(c) > 127 for c in t):
             continue
+        if layout is not None:
+            if layout.drop_mrz and (t.startswith("I<") or "<<<" in t):
+                continue
+            if layout.noise_words and t.upper() in layout.noise_words:
+                continue
+            if layout.drop_country_codes and len(t) == 3 and t.isupper() and t.isalpha():
+                continue
         cx, cy, x1 = _centroid(p)
         lines.append(_Line(idx=i, text=t, score=float(s), cx=cx, cy=cy, x1=x1))
     return lines
@@ -343,9 +405,13 @@ def extract_fields(
     texts,
     scores,
     polys,
-    config: FieldExtractorConfig = DEFAULT_CONFIG,
+    config: FieldExtractorConfig | None = None,
     layout: FieldLayout = FRONT_LAYOUT,
 ) -> FieldResult:
+    # explicit config overrides; otherwise each layout carries its own
+    # gate (the reference's per-extractor can_proceed thresholds)
+    if config is None:
+        config = layout.config
     ok, quality = _quality_gate(scores, config)
     if not ok:
         return FieldResult(
@@ -358,7 +424,7 @@ def extract_fields(
         )
 
     polys, _skew = deskew_polys(polys)  # N3 geometric normalization
-    lines = _preprocess(texts, scores, polys, config)
+    lines = _preprocess(texts, scores, polys, config, layout)
     fields: dict = {f: None for f in layout.all_fields}
     anchor_strings = layout.anchor_strings
 

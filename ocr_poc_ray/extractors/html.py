@@ -146,7 +146,12 @@ class _BlockCollector:
                 self.handle_endtag(tag)
                 continue
             self.handle_starttag(tag)
-            if m.group(3) and m.group(3).rstrip().endswith("/"):
+            attrs = (m.group(3) or "").rstrip()
+            # self-closing only when the '/' is its own token (preceded
+            # by whitespace/quote or alone) — a '/' ending an unquoted
+            # attribute value (<a href=http://x.com/>) is part of the
+            # value, matching html.parser/HTML5
+            if attrs.endswith("/") and (len(attrs) == 1 or attrs[-2] in " \t\r\n\"'"):
                 self.handle_endtag(tag)  # self-closing <x/>
             elif tag in _RAWTEXT:
                 # CDATA: swallow everything to the matching close tag

@@ -57,7 +57,9 @@ def extract_fields_batch(batch: pa.Table) -> pa.Table:
             continue
         r = extract_fields(texts[i] or [], scores[i] or [], polys[i] or [], layout=layout)
         cols["doc_id"].append(doc_ids[i])
-        cols["layout"].append(layout.name)
+        # echo the INPUT registry key ("front" aliases front_18 etc.)
+        # so goldens keyed on the input layout stay joinable
+        cols["layout"].append(layouts[i] or "front")
         cols["success"].append(r.success)
         for f in field_cols:
             cols[f].append(r.fields.get(f))

@@ -58,7 +58,7 @@ BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 #: bump when generator OUTPUT changes for the same (n, seed) — cache
 #: keys (bench fixtures) include it so stale corpora are regenerated.
-FIXTURE_VERSION = "3"
+FIXTURE_VERSION = "4"  # 4: front span docs padded to the 18F quality gate
 
 
 def _sentence(rng: random.Random, min_chars: int = 30) -> str:
@@ -484,6 +484,13 @@ def generate_span_docs(n_docs: int = 200, seed: int = 99):
             spans.append(_span(rng.choice(_MRZ_SAMPLES), 60.0, 600.0, _CONTENT_SCORE))
         for _ in range(rng.randint(0, 3)):
             spans.append(_span(rng.choice(_WORDS), 300.0, 640.0, 0.2))
+
+        # pad to the 18F gate (≥8 positive / ≥5 good): inert high-score
+        # filler below every field row — unconsumed, never fallback-
+        # assigned (P9 takes the first three unconsumed lines in y order)
+        n_good = sum(1 for sp in spans if sp[1] > 0.7)
+        for k in range(max(0, 8 - n_good)):
+            spans.append(_span(f"pad{k}", 300.0, 700.0 + 40.0 * k, _CONTENT_SCORE))
 
         if rng.random() < 0.25:
             spans = _skew_spans(rng, spans)

@@ -254,3 +254,32 @@ def test_pdf_multipage_reading_order():
     r = extract_pdf("\n".join(spans))
     assert r.success
     assert r.extracted_text == "page0-first page0-second page1-first page1-second"
+
+
+def test_html_unquoted_attr_slash_not_selfclosing():
+    """<a href=http://x.com/> — the '/' belongs to the unquoted
+    attribute value, so the <a> stays OPEN (html.parser/HTML5 parity)
+    and its text counts as link chars; '<br />' and '<img src="x"/>'
+    remain self-closing."""
+    from ocr_poc_ray.extractors.html import extract_html
+
+    # the anchor's text must be accounted as link chars → block dropped
+    # by link density, proving the <a> was not closed at the tag end
+    linky = (
+        "<p><a href=http://x.com/>click click click click click</a></p>"
+        "<p>An honest full-length paragraph that easily clears the "
+        "minimum content threshold for keeping blocks.</p>"
+    )
+    r = extract_html(linky)
+    assert r.success
+    assert "click" not in r.extracted_text
+    assert "honest full-length paragraph" in r.extracted_text
+
+    # quoted/space self-closing forms still close immediately: the text
+    # after them is NOT link text
+    kept = (
+        '<p><img src="x"/><br />A plain paragraph long enough to keep '
+        "with no anchors anywhere inside it at all.</p>"
+    )
+    r2 = extract_html(kept)
+    assert r2.success and "plain paragraph long enough" in r2.extracted_text

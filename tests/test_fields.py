@@ -188,3 +188,78 @@ def test_unknown_layout_is_failure_row(ray_session):
     out = extract_fields_ds(rd.from_arrow(bad)).to_pandas()
     assert (~out["success"]).all()
     assert (out["error"] == "unknown_layout:mystery").all()
+
+
+# ---------------------------------------------------------------------------
+# Per-layout P1 gates + 25-series noise filters (reference parity:
+# cni_extractor_{18_f,18_b,25_f,25_b}.py)
+# ---------------------------------------------------------------------------
+
+def _poly(i):
+    y = 80 + 60 * i
+    return [[60, y], [220, y], [220, y + 12], [60, y + 12]]
+
+
+def test_per_layout_quality_gates():
+    """Seven 0.95-score lines pass the 18B/25F/25B gates but FAIL the
+    18F gate (≥8 valid / ≥5 good); five lines pass only the B gates."""
+    from ocr_poc_ray.extractors.fields import (
+        BACK_25_LAYOUT, BACK_LAYOUT, FRONT_25_LAYOUT, FRONT_LAYOUT,
+    )
+
+    def run(n, layout):
+        texts = [f"word{i}" for i in range(n)]
+        return extract_fields(texts, [0.95] * n, [_poly(i) for i in range(n)], layout=layout)
+
+    assert run(7, FRONT_LAYOUT).error == "quality_gate_failed"      # 18F: 7 < 8
+    assert run(8, FRONT_LAYOUT).error != "quality_gate_failed"
+    assert run(7, BACK_LAYOUT).error != "quality_gate_failed"       # 18B: 7 ≥ 5
+    assert run(7, FRONT_25_LAYOUT).error != "quality_gate_failed"   # 25F: 7 ≥ 6
+    assert run(5, FRONT_25_LAYOUT).error == "quality_gate_failed"   # 25F: 5 < 6
+    assert run(5, BACK_25_LAYOUT).error != "quality_gate_failed"    # 25B: 5 ≥ 5
+
+
+def test_front_25_watermark_vocabulary():
+    """25F noise filter: watermark words and bare country codes are
+    dropped before fallback assignment — a TRAVAIL/CAMEROUN/CMR line
+    must never land in a field (cni_extractor_25_f.py:120-138); the
+    18F layout keeps them (its preprocess has no ignore_words)."""
+    from ocr_poc_ray.extractors.fields import FRONT_25_LAYOUT, FRONT_LAYOUT
+
+    texts = ["TRAVAIL", "CAMEROUN", "CMR", "DUPONT", "MARIE", "DOUALA",
+             "pad0", "pad1", "pad2"]
+    n = len(texts)
+    scores = [0.95] * n
+    polys = [_poly(i) for i in range(n)]
+
+    r25 = extract_fields(texts, scores, polys, layout=FRONT_25_LAYOUT)
+    assert r25.success
+    assert r25.fields["nom"] == "DUPONT"
+    assert r25.fields["prenom"] == "MARIE"
+    assert r25.fields["lieu_naissance"] == "DOUALA"
+
+    r18 = extract_fields(texts, scores, polys, layout=FRONT_LAYOUT)
+    assert r18.fields["nom"] == "TRAVAIL"  # 18F keeps watermark lines
+
+
+def test_back_25_mrz_drop():
+    """25B preprocess drops MRZ lines (I< / <<<) and bare CMR before
+    fallback assignment (cni_extractor_25_b.py:121-129)."""
+    from ocr_poc_ray.extractors.fields import BACK_25_LAYOUT
+
+    texts = ["I<CMR0000000<<<<<", "CMR", "PREFECTURE", "RUE 12", "pad0", "pad1"]
+    n = len(texts)
+    r = extract_fields(texts, [0.95] * n, [_poly(i) for i in range(n)],
+                       layout=BACK_25_LAYOUT)
+    assert r.success
+    assert r.fields["autorite"] == "PREFECTURE"
+    assert r.fields["adresse"] == "RUE 12"
+
+
+def test_layout_registry_is_two_by_two():
+    from ocr_poc_ray.extractors.fields import FIELD_LAYOUTS
+
+    assert {"front_18", "back_18", "front_25", "back_25"} <= set(FIELD_LAYOUTS)
+    # aliases keep the synth corpus's layout keys working
+    assert FIELD_LAYOUTS["front"] is FIELD_LAYOUTS["front_18"]
+    assert FIELD_LAYOUTS["back"] is FIELD_LAYOUTS["back_18"]
