@@ -548,6 +548,111 @@ def ngram_jaccard_verify(
 
 
 # --------------------------------------------------------------------------
+# Exact all-pairs n-gram Jaccard similarity join (blocked pair-grid)
+# --------------------------------------------------------------------------
+
+
+def _pack_shingles(batch: pd.DataFrame, id_col: str, text_col: str, ngram: int) -> pd.DataFrame:
+    """One row per doc: sorted distinct shingle hashes packed as bytes."""
+    th, offsets = _batch_token_hashes(batch[text_col])
+    sh_bytes, counts = [], []
+    for d in range(len(batch)):
+        sh = _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram)
+        sh_bytes.append(np.sort(sh).tobytes())
+        counts.append(len(sh))
+    return pd.DataFrame(
+        {"ids_": batch[id_col], "sh": sh_bytes, "n_sh": np.asarray(counts, dtype=np.int64)}
+    )
+
+
+def _unpack_shingles(t) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, flat_hashes, doc_index_per_hash, shingle_counts)."""
+    ids = np.asarray(t["ids_"].to_pandas())
+    shl = [np.frombuffer(b, dtype=np.uint64) for b in t["sh"].to_pylist()]
+    lens = np.asarray([len(x) for x in shl], dtype=np.int64)
+    flat = np.concatenate(shl) if shl else np.array([], dtype=np.uint64)
+    return ids, flat, np.repeat(np.arange(len(shl)), lens), lens
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_rows: int = 2048,
+) -> Dataset:
+    """EXACT all-pairs word-n-gram Jaccard similarity join:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold and id_a < id_b.
+
+    The no-LSH exact counterpart of ``minhash_lsh_pairs`` (DuckDB-
+    oracle-verifiable), using the blocked pair-grid shape from
+    ``similarity.embedding_near_dup_pairs``: each Ray task holds TWO
+    row-chunks and counts shared shingles with one vectorized pandas
+    hash-merge (never a per-pair Python loop).  Quadratic work is
+    inherent to exact all-pairs — use the MinHash path at corpus scale.
+    """
+    import ray
+    import ray.data as rd
+
+    packed = ds.map_batches(
+        lambda b: _pack_shingles(b, id_col, text_col, ngram), batch_format="pandas"
+    ).materialize()
+    n = packed.count()
+    if n == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        ).limit(0)
+    n_chunks = max(1, -(-n // chunk_rows))
+    blocks = packed.repartition(n_chunks).to_arrow_refs()
+
+    @ray.remote
+    def pair_block(ta, tb, same: bool) -> pd.DataFrame:
+        ids_a, fa, da, la = _unpack_shingles(ta)
+        if same:
+            order = np.argsort(ids_a, kind="mergesort")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            ids_a, la = ids_a[order], la[order]
+            da = rank[da]  # doc indices now in id order → ia < ib ⇒ id_a < id_b
+            ids_b, fb, db, lb = ids_a, fa, da, la
+        else:
+            ids_b, fb, db, lb = _unpack_shingles(tb)
+        if len(fa) == 0 or len(fb) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        nb = len(ids_b)
+        m = pd.DataFrame({"h": fa, "ia": da}).merge(
+            pd.DataFrame({"h": fb, "ib": db}), on="h"
+        )
+        # shingles are distinct within a doc → one merge row per
+        # (pair, shared shingle); pair intersection = key multiplicity
+        key = m["ia"].to_numpy() * nb + m["ib"].to_numpy()
+        uniq, inter = np.unique(key, return_counts=True)
+        ia, ib = uniq // nb, uniq % nb
+        if same:
+            keep = ia < ib  # drop self pairs + mirrored duplicates
+            ia, ib, inter = ia[keep], ib[keep], inter[keep]
+        union = la[ia] + lb[ib] - inter
+        jac = inter / union
+        keep = jac >= threshold
+        a0, b0 = ids_a[ia[keep]], ids_b[ib[keep]]
+        if not same:
+            swap = a0 > b0
+            a0, b0 = np.where(swap, b0, a0), np.where(swap, a0, b0)
+        return pd.DataFrame(
+            {"id_a": a0, "id_b": b0, "jaccard": np.round(jac[keep], 6)}
+        )
+
+    refs = [
+        pair_block.remote(blocks[i], blocks[j] if j != i else blocks[i], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    return rd.from_pandas_refs(refs)
+
+
+# --------------------------------------------------------------------------
 # Connected components over candidate pairs.
 #
 # Candidate pairs are the OUTPUT of the LSH passes — orders of
@@ -589,3 +694,85 @@ def connected_components(pairs: Dataset) -> Dataset:
         {"doc_id": nodes, "component": [find(n) for n in nodes]}
     )
     return rd.from_pandas(out)
+
+
+def connected_components_distributed(
+    pairs: Dataset, *, num_buckets: int = 32, max_rounds: int = 64
+) -> Dataset:
+    """(doc_id, component=min id) via hash-partitioned min-label
+    propagation — the corpus-scale dataflow the driver union-find's
+    docstring promises (edges >> one machine's memory).
+
+    Each round: every edge sends its endpoints' current labels to the
+    opposite endpoint, and each node takes the min over its own label
+    and the received ones — a bucketed co-group (``num_buckets`` groups,
+    never one per node).  Converges in O(component diameter) rounds;
+    the only driver-side value per round is one scalar checksum.
+    """
+    import ray.data as rd
+
+    def to_directed(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": batch["doc_a"], "dst": batch["doc_b"]})
+        rev = pd.DataFrame({"src": batch["doc_b"], "dst": batch["doc_a"]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        to_directed, batch_format="pandas"
+    ).materialize()
+    if edges.count() == 0:
+        return rd.from_pandas(pd.DataFrame({"doc_id": [], "component": []})).limit(0)
+
+    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.drop_duplicates("src")
+        return pd.DataFrame({"node": g["src"], "label": g["src"]})
+
+    def dedup_min(ds_labels: Dataset) -> Dataset:
+        def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(bucket=(pd.util.hash_array(b["node"].to_numpy()) %
+                                    num_buckets).astype("int64"))
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["label"].min()
+
+        return (
+            ds_labels.map_batches(bucketed, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pandas")
+        )
+
+    labels = dedup_min(edges.map_batches(init_labels, batch_format="pandas")).materialize()
+
+    def checksum(ds_labels: Dataset) -> int:
+        # labels only ever decrease → the sum strictly decreases while
+        # anything still propagates; equal sums ⇒ fixpoint
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"s": [int(b["label"].sum())]})
+
+        parts = ds_labels.map_batches(partial, batch_format="pandas").to_pandas()
+        return int(parts["s"].sum())
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        # messages: for edge (src,dst), dst receives label(src)
+        msgs = edges.join(
+            labels.map_batches(
+                lambda b: b.rename(columns={"node": "src", "label": "src_label"}),
+                batch_format="pandas",
+            ).repartition(num_buckets),
+            "inner",
+            num_partitions=num_buckets,
+            on=("src",),
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"], "label": b["src_label"]}),
+            batch_format="pandas",
+        ).repartition(num_buckets)
+        labels = dedup_min(labels.union(msgs)).materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["node"], "component": b["label"]}),
+        batch_format="pandas",
+    )

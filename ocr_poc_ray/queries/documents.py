@@ -20,7 +20,11 @@ import ray.data
 
 from ocr_poc_ray.extractors.plain import extract_plain
 from ocr_poc_ray.functions.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
-from ocr_poc_ray.functions.dedup import connected_components, ngram_jaccard_verify
+from ocr_poc_ray.functions.dedup import (
+    connected_components,
+    ngram_jaccard_pairs,
+    ngram_jaccard_verify,
+)
 from ocr_poc_ray.functions.textstats import (
     add_fingerprints,
     add_langid,
@@ -231,6 +235,54 @@ def doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_a", "doc_b", "hamming"]].astype(
         {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
     )
+
+
+JACCARD_THRESHOLD = 0.5
+JACCARD_MAX_DOC_ID = 500  # absolute id range (not a mod filter — that
+# would break up near-dup pairs): the whole corpus at sf0.01, and a
+# bounded subset at larger sf so the O(n²) oracle cross-join stays
+# tractable at every scale the checker runs
+
+
+def doc_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs n-gram Jaccard join (blocked pair-grid) over a
+    deterministic doc subset — the oracle-verified exact counterpart of
+    the MinHash candidate path (same shingle semantics)."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    out = ngram_jaccard_pairs(ds, threshold=JACCARD_THRESHOLD, chunk_rows=256).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+
+
+# Same shingles relationally: tokens = \S+ runs of lower(text) (mirrors
+# Python .split()), word 3-grams (docs shorter than 3 tokens collapse to
+# one whole-doc shingle), distinct; jaccard over list_intersect/union.
+DOC_JACCARD_PAIRS_SQL = rf"""
+with t as (
+  select doc_id, toks,
+         case when len(toks) = 0 then []::VARCHAR[]
+              when len(toks) < 3 then [array_to_string(toks, ' ')]
+              else list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)]) end as sh
+  from (
+    select doc_id, regexp_extract_all(lower(text), '\S+') as toks
+    from documents where doc_id < {JACCARD_MAX_DOC_ID}
+  )
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) as jaccard
+from t a join t b on a.doc_id < b.doc_id
+where len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
 
 
 def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
@@ -485,5 +537,6 @@ REGISTRY = {
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
+    "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
 }

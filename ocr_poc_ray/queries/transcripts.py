@@ -197,11 +197,40 @@ def mm_decode(sf_dir: str) -> pd.DataFrame:
     return out.astype({"width": "int64", "height": "int64", "duration_ms": "int64"})
 
 
+# The media table is deterministic from documents.doc_id (_media_ds
+# above), so the decode stage's metadata IS SQL-expressible: the oracle
+# re-derives media_id/kind/dimensions and the corrupt-payload rule
+# (every 37th payload → decode_ok = false, -1 dims) relationally.
+MM_DECODE_SQL = """
+select printf('m-%08d', doc_id) as media_id,
+       case doc_id % 3 when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
+       doc_id % 37 <> 0 as decode_ok,
+       case when doc_id % 37 <> 0 then 64 + (doc_id % 7) * 16 else -1 end as width,
+       case when doc_id % 37 <> 0 then 48 + (doc_id % 5) * 16 else -1 end as height,
+       case when doc_id % 37 = 0 then -1
+            when doc_id % 3 = 2 then 3000 + (doc_id % 11) * 500
+            else 0 end as duration_ms
+from documents
+"""
+
+
 def mm_frame_sample(sf_dir: str) -> pd.DataFrame:
     from ocr_poc_ray.functions.multimodal import sample_frames
 
     out = sample_frames(_media_ds(sf_dir), every_ms=1000).to_pandas()
     return out.astype({"frame_idx": "int64", "ts_ms": "int64"})
+
+
+MM_FRAME_SAMPLE_SQL = """
+with v as (
+  select printf('m-%08d', doc_id) as media_id,
+         3000 + (doc_id % 11) * 500 as dur
+  from documents
+  where doc_id % 3 = 2 and doc_id % 37 <> 0
+)
+select media_id, ts_ms // 1000 as frame_idx, ts_ms
+from (select media_id, unnest(range(0, dur, 1000)) as ts_ms from v)
+"""
 
 
 def fields_extract_synth(sf_dir: str) -> pd.DataFrame:
@@ -298,6 +327,6 @@ REGISTRY = {
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),
     "xs_conv_stats": (xs_conv_stats, XS_CONV_STATS_SQL),
-    "mm_decode": (mm_decode, None),
-    "mm_frame_sample": (mm_frame_sample, None),
+    "mm_decode": (mm_decode, MM_DECODE_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
 }

@@ -316,3 +316,70 @@ def test_hll_distinct_within_tolerance(ray_session):
     for _, row in by.iterrows():
         e = exact_by[row["event_type"]]
         assert abs(row["approx_distinct"] - e) / e < 0.05
+
+
+def test_ngram_jaccard_pairs_exact_blocked_grid():
+    """Exact all-pairs Jaccard join: equals the per-pair _shingles
+    brute force, and the multi-chunk grid equals the single-chunk run."""
+    from itertools import combinations
+
+    from ocr_poc_ray.functions.dedup import _shingles, ngram_jaccard_pairs
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique text number {i} " + "pad word " * (i % 5)})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})
+    rows.append({"doc_id": 102, "text": base.replace("zeta", "zzz")})
+    docs = ray.data.from_items(rows)
+
+    def brute():
+        out = []
+        for (ia, ta), (ib, tb) in combinations([(r["doc_id"], r["text"]) for r in rows], 2):
+            sa, sb = _shingles(ta), _shingles(tb)
+            u = len(sa | sb)
+            j = len(sa & sb) / u if u else 0.0
+            if j >= 0.5:
+                a, b = min(ia, ib), max(ia, ib)
+                out.append((a, b, round(j, 6)))
+        return sorted(out)
+
+    def run(chunk_rows):
+        out = ngram_jaccard_pairs(docs, threshold=0.5, chunk_rows=chunk_rows).to_pandas()
+        return sorted(zip(out["id_a"], out["id_b"], out["jaccard"]))
+
+    exp = brute()
+    assert run(10**9) == exp          # single chunk
+    assert run(7) == exp              # forced multi-chunk grid
+    assert (100, 101, 1.0) in exp     # sanity: planted exact dup found
+
+
+def test_connected_components_distributed_matches_union_find():
+    import numpy as np
+
+    from ocr_poc_ray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rng = np.random.RandomState(5)
+    # several chains + rings + isolated pairs, ids shuffled
+    edges = []
+    nid = 0
+    for comp in range(12):
+        size = int(rng.randint(2, 9))
+        ids = [nid + k for k in range(size)]
+        nid += size + int(rng.randint(0, 3))  # gaps between id ranges
+        for a, b in zip(ids, ids[1:]):
+            edges.append({"doc_a": a, "doc_b": b})
+        if size > 3 and rng.rand() < 0.5:
+            edges.append({"doc_a": ids[0], "doc_b": ids[-1]})  # close a ring
+    rng.shuffle(edges)
+    pairs = ray.data.from_items(edges)
+
+    exact = connected_components(pairs).to_pandas()
+    dist = connected_components_distributed(pairs, num_buckets=4).to_pandas()
+    exact_map = dict(zip(exact["doc_id"], exact["component"]))
+    dist_map = dict(zip(dist["doc_id"], dist["component"]))
+    assert exact_map == dist_map
