@@ -711,6 +711,122 @@ from events
 """
 
 
+ANTI_JOIN_BUCKETS = 32
+ANTI_JOIN_MIN_PRICE = 300_000.0
+
+
+def rel_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-join (NOT EXISTS): customers with no order above
+    ANTI_JOIN_MIN_PRICE (the filter keeps the result non-trivial — every
+    customer in this corpus has SOME order).
+
+    Neither side is collected or broadcast: both are projected to the
+    key column, per-batch pre-shrunk (order custkeys filtered + deduped
+    in the batch — the combiner), tagged, and co-grouped in
+    ANTI_JOIN_BUCKETS hash buckets; each bucket emits its customer keys
+    absent from its order-key set.  The exchange moves only distinct
+    keys."""
+
+    def tag_cust(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["c_custkey"],
+                "src": np.int8(0),
+                "bucket": (batch["c_custkey"] % ANTI_JOIN_BUCKETS).astype("int64"),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch.loc[
+            batch["o_totalprice"] > ANTI_JOIN_MIN_PRICE, "o_custkey"
+        ].drop_duplicates()
+        return pd.DataFrame(
+            {"k": k, "src": np.int8(1), "bucket": (k % ANTI_JOIN_BUCKETS).astype("int64")}
+        )
+
+    cust = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey"]
+    ).map_batches(tag_cust, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(tag_orders, batch_format="pandas")
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        have = group.loc[group["src"] == 1, "k"].unique()
+        keys = group.loc[group["src"] == 0, "k"]
+        return pd.DataFrame({"c_custkey": keys[~keys.isin(have)]})
+
+    out = (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if "c_custkey" not in out.columns:  # every customer had an order
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.astype({"c_custkey": "int64"})
+
+
+REL_CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+select c_custkey from customer c
+where not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_totalprice > {ANTI_JOIN_MIN_PRICE})
+"""
+
+
+TOPK_PER_USER = 3
+
+
+def rel_topk_events_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (the many-group window rank): top-3 events by value
+    per user.  Per-batch local top-k per user is the combiner (≤ k rows
+    per (batch, user) survive); the final per-user rank runs in a
+    bounded number of hash buckets — user count never appears as a Ray
+    group count."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.sort_values(["value", "event_id"], ascending=[False, True],
+                              kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(TOPK_PER_USER)
+        )
+        return g.assign(bucket=(g["user_id"] % ANTI_JOIN_BUCKETS).astype("int64"))
+
+    def final_rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(TOPK_PER_USER)
+        )
+        g = g.copy()
+        g["rank"] = g.groupby("user_id", sort=False).cumcount() + 1
+        return g[["user_id", "event_id", "value", "rank"]]
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final_rank, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype(
+        {"user_id": "int64", "event_id": "int64", "value": "float64", "rank": "int64"}
+    )
+
+
+REL_TOPK_EVENTS_PER_USER_SQL = f"""
+select user_id, event_id, value,
+       row_number() over (partition by user_id order by value desc, event_id) as rank
+from events
+qualify rank <= {TOPK_PER_USER}
+"""
+
+
 def rel_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct users per event type via mergeable HLL
     registers (functions.sketches) — rows-only: the estimate is within
@@ -731,6 +847,14 @@ REGISTRY = {
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),
     "rel_quantity_quantiles": (rel_quantity_quantiles, REL_QUANTITY_QUANTILES_SQL),
     "rel_hll_distinct_users": (rel_hll_distinct_users, None),
+    "rel_customers_without_orders": (
+        rel_customers_without_orders,
+        REL_CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "rel_topk_events_per_user": (
+        rel_topk_events_per_user,
+        REL_TOPK_EVENTS_PER_USER_SQL,
+    ),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),
