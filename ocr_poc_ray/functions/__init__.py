@@ -16,17 +16,25 @@ from ocr_poc_ray.functions.textstats import (
     add_token_counts,
 )
 from ocr_poc_ray.functions.dedup import (
+    connected_components,
+    connected_components_distributed,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     ngram_jaccard_verify,
     simhash_pairs,
 )
 from ocr_poc_ray.functions.similarity import (
     embedding_near_dup_pairs,
     knn_brute_force,
+    knn_ivf,
     knn_lsh,
 )
-from ocr_poc_ray.functions.sketches import hll_count_distinct, hll_count_distinct_by
+from ocr_poc_ray.functions.sketches import (
+    hll_count_distinct,
+    hll_count_distinct_by,
+    quantile_sketch_by,
+)
 from ocr_poc_ray.functions.windows import asof_match, range_join_window, rolling_mean, sessionize
 
 __all__ = [
@@ -36,15 +44,20 @@ __all__ = [
     "rolling_mean",
     "hll_count_distinct",
     "hll_count_distinct_by",
+    "quantile_sketch_by",
     "add_fingerprints",
     "add_langid",
     "add_quality",
     "add_token_counts",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "ngram_jaccard_verify",
     "simhash_pairs",
+    "connected_components",
+    "connected_components_distributed",
     "embedding_near_dup_pairs",
     "knn_brute_force",
+    "knn_ivf",
     "knn_lsh",
 ]

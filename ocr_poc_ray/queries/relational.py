@@ -840,12 +840,31 @@ def rel_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return out.astype({"approx_distinct": "int64"})
 
 
+def rel_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-event-type value quantiles via the mergeable
+    bottom-k priority-sample sketch (functions.sketches) — the
+    continuous-measure counterpart of rel_quantity_quantiles' exact
+    histogram combine.  Rows-only: rank error ≈ 1/√k, tolerance-
+    asserted in tests/test_functions.py."""
+    from ocr_poc_ray.functions.sketches import quantile_sketch_by
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value", "event_id"]
+    )
+    out = quantile_sketch_by(
+        ds, "event_type", "value", id_cols=["event_id"], k=4096
+    )
+    out["value"] = out["value"].round(6)
+    return out.astype({"q": "float64", "value": "float64"})
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),
     "rel_quantity_quantiles": (rel_quantity_quantiles, REL_QUANTITY_QUANTILES_SQL),
+    "rel_value_quantiles_by_type": (rel_value_quantiles_by_type, None),
     "rel_hll_distinct_users": (rel_hll_distinct_users, None),
     "rel_customers_without_orders": (
         rel_customers_without_orders,

@@ -383,3 +383,25 @@ def test_connected_components_distributed_matches_union_find():
     exact_map = dict(zip(exact["doc_id"], exact["component"]))
     dist_map = dict(zip(dist["doc_id"], dist["component"]))
     assert exact_map == dist_map
+
+
+def test_quantile_sketch_by_within_rank_tolerance():
+    """Bottom-k priority-sample quantiles: each estimate must lie inside
+    the exact [q−ε, q+ε] quantile band (ε = 3/√k rank error ≈ 0.05)."""
+    from ocr_poc_ray.functions.sketches import quantile_sketch_by
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet",
+                               columns=["event_type", "value", "event_id"])
+    got = quantile_sketch_by(ds, "event_type", "value",
+                             id_cols=["event_id"], k=4096)
+    exact = ds.select_columns(["event_type", "value"]).to_pandas()
+    eps = 0.05
+    for _, row in got.iterrows():
+        vals = exact.loc[exact["event_type"] == row["event_type"], "value"].to_numpy()
+        lo = np.quantile(vals, max(0.0, row["q"] - eps))
+        hi = np.quantile(vals, min(1.0, row["q"] + eps))
+        assert lo <= row["value"] <= hi, (row.to_dict(), lo, hi)
+    # deterministic across runs (hash priorities, no RNG)
+    again = quantile_sketch_by(ds, "event_type", "value",
+                               id_cols=["event_id"], k=4096)
+    pd.testing.assert_frame_equal(got, again)
