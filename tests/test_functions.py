@@ -364,11 +364,12 @@ def test_connected_components_distributed_matches_union_find():
     )
 
     rng = np.random.RandomState(5)
-    # several chains + rings + isolated pairs, ids shuffled
+    # several chains + rings + isolated pairs, ids shuffled (small
+    # diameters: each propagation round costs a join at toy scale)
     edges = []
     nid = 0
-    for comp in range(12):
-        size = int(rng.randint(2, 9))
+    for comp in range(6):
+        size = int(rng.randint(2, 6))
         ids = [nid + k for k in range(size)]
         nid += size + int(rng.randint(0, 3))  # gaps between id ranges
         for a, b in zip(ids, ids[1:]):
