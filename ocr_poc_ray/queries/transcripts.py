@@ -247,6 +247,23 @@ def fields_extract_synth(sf_dir: str) -> pd.DataFrame:
     return out.astype({"quality_score": "float64", "confidence": "float64", "n_anchors": "int64"})
 
 
+def fields_postprocessed(sf_dir: str) -> pd.DataFrame:
+    """M4 slot end-to-end: typed-field extraction → actor-pool
+    LLMPostProcessor (deterministic rule-based cleaner; the stage where
+    a Qwen-style model would load once per actor — config.yaml:2-11).
+    Rows-only: the cleaner's canonicalization is asserted against the
+    pure function in tests/test_fields.py."""
+    from ocr_poc_ray.stages.fields import extract_fields_ds
+    from ocr_poc_ray.stages.postprocess import postprocess_fields
+    from ocr_poc_ray.synth import generate_span_docs
+
+    spans, _expected = generate_span_docs(n_docs=300, seed=99)
+    ds = extract_fields_ds(ray.data.from_arrow(spans).repartition(4))
+    out = postprocess_fields(ds).to_pandas()
+    out = out[["doc_id", "layout", "success", "nom", "prenom", "postprocessed"]]
+    return out.astype({"postprocessed": "bool"})
+
+
 def xs_training_pipeline(sf_dir: str) -> pd.DataFrame:
     """The full training-data composite over real data: reshape →
     extract (actor pool) → conversation assembly (ordering) → batched
@@ -323,6 +340,7 @@ REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
     "fields_extract_synth": (fields_extract_synth, None),
+    "fields_postprocessed": (fields_postprocessed, None),
     "xs_conversation_docs": (xs_conversation_docs, None),
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),

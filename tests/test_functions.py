@@ -406,3 +406,47 @@ def test_quantile_sketch_by_within_rank_tolerance():
     again = quantile_sketch_by(ds, "event_type", "value",
                                id_cols=["event_id"], k=4096)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_ngram_jaccard_verify_large_dup_fraction():
+    """Distributed verify with MANY candidates (50% planted dups): the
+    hash-join path must attach every pair's texts and agree with the
+    per-pair _shingles kernel."""
+    from ocr_poc_ray.functions.dedup import _shingles, minhash_lsh_pairs, ngram_jaccard_verify
+
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(50)]
+    rows, texts = [], {}
+    for i in range(100):  # 100 templates × 2 copies = 200 docs, 50% dups
+        base = " ".join(rng.choice(words, size=30))
+        for copy in range(2):
+            did = i * 2 + copy
+            rows.append({"doc_id": did, "text": base})
+            texts[did] = base
+    docs = ray.data.from_items(rows)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    verified = ngram_jaccard_verify(pairs, docs).to_pandas()
+    # every planted twin pair must be present with exact jaccard 1.0
+    got = {(a, b): j for a, b, j in zip(verified["doc_a"], verified["doc_b"], verified["jaccard"])}
+    for i in range(100):
+        assert got.get((2 * i, 2 * i + 1)) == 1.0, (i, got.get((2 * i, 2 * i + 1)))
+    # and every reported jaccard must equal the per-pair kernel
+    for (a, b), j in list(got.items())[:200]:
+        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        assert j == len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_bands_batch_invariant():
+    """Signatures/band hashes are pure per-row functions: the exploded
+    rows must be identical whatever the batch slicing."""
+    from ocr_poc_ray.functions.dedup import _MinHashBands
+
+    rng = np.random.RandomState(3)
+    texts = [" ".join(rng.choice([f"t{i}" for i in range(40)], size=25)) for _ in range(64)]
+    df = pd.DataFrame({"doc_id": range(64), "text": texts})
+    mb = _MinHashBands("doc_id", "text", 64, 16, 42)
+    whole = mb(df).reset_index(drop=True)
+    parts = pd.concat(
+        [mb(df.iloc[i : i + 7]) for i in range(0, 64, 7)], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(whole, parts)
