@@ -238,18 +238,28 @@ def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | Non
 def _distinct_pairs(pairs: Dataset, cols: list[str]) -> Dataset:
     """Exact distinct over candidate-pair rows whose values are
     identical for every duplicate occurrence: local drop_duplicates per
-    batch, then one combine of the (output-sized) survivors.  Candidate
-    pairs are the dedup RESULT — orders of magnitude smaller than the
-    corpus — so the combine is cheap by construction; a grouped Ray
-    aggregate here would pay per-group overhead for every pair
-    (measured: many-singleton groupbys dominate wall time)."""
-    import ray.data as rd
+    batch (the combiner), then a BOUNDED hash-bucket groupby finishes
+    the distinct — never one Ray group per pair (many-singleton
+    groupbys dominate wall time, measured) and never a driver-side
+    collect (a web-scale dup set can be billions of pairs; the result
+    stays a streamable Dataset)."""
+    _B = 32
 
-    local = pairs.map_batches(
-        lambda b: b.drop_duplicates(cols), batch_format="pandas"
-    ).to_pandas()
-    out = local.drop_duplicates(cols).reset_index(drop=True)
-    return rd.from_pandas(out)
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.drop_duplicates(cols)
+        mix = pd.util.hash_array(g["doc_a"].to_numpy()) ^ pd.util.hash_array(
+            g["doc_b"].to_numpy()
+        )
+        return g.assign(_db=(mix % _B).astype("int64"))
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(cols)[cols]
+
+    return (
+        pairs.map_batches(local, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(finish, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -377,7 +387,16 @@ def minhash_lsh_pairs(
     )
     # distinct across bands: a pair's estimate is computed from the full
     # signatures, so every occurrence is identical → pure distinct.
-    return _distinct_pairs(pairs, ["doc_a", "doc_b", "est_jaccard"])
+    # materialize (distributed blocks, output-sized) so the empty case
+    # can fall back to a typed Dataset without re-running the pipeline.
+    out = _distinct_pairs(pairs, ["doc_a", "doc_b", "est_jaccard"]).materialize()
+    if out.count() == 0:
+        import ray
+
+        return ray.data.from_items(
+            [{"doc_a": 0, "doc_b": 0, "est_jaccard": 0.0}]
+        ).limit(0)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -468,7 +487,12 @@ def simhash_pairs(
     )
     # Hamming distance is a property of the pair, identical in every
     # band that surfaces it → pure distinct.
-    return _distinct_pairs(pairs, ["doc_a", "doc_b", "hamming"])
+    out = _distinct_pairs(pairs, ["doc_a", "doc_b", "hamming"]).materialize()
+    if out.count() == 0:
+        import ray
+
+        return ray.data.from_items([{"doc_a": 0, "doc_b": 0, "hamming": 0}]).limit(0)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -50,12 +50,32 @@ def dedup_turns(ds):
 
     keyed = ds.map_batches(key_batch, batch_format="pandas").materialize()
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[["_turn_key"]].groupby("_turn_key", as_index=False).size()
+    # duplicate keys via per-batch partial counts summed in a BOUNDED
+    # bucket groupby (32 groups, never one per key): only the true
+    # duplicates — retry noise, small by construction — reach the
+    # driver for broadcast (same shape as functions.dedup.exact_dedup).
+    _B = 32
 
-    partials = keyed.map_batches(partial_counts, batch_format="pandas").to_pandas()
-    totals = partials.groupby("_turn_key")["size"].sum()
-    dup_keys = set(totals[totals > 1].index)
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["_turn_key"]].groupby("_turn_key", as_index=False).size()
+        g["_kb"] = (
+            pd.util.hash_array(g["_turn_key"].to_numpy(dtype=object)) % _B
+        ).astype("int64")
+        return g
+
+    def find_dups(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.groupby("_turn_key", as_index=False)["size"].sum()
+        return t.loc[t["size"] > 1, ["_turn_key"]]
+
+    dup_df = (
+        keyed.map_batches(partial_counts, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(find_dups, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_keys = (
+        set(dup_df["_turn_key"]) if "_turn_key" in dup_df.columns else set()
+    )
 
     if not dup_keys:
         return keyed.drop_columns(["_turn_key"])

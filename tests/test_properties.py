@@ -91,7 +91,9 @@ def test_sessionize_random_corpora(ray_session, seed, n_users, per_user, nblocks
     for u in range(n_users):
         t = pd.Timestamp("2024-01-01")
         for _ in range(per_user):
-            t = t + pd.Timedelta(seconds=int(rng.randint(1, 4000)))
+            # zero-second steps are drawn often: duplicate timestamps
+            # exercise the edge-merge (first_ts, last_ts) tie-break
+            t = t + pd.Timedelta(seconds=int(rng.choice([0, 0, 1, 120, 1800, 2500, 3900])))
             rows.append({"user_id": u, "ts": t, "event_id": eid})
             eid += 1
     df = pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(drop=True)
