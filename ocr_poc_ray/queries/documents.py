@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -384,6 +385,118 @@ group by lang
 """
 
 
+CURATION_SAMPLE_PER_LANG = 5
+
+
+def doc_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data curation, fully oracle-verified:
+    quality scoring → language ID → quality filter → exact dedup
+    (keep min doc per identical text) → deterministic stratified
+    sample per language.
+
+    Scale shape: annotation is chained row-local map_batches; dedup
+    LOSERS (duplicate rows that are not the min-id winner — bounded by
+    the true duplicate count) are found with the bounded-bucket
+    discovery and broadcast as the small side; the sample uses the
+    local-heads combiner.  No corpus-sized driver state at any step."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    annotated = add_langid(add_quality(ds)).map_batches(
+        lambda b: b.loc[b["is_quality"], ["doc_id", "text", "lang_pred"]],
+        batch_format="pandas",
+    ).materialize()  # read by the hash pass AND the survivor filter
+
+    import hashlib as _hl
+
+    _B = 32
+
+    def hash_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [_hl.md5(t.encode("utf-8", "ignore")).hexdigest() for t in batch["text"]]
+        g = pd.DataFrame({"doc_id": batch["doc_id"], "h": h})
+        g["_hb"] = (pd.util.hash_array(g["h"].to_numpy(dtype=object)) % _B).astype("int64")
+        return g
+
+    hashed = annotated.map_batches(hash_ids, batch_format="pandas").materialize()
+
+    def losers_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # all rows of each duplicated hash except the min-id winner
+        counts = group.groupby("h")["doc_id"].transform("size")
+        dups = group[counts > 1]
+        winners = dups.groupby("h")["doc_id"].transform("min")
+        return dups.loc[dups["doc_id"] != winners, ["doc_id"]]
+
+    losers_df = (
+        hashed.groupby("_hb").map_groups(losers_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    losers = set(losers_df["doc_id"]) if "doc_id" in losers_df.columns else set()
+    losers_ref = _ray.put(np.sort(np.fromiter(losers, dtype=np.int64, count=len(losers))))
+
+    def survivors(batch: pd.DataFrame) -> pd.DataFrame:
+        lose = _ray.get(losers_ref)
+        ids = batch["doc_id"].to_numpy()
+        pos = np.minimum(np.searchsorted(lose, ids), max(len(lose) - 1, 0))
+        hit = (lose[pos] == ids) if len(lose) else np.zeros(len(ids), dtype=bool)
+        return batch.loc[~hit, ["lang_pred", "doc_id"]]
+
+    def local_heads(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values("doc_id")
+            .groupby("lang_pred", as_index=False, sort=False)
+            .head(CURATION_SAMPLE_PER_LANG)
+        )
+
+    cands = (
+        annotated.map_batches(survivors, batch_format="pandas")
+        .map_batches(local_heads, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cands.sort_values("doc_id")
+        .groupby("lang_pred", as_index=False, sort=False)
+        .head(CURATION_SAMPLE_PER_LANG)
+        .sort_values(["lang_pred", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out[["lang_pred", "doc_id"]].astype({"doc_id": "int64"})
+
+
+DOC_CURATION_SQL = rf"""
+with m as (
+  select doc_id, text,
+         length(text)::DOUBLE as n_chars,
+         len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE as n_punct,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as ws_tokens,
+         {{hits_en}} as he, {{hits_fr}} as hf, {{hits_de}} as hd, {{hits_es}} as hs
+  from documents
+),
+q as (
+  select doc_id, text,
+         case when he + hf + hd + hs = 0 then 'und'
+              when he >= hf and he >= hd and he >= hs then 'en'
+              when hf >= hd and hf >= hs then 'fr'
+              when hd >= hs then 'de'
+              else 'es' end as lang_pred
+  from m
+  where n_chars >= 50
+    and (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.20
+    and ws_tokens >= 10
+),
+w as (select md5(text) as h, min(doc_id) as win from q group by md5(text))
+select lang_pred, doc_id from q
+join w on md5(q.text) = w.h and q.doc_id = w.win
+qualify row_number() over (partition by lang_pred order by doc_id)
+        <= {CURATION_SAMPLE_PER_LANG}
+"""
+
+DOC_CURATION_SQL = DOC_CURATION_SQL.format(
+    hits_en=_lang_hits_sql("en"), hits_fr=_lang_hits_sql("fr"),
+    hits_de=_lang_hits_sql("de"), hits_es=_lang_hits_sql("es"),
+)
+
+
 TFIDF_TERMS = ("spark", "window", "stream")
 
 
@@ -538,5 +651,6 @@ REGISTRY = {
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),
+    "doc_curation_pipeline": (doc_curation_pipeline, DOC_CURATION_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
 }
