@@ -497,6 +497,39 @@ DOC_CURATION_SQL = DOC_CURATION_SQL.format(
 )
 
 
+HASH_SAMPLE_PREFIX = "1a"  # md5 hex prefix bound → ~10.2% of rows
+
+
+def doc_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based sampling — the repeatable-corpus-subset
+    op of a training pipeline: a row is in the sample iff
+    md5(str(doc_id)) < '1a', so the SAME subset falls out on any engine,
+    any run, any partitioning (unlike seeded RNG sampling, which is
+    execution-order-dependent).  md5 (not siphash) because both engines
+    can compute it identically."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            _hl.md5(str(i).encode()).hexdigest() < HASH_SAMPLE_PREFIX
+            for i in batch["doc_id"]
+        ]
+        return batch.loc[keep, ["doc_id"]]
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.astype({"doc_id": "int64"})
+
+
+DOC_HASH_SAMPLE_SQL = f"""
+select doc_id from documents
+where md5(cast(doc_id as varchar)) < '{HASH_SAMPLE_PREFIX}'
+"""
+
+
 TFIDF_TERMS = ("spark", "window", "stream")
 
 
@@ -652,5 +685,6 @@ REGISTRY = {
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),
     "doc_curation_pipeline": (doc_curation_pipeline, DOC_CURATION_SQL),
+    "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
 }

@@ -111,7 +111,59 @@ def vec_knn_ivf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CENTROID_GROUPS = 4
+
+
+def vec_group_centroids(sf_dir: str) -> pd.DataFrame:
+    """Grouped vector-mean aggregate (cluster centroids / per-source
+    embedding statistics): per-batch partial SUM matrices + counts per
+    group (one numpy add per batch — the vector analog of partial
+    aggregation), one tiny combine over groups × dim values.  Output is
+    flattened (grp, dim_idx, centroid) rows so the driver's value hash
+    covers every component."""
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        g = (batch["vec_id"].to_numpy() % CENTROID_GROUPS).astype(np.int64)
+        rows = []
+        for grp in np.unique(g):
+            sub = X[g == grp]
+            rows.append(
+                {"grp": int(grp), "n": len(sub), "sums": sub.sum(axis=0).tobytes()}
+            )
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for grp, grpdf in partials.groupby("grp"):
+        total = np.sum(
+            [np.frombuffer(b, dtype=np.float64) for b in grpdf["sums"]], axis=0
+        )
+        n = int(grpdf["n"].sum())
+        cent = np.round(total / n, 6)
+        for i, c in enumerate(cent):
+            out.append({"grp": int(grp), "dim_idx": i + 1, "centroid": float(c)})
+    return pd.DataFrame(out).astype(
+        {"grp": "int64", "dim_idx": "int64", "centroid": "float64"}
+    )
+
+
+VEC_GROUP_CENTROIDS_SQL = f"""
+with u as (
+  select vec_id % {CENTROID_GROUPS} as grp,
+         generate_subscripts(embedding, 1) as dim_idx,
+         unnest(embedding)::DOUBLE as e
+  from embeddings
+)
+select grp, dim_idx, round(avg(e), 6) as centroid
+from u
+group by grp, dim_idx
+"""
+
+
 REGISTRY = {
+    "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),
     "vec_knn_ivf": (vec_knn_ivf, None),
