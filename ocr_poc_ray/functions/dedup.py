@@ -682,7 +682,18 @@ def ngram_jaccard_pairs(
         for i in range(len(blocks))
         for j in range(i, len(blocks))
     ]
-    return rd.from_pandas_refs(refs)
+    out = rd.from_pandas_refs(refs).materialize()
+    if out.count() == 0:
+        # all-empty pandas blocks lose their schema; an Arrow table
+        # keeps its types at zero rows
+        return rd.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -450,3 +450,37 @@ def test_minhash_bands_batch_invariant():
         [mb(df.iloc[i : i + 7]) for i in range(0, 64, 7)], ignore_index=True
     )
     pd.testing.assert_frame_equal(whole, parts)
+
+
+@pytest.mark.parametrize("seed", [1, 17])
+def test_ngram_jaccard_pairs_random_fuzz(seed):
+    """Random corpora (mixed lengths incl. short <3-token docs) against
+    the per-pair brute force, at an awkward chunk size."""
+    from itertools import combinations
+
+    from ocr_poc_ray.functions.dedup import _shingles, ngram_jaccard_pairs
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab → frequent overlap
+    rows = []
+    for i in range(40):
+        n = int(rng.randint(0, 9))  # includes 0-, 1- and 2-token docs
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(vocab, size=n))})
+    out_ds = ngram_jaccard_pairs(
+        ray.data.from_items(rows), threshold=0.3, chunk_rows=11
+    )
+    assert set(out_ds.schema().names) == {"id_a", "id_b", "jaccard"}
+    got = out_ds.to_pandas()
+    # Ray's to_pandas() drops columns for 0-row datasets
+    got_set = (
+        {} if got.empty
+        else {(a, b): j for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])}
+    )
+    exp = {}
+    for (ia, ta), (ib, tb) in combinations([(r["doc_id"], r["text"]) for r in rows], 2):
+        sa, sb = _shingles(ta), _shingles(tb)
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= 0.3:
+            exp[(ia, ib)] = round(j, 6)
+    assert got_set == exp
