@@ -356,9 +356,11 @@ def minhash_lsh_pairs(
     if exploded_hot is None:
         import ray
 
-        return ray.data.from_items(
-            [{"doc_a": 0, "doc_b": 0, "est_jaccard": 0.0}]
-        ).limit(0)
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
 
     num_perm_ = num_perm
 
@@ -393,9 +395,11 @@ def minhash_lsh_pairs(
     if out.count() == 0:
         import ray
 
-        return ray.data.from_items(
-            [{"doc_a": 0, "doc_b": 0, "est_jaccard": 0.0}]
-        ).limit(0)
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
     return out
 
 
@@ -460,7 +464,11 @@ def simhash_pairs(
     if exploded is None:
         import ray
 
-        return ray.data.from_items([{"doc_a": 0, "doc_b": 0, "hamming": 0}]).limit(0)
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -491,7 +499,11 @@ def simhash_pairs(
     if out.count() == 0:
         import ray
 
-        return ray.data.from_items([{"doc_a": 0, "doc_b": 0, "hamming": 0}]).limit(0)
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
     return out
 
 
@@ -634,9 +646,11 @@ def ngram_jaccard_pairs(
     ).materialize()
     n = packed.count()
     if n == 0:
-        return rd.from_pandas(
-            pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        ).limit(0)
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
     n_chunks = max(1, -(-n // chunk_rows))
     blocks = packed.repartition(n_chunks).to_arrow_refs()
 
@@ -764,7 +778,10 @@ def connected_components_distributed(
         to_directed, batch_format="pandas"
     ).materialize()
     if edges.count() == 0:
-        return rd.from_pandas(pd.DataFrame({"doc_id": [], "component": []})).limit(0)
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.drop_duplicates("src")

@@ -363,9 +363,13 @@ def embedding_near_dup_pairs(
     if n == 0:
         import ray.data as rd
 
-        return rd.from_pandas(
-            pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ).limit(0)
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
     n_chunks = max(1, -(-n // chunk_rows))
     blocks = packed.repartition(n_chunks).to_arrow_refs()
 
