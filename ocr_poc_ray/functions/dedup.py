@@ -128,58 +128,52 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
     # unpinned they would each re-hash the corpus
     hashed = ds.map_batches(hash_batch, batch_format="pandas").materialize()
 
-    # duplicate hashes via per-batch partial counts (hash appears twice
-    # in one batch OR in two different batches).  The partials are
-    # corpus-sized for a mostly-unique corpus, so they are NOT collected
-    # to the driver: a bounded bucket groupby (32 groups — never one per
-    # hash) sums them distributedly and only the TRUE duplicates (the
-    # quantity dedup exists to remove) reach the driver for broadcast.
+    # duplicate hashes + their min-id winners in ONE bounded pass: per
+    # batch, (hash → count, min id) partials (corpus-sized for a mostly-
+    # unique corpus, so NEVER collected raw to the driver); a bounded
+    # bucket groupby (32 groups — never one per hash) combines them and
+    # emits only the TRUE duplicates with their winners — the quantity
+    # dedup exists to remove, small by construction — for broadcast.
     _N_BUCKETS = 32
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("content_hash", as_index=False).size()
+    def partial_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("content_hash", as_index=False).agg(
+            size=(id_col, "size"), win=(id_col, "min")
+        )
         g["bucket"] = (
             pd.util.hash_array(g["content_hash"].to_numpy(dtype=object)) % _N_BUCKETS
         ).astype("int64")
         return g
 
-    def find_dups(group: pd.DataFrame) -> pd.DataFrame:
-        t = group.groupby("content_hash", as_index=False)["size"].sum()
-        return t.loc[t["size"] > 1, ["content_hash"]]
+    def find_dup_winners(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.groupby("content_hash", as_index=False).agg(
+            size=("size", "sum"), win=("win", "min")
+        )
+        return t.loc[t["size"] > 1, ["content_hash", "win"]]
 
     dups = (
-        hashed.map_batches(partial_counts, batch_format="pandas")
+        hashed.map_batches(partial_stats, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(find_dups, batch_format="pandas")
+        .map_groups(find_dup_winners, batch_format="pandas")
         .to_pandas()
     )
     # a fully-unique corpus yields zero rows (and no columns) here
-    dup_hashes = (
-        set(dups["content_hash"]) if "content_hash" in dups.columns else set()
-    )
-
-    if not dup_hashes:
+    if "content_hash" not in dups.columns or dups.empty:
         return hashed
 
     import ray
 
-    dup_ref = ray.put(dup_hashes)
+    dup_ref = ray.put(set(dups["content_hash"]))
 
     def keep_unique(batch: pd.DataFrame) -> pd.DataFrame:
         dup = ray.get(dup_ref)
         return batch[~batch["content_hash"].isin(dup)]
 
-    def partial_min_dups(batch: pd.DataFrame) -> pd.DataFrame:
-        dup = ray.get(dup_ref)
-        b = batch[batch["content_hash"].isin(dup)]
-        return b.groupby("content_hash", as_index=False)[id_col].min()
-
     uniques = hashed.map_batches(keep_unique, batch_format="pandas")
-    dup_partials = hashed.map_batches(partial_min_dups, batch_format="pandas").to_pandas()
-    winners = dup_partials.groupby("content_hash", as_index=False)[id_col].min()
+    winners = dups.rename(columns={"win": id_col})[[id_col, "content_hash"]]
     import ray.data as rd
 
-    return uniques.union(rd.from_pandas(winners[[id_col, "content_hash"]]))
+    return uniques.union(rd.from_pandas(winners.reset_index(drop=True)))
 
 
 # --------------------------------------------------------------------------
