@@ -287,7 +287,12 @@ where len(list_intersect(a.sh, b.sh))::DOUBLE
 
 
 def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
-    """MinHash candidates → exact Jaccard verify ≥0.5 → connected components."""
+    """MinHash candidates → exact Jaccard verify ≥0.5 → connected
+    components.  The final step uses the in-memory union-find (the
+    verified pair set is the dedup OUTPUT — tiny here); when the edge
+    list outgrows one machine, swap in
+    ``functions.dedup.connected_components_distributed`` (bucketed
+    min-label propagation, tested equal on random graphs)."""
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     cand = minhash_lsh_pairs(ds, threshold=0.5)
     verified = ngram_jaccard_verify(cand, ds)
