@@ -35,6 +35,7 @@ from ocr_poc_ray.functions.sketches import (
     hll_count_distinct_by,
     quantile_sketch_by,
 )
+from ocr_poc_ray.functions.prefix import ordered_prefix_sum
 from ocr_poc_ray.functions.windows import asof_match, range_join_window, rolling_mean, sessionize
 
 __all__ = [
@@ -42,6 +43,7 @@ __all__ = [
     "asof_match",
     "range_join_window",
     "rolling_mean",
+    "ordered_prefix_sum",
     "hll_count_distinct",
     "hll_count_distinct_by",
     "quantile_sketch_by",

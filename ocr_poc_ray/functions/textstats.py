@@ -170,3 +170,75 @@ def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(
         lambda b: _fingerprint_kernel(b, text_col), batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size token chunking: split each document into consecutive
+# windows of `chunk_size` whitespace tokens (training-sample prep).
+# Fully vectorized flat-map: one Arrow whitespace split per batch, then
+# numpy offset math + one gather builds every chunk's token list, and
+# `pc.binary_join` re-joins them — no Python loop over rows or chunks.
+# SQL mirror: regexp_extract_all(text, '\S+') + generate_series +
+# 1-based-inclusive list slices (see queries.documents).
+# --------------------------------------------------------------------------
+
+
+def _chunk_kernel(batch: pa.Table, text_col: str, id_col: str, chunk_size: int) -> pa.Table:
+    out_schema = pa.schema(
+        [
+            (id_col, batch.schema.field(id_col).type),
+            ("chunk_idx", pa.int64()),
+            ("chunk_text", pa.string()),
+            ("n_chunk_tokens", pa.int64()),
+        ]
+    )
+    if len(batch) == 0:
+        return out_schema.empty_table()
+    text = pc.utf8_trim_whitespace(batch[text_col])
+    toks = pc.utf8_split_whitespace(text)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    values = toks.values
+    counts = np.diff(offsets)
+    # trimmed-empty text splits to [""]: zero tokens, zero chunks
+    empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
+    counts = np.where(empty, 0, counts)
+
+    n_chunks = (counts + chunk_size - 1) // chunk_size
+    total_chunks = int(n_chunks.sum())
+    if total_chunks == 0:
+        return out_schema.empty_table()
+    doc_idx = np.repeat(np.arange(len(counts)), n_chunks)
+    excl_chunks = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    chunk_idx = np.arange(total_chunks) - excl_chunks[doc_idx]
+    starts = offsets[:-1][doc_idx] + chunk_idx * chunk_size
+    lens = np.minimum(counts[doc_idx] - chunk_idx * chunk_size, chunk_size)
+
+    # gather the chunks' token ranges into one contiguous values array
+    total_toks = int(lens.sum())
+    excl_toks = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    flat_idx = np.arange(total_toks) + np.repeat(starts - excl_toks, lens)
+    chunk_vals = values.take(pa.array(flat_idx, pa.int64()))
+    chunk_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(chunk_offsets, pa.int32()), chunk_vals)
+
+    return pa.table(
+        {
+            id_col: batch[id_col].take(pa.array(doc_idx, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+            "n_chunk_tokens": pa.array(lens, pa.int64()),
+        }
+    )
+
+
+def chunk_tokens(
+    ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id", chunk_size: int = 32
+) -> Dataset:
+    """(id, chunk_idx, chunk_text, n_chunk_tokens) — each document split
+    into consecutive `chunk_size`-token windows; empty docs emit none."""
+    return ds.map_batches(
+        lambda b: _chunk_kernel(b, text_col, id_col, chunk_size),
+        batch_format="pyarrow",
+    )

@@ -535,6 +535,136 @@ where md5(cast(doc_id as varchar)) < '{HASH_SAMPLE_PREFIX}'
 """
 
 
+# ---------------------------------------------------------------------------
+# Global-scan training-data ops: sequence packing, deterministic global
+# shuffle, token chunking.  The first two ride functions/prefix.py's
+# distributed prefix sum (one sort + O(batches) offset combine).
+# ---------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 512  # tokens per training pack
+
+
+def doc_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy in-order sequence packing: docs in doc_id order fill
+    512-token packs; pack_id = exclusive-cumsum(n_tokens) // budget —
+    the SQL window-scan, parallelized as a distributed prefix sum."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    toks = add_token_counts(ds).select_columns(["doc_id", "n_ws_tokens"])
+    cum = ordered_prefix_sum(
+        toks, sort_cols=["doc_id"], value_col="n_ws_tokens", out_col="cum_tokens"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cum_tokens"].to_numpy(np.int64)
+        n = b["n_ws_tokens"].to_numpy(np.int64)
+        b["n_ws_tokens"] = n
+        b["pack_id"] = (c - n) // PACK_TOKEN_BUDGET
+        return b[["doc_id", "n_ws_tokens", "pack_id"]]
+
+    out = cum.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "n_ws_tokens": "int64", "pack_id": "int64"})
+
+
+DOC_PACK_SEQUENCES_SQL = rf"""
+with t as (
+  select doc_id,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as n_ws_tokens
+  from documents
+)
+select doc_id, n_ws_tokens,
+       ((sum(n_ws_tokens) over (order by doc_id))::BIGINT - n_ws_tokens)
+         // {PACK_TOKEN_BUDGET} as pack_id
+from t
+"""
+
+
+def doc_shuffled_order(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global training shuffle: rank docs by
+    md5(doc_id) — the same permutation on any engine, any run, any
+    partitioning (seeded RNG shuffles are execution-order-dependent).
+    The global row number is the prefix sum of ones over the sorted
+    hash order."""
+    import hashlib as _hl
+
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b["shuffle_key"] = [
+            _hl.md5(str(i).encode()).hexdigest() for i in b["doc_id"]
+        ]
+        return b
+
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    ranked = ordered_prefix_sum(
+        keyed,
+        sort_cols=["shuffle_key", "doc_id"],
+        value_col=None,
+        out_col="shuffle_rank",
+        unique_col="doc_id",
+    )
+    out = ranked.map_batches(
+        lambda b: b[["doc_id", "shuffle_rank"]], batch_format="pandas"
+    ).to_pandas()
+    return out.astype({"doc_id": "int64", "shuffle_rank": "int64"})
+
+
+DOC_SHUFFLED_ORDER_SQL = """
+select doc_id,
+       row_number() over (order by md5(cast(doc_id as varchar)), doc_id) as shuffle_rank
+from documents
+"""
+
+
+CHUNK_SIZE_TOKENS = 32
+
+
+def doc_chunk_tokens(sf_dir: str) -> pd.DataFrame:
+    """Fixed-size token chunking (training-sample prep): each doc →
+    consecutive 32-token windows, vectorized flat-map (one Arrow split
+    + numpy offset math + binary_join per batch)."""
+    from ocr_poc_ray.functions.textstats import chunk_tokens
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = chunk_tokens(ds, chunk_size=CHUNK_SIZE_TOKENS).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object"),
+                "n_chunk_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.astype(
+        {"doc_id": "int64", "chunk_idx": "int64", "n_chunk_tokens": "int64"}
+    )
+
+
+DOC_CHUNK_TOKENS_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks from documents
+), e as (
+  select doc_id, toks,
+         unnest(generate_series(0, (len(toks) + {CHUNK_SIZE_TOKENS} - 1)
+                                   // {CHUNK_SIZE_TOKENS} - 1)) as chunk_idx
+  from t
+)
+select doc_id, chunk_idx,
+       array_to_string(
+         toks[chunk_idx * {CHUNK_SIZE_TOKENS} + 1
+              : chunk_idx * {CHUNK_SIZE_TOKENS} + {CHUNK_SIZE_TOKENS}], ' '
+       ) as chunk_text,
+       least({CHUNK_SIZE_TOKENS}, len(toks) - chunk_idx * {CHUNK_SIZE_TOKENS})::BIGINT
+         as n_chunk_tokens
+from e
+"""
+
+
 TFIDF_TERMS = ("spark", "window", "stream")
 
 
@@ -691,5 +821,8 @@ REGISTRY = {
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),
     "doc_curation_pipeline": (doc_curation_pipeline, DOC_CURATION_SQL),
     "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
+    "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
+    "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
+    "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
 }

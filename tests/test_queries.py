@@ -26,6 +26,9 @@ FAST_ORACLE = [
     "doc_fingerprint",
     "doc_exact_dedup",
     "doc_sample_per_lang",
+    "doc_pack_sequences",
+    "doc_shuffled_order",
+    "doc_chunk_tokens",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
