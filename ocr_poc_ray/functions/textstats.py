@@ -242,3 +242,118 @@ def chunk_tokens(
         lambda b: _chunk_kernel(b, text_col, id_col, chunk_size),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus heavy hitters: exact global top-k tokens by total count.
+# Shape: per-batch Arrow value_counts (the combiner — output is the
+# batch's VOCABULARY, not its rows), hash-bucketed exact combine (every
+# token lives wholly in one bucket, so per-bucket top-k is a superset
+# of the global winners), then a k×buckets driver merge.  The all-to-all
+# moves only (token, count) partials — per-batch-vocabulary sized.
+# --------------------------------------------------------------------------
+
+
+def top_tokens(
+    ds: Dataset, *, k: int = 10, text_col: str = "text", n_buckets: int = 16
+) -> pd.DataFrame:
+    """Global top-`k` lowercase whitespace tokens by occurrence count,
+    ties broken token-ascending.  Exact at any vocabulary size: the
+    bucket count bounds the combine's group cardinality (vocabulary /
+    n_buckets per group), never the corpus size."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col]))
+        toks = pc.utf8_split_whitespace(text)
+        vc = pc.list_flatten(toks).value_counts()
+        df = pd.DataFrame(
+            {
+                "token": vc.field("values").to_pandas(),
+                "cnt": vc.field("counts").to_pandas().astype("int64"),
+            }
+        )
+        df = df[df["token"] != ""]  # trimmed-empty docs split to [""]
+        df["_hb"] = (
+            pd.util.hash_array(df["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return df
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("token", as_index=False)["cnt"].sum()
+        return agg.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cands = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cands.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+        .rename(columns={"cnt": "n"})
+    )
+    return out[["token", "n"]].astype({"n": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Repetition scoring (Gopher-style): fraction of a document's bigrams
+# taken by its single most frequent bigram.  Row-local and vectorized:
+# one Arrow lower+split per batch, numpy offset math builds every
+# bigram, one in-batch pandas groupby finds each doc's max count.
+# SQL mirror: list comprehension bigrams + unnest (queries.documents).
+# --------------------------------------------------------------------------
+
+REPETITION_THRESHOLD = 0.05  # strict > ; both engines compare the raw
+# IEEE double mx/(nt-1), so the boundary is bit-identical
+
+
+def _repetition_kernel(batch: pa.Table, text_col: str) -> pa.Table:
+    n = len(batch)
+    if n == 0:
+        return batch.append_column(
+            "top_bigram_frac", pa.array([], pa.float64())
+        ).append_column("is_repetitive", pa.array([], pa.bool_()))
+    text = pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col]))
+    toks = pc.utf8_split_whitespace(text)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offsets)
+    empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
+    counts = np.where(empty, 0, counts)
+
+    nbg = np.maximum(counts - 1, 0)
+    total = int(nbg.sum())
+    frac = np.zeros(n, dtype=np.float64)
+    if total:
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), nbg)
+        excl = np.concatenate([[0], np.cumsum(nbg)[:-1]])
+        pos = np.arange(total) - excl[doc_idx] + offsets[:-1][doc_idx]
+        bigrams = pd.Series(vals[pos], dtype=object) + " " + pd.Series(
+            vals[pos + 1], dtype=object
+        )
+        mx = (
+            pd.DataFrame({"d": doc_idx, "bg": bigrams})
+            .groupby(["d", "bg"], sort=False)
+            .size()
+            .groupby(level=0)
+            .max()
+        )
+        d = mx.index.to_numpy()
+        frac[d] = mx.to_numpy(np.float64) / (counts[d] - 1)
+    batch = batch.append_column("top_bigram_frac", pa.array(np.round(frac, 6)))
+    batch = batch.append_column(
+        "is_repetitive", pa.array(frac > REPETITION_THRESHOLD)
+    )
+    return batch
+
+
+def add_repetition(ds: Dataset, text_col: str = "text") -> Dataset:
+    return ds.map_batches(
+        lambda b: _repetition_kernel(b, text_col), batch_format="pyarrow"
+    )

@@ -665,6 +665,62 @@ from e
 """
 
 
+TOP_TOKENS_K = 10
+
+
+def doc_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide heavy hitters: exact global top-k tokens (vocabulary
+    statistics for tokenizer/filter design).  Per-batch vocabulary
+    partials → hash-bucketed exact combine → k×buckets driver merge."""
+    from ocr_poc_ray.functions.textstats import top_tokens
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    return top_tokens(ds, k=TOP_TOKENS_K)
+
+
+DOC_TOP_TOKENS_SQL = rf"""
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '\S+')) as token from documents
+), c as (
+  select token, count(*)::BIGINT as n from tok group by token
+)
+select token, n from c order by n desc, token limit {TOP_TOKENS_K}
+"""
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition filter signal: per-doc fraction of
+    bigrams taken by the most frequent bigram + the filter verdict."""
+    from ocr_poc_ray.functions.textstats import add_repetition
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = add_repetition(ds).to_pandas()
+    out = out[["doc_id", "top_bigram_frac", "is_repetitive"]]
+    return out.astype({"doc_id": "int64", "top_bigram_frac": "float64"})
+
+
+from ocr_poc_ray.functions.textstats import REPETITION_THRESHOLD as _REP_T
+
+DOC_REPETITION_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as toks from documents
+), b as (
+  select doc_id, len(toks) as nt,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) as bg
+  from t where len(toks) >= 2
+), c as (
+  select doc_id, nt, bg, count(*) as cnt from b group by doc_id, nt, bg
+), m as (
+  select doc_id, any_value(nt) as nt, max(cnt) as mx from c group by doc_id
+)
+select d.doc_id,
+       round(coalesce(m.mx / (m.nt - 1), 0.0), 6) as top_bigram_frac,
+       coalesce(m.mx / (m.nt - 1) > {_REP_T}, false) as is_repetitive
+from documents d left join m on d.doc_id = m.doc_id
+"""
+
+
 TFIDF_TERMS = ("spark", "window", "stream")
 
 
@@ -824,5 +880,7 @@ REGISTRY = {
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
+    "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
 }

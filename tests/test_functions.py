@@ -484,3 +484,56 @@ def test_ngram_jaccard_pairs_random_fuzz(seed):
         if j >= 0.3:
             exp[(ia, ib)] = round(j, 6)
     assert got_set == exp
+
+
+def test_top_tokens_exact_planted(ray_session):
+    """Planted counts: exact global winners with tie-break token-asc,
+    correct across many small blocks (partial-combine must not lose a
+    token split across batches)."""
+    from ocr_poc_ray.functions.textstats import top_tokens
+
+    rows = (
+        [{"text": "apple apple apple"}] * 10   # apple: 30
+        + [{"text": "pear pear"}] * 12          # pear: 24
+        + [{"text": "plum Apple"}] * 7          # plum 7 (+apple 7 → 37)
+        + [{"text": "  "}]                       # empty after trim
+    )
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(8)
+    out = top_tokens(ds, k=3)
+    assert out.to_dict("records") == [
+        {"token": "apple", "n": 37},
+        {"token": "pear", "n": 24},
+        {"token": "plum", "n": 7},
+    ]
+
+
+def test_top_tokens_tie_break(ray_session):
+    from ocr_poc_ray.functions.textstats import top_tokens
+
+    ds = ray.data.from_pandas(pd.DataFrame([{"text": "b a c a b c"}] * 4))
+    out = top_tokens(ds, k=2)
+    assert list(out["token"]) == ["a", "b"]  # all count 8; token asc
+
+
+def test_repetition_hand_computed(ray_session):
+    from ocr_poc_ray.functions.textstats import add_repetition
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "x y x y x y",      # bigrams: xy,yx,xy,yx,xy → top 3/5
+                "a b c d e",        # all distinct → 1/4
+                "solo",             # <2 tokens → 0
+                "",                 # empty → 0
+            ],
+        }
+    )
+    out = (
+        add_repetition(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["top_bigram_frac"].tolist() == [0.6, 0.25, 0.0, 0.0]
+    assert out["is_repetitive"].tolist() == [True, True, False, False]

@@ -29,6 +29,8 @@ FAST_ORACLE = [
     "doc_pack_sequences",
     "doc_shuffled_order",
     "doc_chunk_tokens",
+    "doc_top_tokens",
+    "doc_repetition",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
