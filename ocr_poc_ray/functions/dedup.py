@@ -831,3 +831,107 @@ def connected_components_distributed(
         lambda b: pd.DataFrame({"doc_id": b["node"], "component": b["label"]}),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup + document reassembly (the "paragraph dedup"
+# of C4-style curation, expressed over fixed token windows because the
+# corpus is single-line).  Every later occurrence of an already-seen
+# chunk is dropped; the first occurrence — min (doc_id, chunk_idx) —
+# survives, and each document is rebuilt from its surviving chunks.
+#
+# Scale shape: the all-to-all ships only (chunk_text, encoded_key)
+# projections; duplicate-winner discovery is a bucketed groupby whose
+# group cardinality is bounded by n_buckets (size n_buckets so one
+# bucket's chunks fit a task: ~total_chunk_bytes / 64 MB); the loser
+# set — bounded by the TRUE duplicate count, not the corpus — is
+# broadcast once as a sorted numpy array, and reassembly is a pure
+# row-local second pass over the original docs (chunking is
+# deterministic, so re-deriving beats shuffling chunk rows back
+# together: no corpus-wide groupby/string-agg ever happens).
+# ---------------------------------------------------------------------------
+
+_CHUNK_KEY_BITS = 20  # encoded key = doc_id << 20 | chunk_idx: exact for
+# docs up to 2^20 chunks (~8M tokens at chunk_size=8); beyond that use a
+# (doc_id, chunk_idx) struct sort key instead of the packed int64
+
+
+def chunk_dedup(
+    ds: Dataset,
+    *,
+    chunk_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> Dataset:
+    """(id, kept_text, n_chunks, n_removed): documents with duplicate
+    `chunk_size`-token windows removed, first occurrence kept."""
+    from ocr_poc_ray.functions.textstats import _chunk_kernel, chunk_tokens
+
+    narrow = ds.select_columns([id_col, text_col])
+    chunks = chunk_tokens(
+        narrow, chunk_size=chunk_size, text_col=text_col, id_col=id_col
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            b[id_col].to_numpy(np.int64) << _CHUNK_KEY_BITS
+        ) + b["chunk_idx"].to_numpy(np.int64)
+        out = pd.DataFrame({"ct": b["chunk_text"], "key": key})
+        out["_hb"] = (
+            pd.util.hash_array(out["ct"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return out
+
+    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("ct")["key"].transform("size")
+        dups = g[sizes > 1]
+        winners = dups.groupby("ct")["key"].transform("min")
+        return dups.loc[dups["key"] != winners, ["key"]]
+
+    losers_df = (
+        chunks.map_batches(project, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(losers_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    loser_keys = (
+        np.sort(losers_df["key"].to_numpy(np.int64))
+        if len(losers_df)
+        else np.empty(0, np.int64)
+    )
+    import ray as _ray
+
+    ref = _ray.put(loser_keys)
+
+    def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        lose = _ray.get(ref)
+        tbl = pa.Table.from_pandas(
+            batch[[id_col, text_col]], preserve_index=False
+        )
+        ch = _chunk_kernel(tbl, text_col, id_col, chunk_size).to_pandas()
+        key = (
+            ch[id_col].to_numpy(np.int64) << _CHUNK_KEY_BITS
+        ) + ch["chunk_idx"].to_numpy(np.int64)
+        if len(lose):
+            pos = np.minimum(np.searchsorted(lose, key), len(lose) - 1)
+            hit = lose[pos] == key
+        else:
+            hit = np.zeros(len(key), dtype=bool)
+        ch["_hit"] = hit
+        per_doc = ch.groupby(id_col, sort=False)["_hit"].agg(["size", "sum"])
+        kept_text = (
+            ch[~hit]
+            .groupby(id_col, sort=False)["chunk_text"]
+            .agg(" ".join)  # chunk order preserved: kernel emits in order
+        )
+        out = pd.DataFrame({id_col: batch[id_col].to_numpy(np.int64)})
+        out = out.merge(
+            kept_text.rename("kept_text"), left_on=id_col, right_index=True, how="left"
+        ).merge(per_doc, left_on=id_col, right_index=True, how="left")
+        out["kept_text"] = out["kept_text"].fillna("")
+        out["n_chunks"] = out["size"].fillna(0).astype("int64")
+        out["n_removed"] = out["sum"].fillna(0).astype("int64")
+        return out[[id_col, "kept_text", "n_chunks", "n_removed"]]
+
+    return narrow.map_batches(rebuild, batch_format="pandas")

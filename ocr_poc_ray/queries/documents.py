@@ -665,6 +665,55 @@ from e
 """
 
 
+CHUNK_DEDUP_SIZE = 8
+
+
+def doc_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Passage-level exact dedup: duplicate 8-token windows removed
+    corpus-wide (first occurrence by (doc_id, chunk_idx) survives),
+    documents rebuilt from their surviving chunks."""
+    from ocr_poc_ray.functions.dedup import chunk_dedup
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = chunk_dedup(ds, chunk_size=CHUNK_DEDUP_SIZE).to_pandas()
+    return out.astype({"doc_id": "int64", "n_chunks": "int64", "n_removed": "int64"})
+
+
+_CS = CHUNK_DEDUP_SIZE
+
+DOC_CHUNK_DEDUP_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks from documents
+), e as (
+  select doc_id, toks,
+         unnest(generate_series(0, (len(toks) + {_CS} - 1) // {_CS} - 1)) as ci
+  from t
+), c as (
+  select doc_id, ci,
+         array_to_string(toks[ci * {_CS} + 1 : ci * {_CS} + {_CS}], ' ') as ct,
+         doc_id * {1 << 20} + ci as key
+  from e
+), w as (
+  select ct, min(key) as wkey from c group by ct
+), kept as (
+  select c.doc_id, c.ci, c.ct from c join w on c.ct = w.ct and c.key = w.wkey
+), a as (
+  select doc_id, count(*) as n_chunks from c group by doc_id
+), g as (
+  select doc_id, string_agg(ct, ' ' order by ci) as kept_text,
+         count(*) as n_kept
+  from kept group by doc_id
+)
+select d.doc_id,
+       coalesce(g.kept_text, '') as kept_text,
+       coalesce(a.n_chunks, 0)::BIGINT as n_chunks,
+       (coalesce(a.n_chunks, 0) - coalesce(g.n_kept, 0))::BIGINT as n_removed
+from documents d
+left join a on d.doc_id = a.doc_id
+left join g on d.doc_id = g.doc_id
+"""
+
+
 TOP_TOKENS_K = 10
 
 
@@ -881,6 +930,7 @@ REGISTRY = {
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),
+    "doc_chunk_dedup": (doc_chunk_dedup, DOC_CHUNK_DEDUP_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
 }

@@ -537,3 +537,39 @@ def test_repetition_hand_computed(ray_session):
     )
     assert out["top_bigram_frac"].tolist() == [0.6, 0.25, 0.0, 0.0]
     assert out["is_repetitive"].tolist() == [True, True, False, False]
+
+
+def test_chunk_dedup_planted(ray_session):
+    """Planted duplicate passages: first occurrence (min doc_id, then
+    min chunk_idx) survives; later docs lose the shared window; result
+    is invariant to block slicing."""
+    from ocr_poc_ray.functions.dedup import chunk_dedup
+
+    shared = "w1 w2 w3 w4"  # one full chunk at chunk_size=4
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                f"{shared} a b c d",        # keeps both chunks
+                f"{shared} e f g h",        # loses chunk 0
+                f"x y z {shared}",          # tail chunk is 'w4' only (offset!)
+                "",                          # empty doc
+            ],
+        }
+    )
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = (
+            chunk_dedup(ds, chunk_size=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["kept_text"].tolist() == [
+            "w1 w2 w3 w4 a b c d",
+            "e f g h",
+            "x y z w1 w2 w3 w4",  # chunks 'x y z w1' and 'w2 w3 w4' are unique
+            "",
+        ]
+        assert out["n_chunks"].tolist() == [2, 2, 2, 0]
+        assert out["n_removed"].tolist() == [0, 1, 0, 0]

@@ -31,6 +31,7 @@ FAST_ORACLE = [
     "doc_chunk_tokens",
     "doc_top_tokens",
     "doc_repetition",
+    "doc_chunk_dedup",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
