@@ -169,3 +169,74 @@ def quantile_sketch_by(
                 {key_col: key, "q": q, "value": float(np.quantile(sample, q))}
             )
     return pd.DataFrame(out).sort_values([key_col, "q"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: a mergeable bit array for scale-safe semi-joins.  Each
+# batch of the build side sets its keys' bits in a LOCAL bitmap (a
+# partial — m/8 bytes regardless of batch size); partials merge by
+# bitwise OR (associative + commutative + idempotent: any combine tree
+# is correct, so the driver OR here tree-reduces trivially at scale).
+# The probe side broadcasts the finished words once (zero-copy numpy
+# via the object store) and tests membership fully vectorized.
+#
+# Hashing is a splitmix64 finalizer over the int64 key — deterministic
+# across processes — with double hashing (h1 + i·h2 mod m) for the k
+# probes.  False-positive rate ≈ (1 − e^{−kn/m})^k; with the default
+# m=2^20, k=4 it stays under 1 % to ~90k keys.  The filter only
+# PREscreens: an exact verify (distributed hash join on the survivors)
+# removes false positives, so results are exact at any fill level.
+# ---------------------------------------------------------------------------
+
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(seed) * _SM64_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing."""
+    h1 = _splitmix64(keys, 1)
+    h2 = _splitmix64(keys, 2) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(
+    ds: Dataset, col: str, *, m_bits: int = 1 << 20, k: int = 4
+) -> np.ndarray:
+    """Build a bloom filter over an int64 key column; returns the
+    uint64 word array (length m_bits/64), ready to broadcast."""
+    n_words = m_bits // 64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        keys = batch[col].to_numpy(np.int64)
+        if len(keys):
+            pos = _bloom_positions(keys, m_bits, k).ravel()
+            np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        return pd.DataFrame({"words": [words.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros(n_words, dtype=np.uint64)
+    for blob in parts["words"]:
+        out |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def bloom_contains(
+    words: np.ndarray, keys: np.ndarray, *, m_bits: int | None = None, k: int = 4
+) -> np.ndarray:
+    """Vectorized membership test (no false negatives)."""
+    m_bits = m_bits if m_bits is not None else len(words) * 64
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(np.asarray(keys, dtype=np.int64), m_bits, k)
+    bits = (words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0).astype(bool)

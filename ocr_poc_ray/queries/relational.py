@@ -858,8 +858,92 @@ def rel_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     return out.astype({"q": "float64", "value": "float64"})
 
 
+BLOOM_PRICE_CUTOFF = 400_000.0
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def rel_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Large-large semi-join via bloom prefilter + exact verify: count
+    and sum lineitem quantity for orders above a price cutoff.
+
+    The 100-TB shape when the build side's key set is too big to
+    broadcast exactly: a fixed-size mergeable bloom (built with
+    per-batch OR-partials) broadcasts instead and prescreens the probe
+    side, shrinking the real shuffle join to the survivors (true
+    matches + a ~<1% false-positive sliver); the distributed hash join
+    then removes the false positives, so the result is exact at any
+    fill level."""
+    import ray as _ray
+
+    from ocr_poc_ray.functions.sketches import bloom_build, bloom_contains
+
+    qualifying = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.loc[b["o_totalprice"] > BLOOM_PRICE_CUTOFF, ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    words = bloom_build(qualifying, "o_orderkey", m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    words_ref = _ray.put(words)
+
+    def prescreen(batch: pd.DataFrame) -> pd.DataFrame:
+        w = _ray.get(words_ref)  # zero-copy numpy from the object store
+        hit = bloom_contains(w, batch["l_orderkey"].to_numpy(np.int64), k=BLOOM_K)
+        return batch.loc[hit, ["l_orderkey", "l_returnflag", "l_quantity"]]
+
+    survivors = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).map_batches(prescreen, batch_format="pandas")
+
+    # exact verify: Ray 2.49 join raises on 0-row blocks (a prescreen
+    # can empty some) — repartition both inputs first (see CLAUDE.md)
+    verified = survivors.repartition(8).join(
+        qualifying.repartition(8),
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("l_returnflag", as_index=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [group["l_returnflag"].iloc[0]],
+                "n_items": [int(group["n_items"].sum())],
+                "sum_qty": [round(group["sum_qty"].sum(), 2)],
+            }
+        )
+
+    out = (
+        verified.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_items": "int64", "sum_qty": "float64"})
+
+
+REL_BLOOM_SEMIJOIN_SQL = f"""
+select l_returnflag,
+       count(*)::BIGINT as n_items,
+       round(sum(l_quantity), 2) as sum_qty
+from lineitem
+where l_orderkey in (
+  select o_orderkey from orders where o_totalprice > {BLOOM_PRICE_CUTOFF}
+)
+group by l_returnflag
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_bloom_semijoin": (rel_bloom_semijoin, REL_BLOOM_SEMIJOIN_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),

@@ -573,3 +573,16 @@ def test_chunk_dedup_planted(ray_session):
         ]
         assert out["n_chunks"].tolist() == [2, 2, 2, 0]
         assert out["n_removed"].tolist() == [0, 1, 0, 0]
+
+
+def test_bloom_no_false_negatives_and_merge(ray_session):
+    """Bloom built over many small blocks (partials OR-merged) never
+    misses a member; FP rate on disjoint probes stays ~<1%."""
+    from ocr_poc_ray.functions.sketches import bloom_build, bloom_contains
+
+    keys = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+    ds = ray.data.from_pandas(keys).repartition(16)
+    words = bloom_build(ds, "k")
+    assert bloom_contains(words, keys["k"].to_numpy()).all()
+    probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    assert bloom_contains(words, probe).mean() < 0.01

@@ -41,6 +41,7 @@ FAST_ORACLE = [
     "rel_daily_events",
     "rel_distinct_users",
     "rel_top_revenue_orders",
+    "rel_bloom_semijoin",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
