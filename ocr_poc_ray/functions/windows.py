@@ -389,3 +389,95 @@ def range_join_window(
         out_meta={order_col: "int64", key_col: "int64", matched_col: "int64"},
         sort_num_blocks=sort_num_blocks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key cumulative scan (running total) — the keyed counterpart of
+# functions/prefix.py's global prefix sum, expressed in the edge
+# pattern: a cumsum only depends on rows of its own key, so interior
+# keys finalize in-block and edge keys' raw rows merge once.
+# ---------------------------------------------------------------------------
+
+
+def keyed_running_sum(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """SQL ``sum(value) over (partition by key order by ts, order rows
+    unbounded preceding)``.  Output: (order_col, key_col, running_value)
+    rounded to 6 dp; the float64 accumulation order matches the SQL
+    engine's sequential per-key sum, so 6-dp rounding is hash-stable."""
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        run = g.groupby(key_col, sort=False)[value_col].cumsum()
+        return pd.DataFrame(
+            {
+                order_col: g[order_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "running_value": run.round(6).to_numpy(),
+            }
+        )
+
+    return keyed_sorted_match(
+        ds.select_columns([key_col, ts_col, order_col, value_col]),
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, value_col],
+        match_fn=_match,
+        out_meta={order_col: "int64", key_col: "int64", "running_value": "float64"},
+        sort_num_blocks=sort_num_blocks,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key lag delta (time since previous event) — SQL lag() in the
+# same edge pattern.
+# ---------------------------------------------------------------------------
+
+LAG_FIRST_SENTINEL = -1  # first event of a key has no predecessor; an
+# integer sentinel (not NaN/null) keeps the output hash-stable
+
+
+def keyed_lag_delta(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """Microseconds between each event and its key's previous event in
+    (ts, order) order — SQL ``date_diff('microsecond', lag(ts) over
+    (partition by key order by ts, order), ts)``.  Output: (order_col,
+    key_col, delta_us int64), first-in-key = LAG_FIRST_SENTINEL.
+    Integer microseconds, never float seconds: float rounding and SQL
+    millisecond truncation disagree at boundaries."""
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        us = g[ts_col].astype("datetime64[us]").astype("int64")
+        prev = us.groupby(g[key_col], sort=False).shift()
+        delta = (us - prev).fillna(LAG_FIRST_SENTINEL).astype("int64")
+        return pd.DataFrame(
+            {
+                order_col: g[order_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "delta_us": delta.to_numpy(),
+            }
+        )
+
+    return keyed_sorted_match(
+        ds.select_columns([key_col, ts_col, order_col]),
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col],
+        match_fn=_match,
+        out_meta={order_col: "int64", key_col: "int64", "delta_us": "int64"},
+        sort_num_blocks=sort_num_blocks,
+    )

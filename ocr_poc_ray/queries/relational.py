@@ -858,6 +858,49 @@ def rel_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     return out.astype({"q": "float64", "value": "float64"})
 
 
+def rel_running_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user cumulative value scan over events — the keyed window
+    counterpart of doc_pack_sequences' global prefix sum."""
+    from ocr_poc_ray.functions.windows import keyed_running_sum
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    out = keyed_running_sum(ds).to_pandas()
+    return out.astype(
+        {"event_id": "int64", "user_id": "int64", "running_value": "float64"}
+    )
+
+
+REL_RUNNING_VALUE_SQL = """
+select event_id, user_id,
+       round(sum(value) over (partition by user_id order by ts, event_id
+                              rows unbounded preceding), 6) as running_value
+from events
+"""
+
+
+def rel_event_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event time (lag window) — the session-gap /
+    activity-cadence feature of an event pipeline."""
+    from ocr_poc_ray.functions.windows import keyed_lag_delta
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+    out = keyed_lag_delta(ds).to_pandas()
+    return out.astype({"event_id": "int64", "user_id": "int64", "delta_us": "int64"})
+
+
+REL_EVENT_LAG_DELTA_SQL = """
+select event_id, user_id,
+       coalesce(date_diff('microsecond',
+                lag(ts) over (partition by user_id order by ts, event_id),
+                ts), -1)::BIGINT as delta_us
+from events
+"""
+
+
 BLOOM_PRICE_CUTOFF = 400_000.0
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
@@ -944,6 +987,8 @@ group by l_returnflag
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_bloom_semijoin": (rel_bloom_semijoin, REL_BLOOM_SEMIJOIN_SQL),
+    "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
+    "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),

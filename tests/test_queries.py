@@ -42,6 +42,8 @@ FAST_ORACLE = [
     "rel_distinct_users",
     "rel_top_revenue_orders",
     "rel_bloom_semijoin",
+    "rel_running_value_by_user",
+    "rel_event_lag_delta",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",

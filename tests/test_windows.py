@@ -228,3 +228,69 @@ def test_sessionize_duplicate_timestamps(ray_session, nblocks):
     )
     exp = _oracle_sessions(df, 1800.0)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_running_sum_split_boundaries(ray_session, events_df, nblocks):
+    """Per-key cumulative sum equals the pandas oracle at every forced
+    block split (keys straddling blocks exercise the edge merge)."""
+    from ocr_poc_ray.functions.windows import keyed_running_sum
+
+    import ray.data as rd
+
+    df = events_df.assign(value=(events_df["event_id"] % 17).astype(float) + 0.25)
+    ds = rd.from_pandas(df)
+    out = (
+        keyed_running_sum(ds, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    expect = (
+        pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "running_value": g.groupby("user_id", sort=False)["value"]
+                .cumsum()
+                .round(6)
+                .to_numpy(),
+            }
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        out["running_value"], expect["running_value"], atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_lag_delta_split_boundaries(ray_session, events_df, nblocks):
+    from ocr_poc_ray.functions.windows import keyed_lag_delta
+
+    import ray.data as rd
+
+    ds = rd.from_pandas(events_df)
+    out = (
+        keyed_lag_delta(ds, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    g = events_df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    us = g["ts"].astype("datetime64[us]").astype("int64")
+    expect = (
+        pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "delta_us": (us - us.groupby(g["user_id"], sort=False).shift())
+                .fillna(-1)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["delta_us"].tolist() == expect["delta_us"].tolist()
