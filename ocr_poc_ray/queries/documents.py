@@ -535,6 +535,46 @@ where md5(cast(doc_id as varchar)) < '{HASH_SAMPLE_PREFIX}'
 """
 
 
+# Per-language keep rates as md5 hex-prefix bounds (hex 'cc'/256 ≈ 80%
+# …)— the deterministic mixture weights of a training-data blend.
+MIXTURE_RATES = {"en": "cc", "fr": "99", "de": "66", "es": "33"}
+MIXTURE_DEFAULT_RATE = "1a"  # any other language ≈ 10%
+
+
+def doc_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted dataset mixing: downsample each language stratum at its
+    own deterministic hash rate (same subset on any engine / run /
+    partitioning — seeded RNG sampling is execution-order-dependent).
+    Row-local: the tiny rate table is a plain task-closure constant."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        bounds = batch["lang"].map(MIXTURE_RATES).fillna(MIXTURE_DEFAULT_RATE)
+        keep = [
+            _hl.md5(str(i).encode()).hexdigest() < b
+            for i, b in zip(batch["doc_id"], bounds)
+        ]
+        return batch.loc[keep, ["lang", "doc_id"]]
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             "doc_id": pd.Series([], dtype="int64")}
+        )
+    return out.astype({"doc_id": "int64"})
+
+
+DOC_MIXTURE_SAMPLE_SQL = f"""
+select lang, doc_id from documents
+where md5(cast(doc_id as varchar)) <
+      case lang {' '.join(f"when '{k}' then '{v}'" for k, v in MIXTURE_RATES.items())}
+           else '{MIXTURE_DEFAULT_RATE}' end
+"""
+
+
 # ---------------------------------------------------------------------------
 # Global-scan training-data ops: sequence packing, deterministic global
 # shuffle, token chunking.  The first two ride functions/prefix.py's
@@ -926,6 +966,7 @@ REGISTRY = {
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),
     "doc_curation_pipeline": (doc_curation_pipeline, DOC_CURATION_SQL),
     "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
+    "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),

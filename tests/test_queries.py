@@ -32,6 +32,7 @@ FAST_ORACLE = [
     "doc_top_tokens",
     "doc_repetition",
     "doc_chunk_dedup",
+    "doc_mixture_sample",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
