@@ -901,6 +901,94 @@ from events
 """
 
 
+SAMPLE_PER_USER_K = 2
+
+
+def rel_sample_per_user(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-key sample: the k events with the lowest
+    md5(event_id) per user — the distributed equivalent of a per-key
+    reservoir sample, but reproducible on any engine / run /
+    partitioning.  Same shape as rel_topk_events_per_user: per-batch
+    local bottom-k per user (the combiner), bounded-bucket final."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "user_id"]
+    )
+
+    def local_bottomk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pri"] = [
+            _hl.md5(str(e).encode()).hexdigest() for e in batch["event_id"]
+        ]
+        g = (
+            batch.sort_values(["pri", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(SAMPLE_PER_USER_K)
+        )
+        return g.assign(bucket=(g["user_id"] % ANTI_JOIN_BUCKETS).astype("int64"))
+
+    def final_bottomk(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.sort_values(["user_id", "pri", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(SAMPLE_PER_USER_K)
+        )
+        return g[["user_id", "event_id"]]
+
+    out = (
+        ds.map_batches(local_bottomk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final_bottomk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype({"user_id": "int64", "event_id": "int64"})
+
+
+REL_SAMPLE_PER_USER_SQL = f"""
+select user_id, event_id from events
+qualify row_number() over (partition by user_id
+        order by md5(cast(event_id as varchar)), event_id) <= {SAMPLE_PER_USER_K}
+"""
+
+
+def rel_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Global percent_rank of every event by value — a full-corpus
+    ranking expressed as the distributed prefix scan (one range-sort +
+    O(blocks) offset combine), never a driver-side sort."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "value"]
+    )
+    n = ds.count()  # parquet metadata count — no data pass
+    ranked = ordered_prefix_sum(
+        ds,
+        sort_cols=["value", "event_id"],
+        value_col=None,
+        out_col="rk",
+        unique_col="event_id",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        pr = (b["rk"].to_numpy(np.int64) - 1) / max(n - 1, 1)
+        return pd.DataFrame(
+            {"event_id": b["event_id"], "pct_rank": np.round(pr, 6)}
+        )
+
+    out = ranked.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.astype({"event_id": "int64", "pct_rank": "float64"})
+
+
+# (value, event_id) is unique, so rank == row_number and DuckDB's
+# percent_rank matches the (rk-1)/(n-1) scan exactly.
+REL_VALUE_PERCENT_RANK_SQL = """
+select event_id,
+       round(percent_rank() over (order by value, event_id), 6) as pct_rank
+from events
+"""
+
+
 BLOOM_PRICE_CUTOFF = 400_000.0
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
@@ -989,6 +1077,8 @@ REGISTRY = {
     "rel_bloom_semijoin": (rel_bloom_semijoin, REL_BLOOM_SEMIJOIN_SQL),
     "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
+    "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
+    "rel_value_percent_rank": (rel_value_percent_rank, REL_VALUE_PERCENT_RANK_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
     "rel_rolling_value": (rel_rolling_value, REL_ROLLING_VALUE_SQL),

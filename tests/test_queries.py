@@ -45,6 +45,8 @@ FAST_ORACLE = [
     "rel_bloom_semijoin",
     "rel_running_value_by_user",
     "rel_event_lag_delta",
+    "rel_sample_per_user",
+    "rel_value_percent_rank",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
