@@ -23,6 +23,7 @@ from ocr_poc_ray.extractors.plain import extract_plain
 from ocr_poc_ray.functions.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from ocr_poc_ray.functions.dedup import (
     connected_components,
+    connected_components_distributed,
     ngram_jaccard_pairs,
     ngram_jaccard_verify,
 )
@@ -302,6 +303,120 @@ def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
     return comp.astype({"doc_id": "int64", "component": "int64"})
+
+
+def doc_dup_components_exact(sf_dir: str) -> pd.DataFrame:
+    """Oracle-verified connected components: the exact n-gram Jaccard
+    pair set (same subset/threshold as ``doc_jaccard_pairs``) fed to
+    the DISTRIBUTED min-label propagation
+    (``connected_components_distributed`` — bucketed co-group rounds,
+    never a driver union-find), checked cell-by-cell against a DuckDB
+    ``WITH RECURSIVE`` transitive closure."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    pairs = ngram_jaccard_pairs(ds, threshold=JACCARD_THRESHOLD, chunk_rows=256)
+    pairs = pairs.map_batches(
+        lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ],
+        batch_format="pandas",
+    )
+    comp = connected_components_distributed(pairs, num_buckets=8).to_pandas()
+    if len(comp) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    return comp.astype({"doc_id": "int64", "component": "int64"})
+
+
+# Transitive closure via WITH RECURSIVE (UNION dedups, so the closure
+# is bounded per component); component = min reachable id.
+DOC_DUP_COMPONENTS_SQL = f"""
+with recursive
+p as ({DOC_JACCARD_PAIRS_SQL}),
+edges as (select id_a as a, id_b as b from p
+          union all
+          select id_b as a, id_a as b from p),
+reach(node, r) as (
+  select a, b from edges
+  union
+  select reach.node, e.b from reach join edges e on e.a = reach.r
+)
+select node as doc_id, least(node, min(r))::BIGINT as component
+from reach group by node
+"""
+
+
+DECON_SOURCE_MOD = 50  # every 50th doc seeds the blocklist (keeps the
+# O(docs x grams) oracle cross-join tractable at every checked sf)
+DECON_GRAM_TOKENS = 8
+
+
+def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag every document whose text
+    contains any blocklist n-gram (here the leading 8-token shingle of
+    every ``DECON_SOURCE_MOD``-th doc stands in for an eval suite's
+    contamination grams).
+
+    Scale shape: the blocklist is the SMALL side by construction (real
+    eval suites are a few thousand grams) — collected once, broadcast
+    via ``ray.put``, and scanned with one vectorized
+    ``pc.match_substring`` pass per gram; the corpus side streams and
+    never shuffles."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["doc_id"] % DECON_SOURCE_MOD == 0]
+        out = []
+        for t in sel["text"]:
+            toks = t.lower().split()
+            if len(toks) >= DECON_GRAM_TOKENS:
+                out.append(" ".join(toks[:DECON_GRAM_TOKENS]))
+        return pd.DataFrame({"gram": pd.Series(out, dtype="object")})
+
+    bl = sorted(set(ds.map_batches(grams, batch_format="pandas").to_pandas()["gram"]))
+    bl_ref = ray.put(bl)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        grams_l = ray.get(bl_ref)
+        low = pc.utf8_lower(batch["text"])
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for g in grams_l:
+            hits += (
+                pc.match_substring(low, g)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": "int64", "n_hits": "int64", "contaminated": "bool"})
+
+
+DOC_DECONTAMINATE_SQL = rf"""
+with bl as (
+  select distinct array_to_string(toks[1:{DECON_GRAM_TOKENS}], ' ') as gram
+  from (select regexp_extract_all(lower(text), '\S+') as toks
+        from documents where doc_id % {DECON_SOURCE_MOD} = 0)
+  where len(toks) >= {DECON_GRAM_TOKENS}
+)
+select d.doc_id,
+       coalesce(sum(case when contains(lower(d.text), b.gram)
+                         then 1 else 0 end), 0)::BIGINT as n_hits,
+       coalesce(sum(case when contains(lower(d.text), b.gram)
+                         then 1 else 0 end), 0) > 0 as contaminated
+from documents d left join bl b on true
+group by d.doc_id
+"""
 
 
 SAMPLE_PER_LANG = 5
@@ -974,4 +1089,6 @@ REGISTRY = {
     "doc_chunk_dedup": (doc_chunk_dedup, DOC_CHUNK_DEDUP_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
+    "doc_dup_components_exact": (doc_dup_components_exact, DOC_DUP_COMPONENTS_SQL),
+    "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
 }

@@ -989,6 +989,62 @@ from events
 """
 
 
+def rel_props_json(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` string with ONE vectorized RE2 pass
+    (``pc.extract_regex`` — no per-row json.loads), then the standard
+    partial-agg + tiny-combine rollup per event_type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = pc.struct_field(
+            pc.extract_regex(batch["props"], '"k": (?P<k>\\d+)'), "k"
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": pc.cast(ks, pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        n = int(group["n"].sum())
+        s = int(group["sum_k"].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n": [n],
+                "sum_k": [s],
+                "avg_k": [round(s / n, 6)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n": "int64", "sum_k": "int64"})
+
+
+REL_PROPS_JSON_SQL = r"""
+select event_type, count(*) as n,
+       sum(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint))::BIGINT as sum_k,
+       round(sum(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint))::DOUBLE
+             / count(*), 6) as avg_k
+from events
+group by event_type
+"""
+
+
 BLOOM_PRICE_CUTOFF = 400_000.0
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
@@ -1078,6 +1134,7 @@ REGISTRY = {
     "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
+    "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_value_percent_rank": (rel_value_percent_rank, REL_VALUE_PERCENT_RANK_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),
