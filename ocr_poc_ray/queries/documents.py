@@ -1065,6 +1065,122 @@ def _top_tfidf_sql() -> str:
 DOC_TOP_TFIDF_SQL = _top_tfidf_sql()
 
 
+# ---------------------------------------------------------------------------
+# Source-provenance operators: pivot matrix + keep-best dedup
+# ---------------------------------------------------------------------------
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def doc_source_lang_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab: one row per source, one count column per
+    language (plus a row total).  Shape: per-batch (source, lang)
+    partial counts → a grouped combine over ~|sources| groups (the
+    pivot's row cardinality, small by construction — provenance
+    catalogs are thousands of rows, not corpus-sized).  Languages
+    outside ``PIVOT_LANGS`` count only toward ``n_total`` (both
+    engines)."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["source", "lang"], as_index=False).agg(
+            n=("lang", "size")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        row: dict[str, list] = {"source": [group["source"].iloc[0]]}
+        for lang in PIVOT_LANGS:
+            row[f"n_{lang}"] = [int(group.loc[group["lang"] == lang, "n"].sum())]
+        row["n_total"] = [int(group["n"].sum())]
+        return pd.DataFrame(row)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(combine, batch_format="pandas")
+    )
+    cast = {f"n_{lang}": "int64" for lang in PIVOT_LANGS}
+    cast["n_total"] = "int64"
+    return out.to_pandas().astype(cast)
+
+
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f"sum(case when lang = '{lang}' then 1 else 0 end)::BIGINT as n_{lang}"
+    for lang in PIVOT_LANGS
+)
+DOC_SOURCE_LANG_MATRIX_SQL = f"""
+select source,
+       {_PIVOT_COLS_SQL},
+       count(*)::BIGINT as n_total
+from documents
+group by source
+"""
+
+
+KEEP_BEST_BUCKETS = 32
+
+
+def doc_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup with a provenance policy: among identical texts keep
+    the copy from the lexicographically smallest source (doc_id breaks
+    ties), reporting how many copies it absorbed.
+
+    Shape (mirrors ``functions.dedup.exact_dedup``): texts are hashed
+    per batch and collapsed to one (hash, winner, count) partial row
+    per distinct hash per batch; partials co-group in
+    ``KEEP_BEST_BUCKETS`` hash buckets (never one group per hash)
+    where a vectorized sort + first-row-per-hash picks the winner of
+    winners and sums the counts."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "h": [
+                    hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
+                    for t in batch["text"]
+                ],
+                "doc_id": batch["doc_id"].to_numpy(),
+                "source": batch["source"].to_numpy(),
+            }
+        )
+        df = df.sort_values(["h", "source", "doc_id"], kind="mergesort")
+        g = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "first"), source=("source", "first"),
+            n=("doc_id", "size"),
+        )
+        g["bucket"] = (
+            pd.util.hash_array(g["h"].to_numpy(dtype=object)) % KEEP_BEST_BUCKETS
+        ).astype(np.int64)
+        return g
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.sort_values(["h", "source", "doc_id"], kind="mergesort")
+        w = t.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "first"), source=("source", "first")
+        )
+        n = group.groupby("h", as_index=False).agg(n_copies=("n", "sum"))
+        return w.merge(n, on="h")[["doc_id", "source", "n_copies"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"doc_id": "int64", "n_copies": "int64"})
+
+
+DOC_DEDUP_KEEP_BEST_SQL = """
+select doc_id, source, (count(*) over (partition by text))::BIGINT as n_copies
+from documents
+qualify row_number() over (partition by text order by source, doc_id) = 1
+"""
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
@@ -1091,4 +1207,6 @@ REGISTRY = {
     "doc_near_dup_components": (doc_near_dup_components, None),
     "doc_dup_components_exact": (doc_dup_components_exact, DOC_DUP_COMPONENTS_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
+    "doc_source_lang_matrix": (doc_source_lang_matrix, DOC_SOURCE_LANG_MATRIX_SQL),
+    "doc_dedup_keep_best": (doc_dedup_keep_best, DOC_DEDUP_KEEP_BEST_SQL),
 }

@@ -1045,6 +1045,204 @@ group by event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-user analytics: funnel conversion, modal event, rolling actives
+# ---------------------------------------------------------------------------
+
+USER_BUCKETS = 32  # hash-bucket count for per-user combines: the
+# exchange always moves (bucket, partial) rows and the grouped combine
+# runs over USER_BUCKETS groups — NEVER one group per user (CLAUDE.md:
+# per-group overhead dominates many-group map_groups).
+
+
+def rel_user_funnel(sf_dir: str) -> pd.DataFrame:
+    """view→purchase funnel: how many users viewed, purchased, and
+    purchased at-or-after their first view.
+
+    Shape: per-batch pandas groupby collapses each batch to one
+    (user, first_view, first_purchase) partial row; partials co-group
+    in ``USER_BUCKETS`` hash buckets where a vectorized min-merge
+    finishes each user and the bucket emits FOUR counters; the driver
+    sums ≤32 counter rows.  No per-user group ever exists."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["ts", "user_id", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[["user_id"]].drop_duplicates()
+        v = (
+            batch[batch["event_type"] == "view"]
+            .groupby("user_id", as_index=False)
+            .agg(first_view=("ts", "min"))
+        )
+        p = (
+            batch[batch["event_type"] == "purchase"]
+            .groupby("user_id", as_index=False)
+            .agg(first_purchase=("ts", "min"))
+        )
+        m = u.merge(v, on="user_id", how="left").merge(p, on="user_id", how="left")
+        m["bucket"] = (m["user_id"].to_numpy() % USER_BUCKETS).astype(np.int64)
+        return m
+
+    def bucket_stats(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("user_id", as_index=False).agg(
+            first_view=("first_view", "min"),
+            first_purchase=("first_purchase", "min"),
+        )
+        viewed = g["first_view"].notna()
+        purchased = g["first_purchase"].notna()
+        converted = viewed & purchased & (g["first_purchase"] >= g["first_view"])
+        return pd.DataFrame(
+            {
+                "n_users": [len(g)],
+                "n_viewers": [int(viewed.sum())],
+                "n_purchasers": [int(purchased.sum())],
+                "n_converted": [int(converted.sum())],
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {c: [int(parts[c].sum())] for c in
+         ["n_users", "n_viewers", "n_purchasers", "n_converted"]}
+    )
+    return out.astype("int64")
+
+
+REL_USER_FUNNEL_SQL = """
+with u as (
+  select user_id,
+         min(case when event_type = 'view' then ts end) as first_view,
+         min(case when event_type = 'purchase' then ts end) as first_purchase
+  from events group by user_id
+)
+select count(*)::BIGINT as n_users,
+       count(first_view)::BIGINT as n_viewers,
+       count(first_purchase)::BIGINT as n_purchasers,
+       sum(case when first_purchase >= first_view then 1 else 0 end)::BIGINT
+         as n_converted
+from u
+"""
+
+
+def rel_user_mode_event(sf_dir: str) -> pd.DataFrame:
+    """Most frequent event type per user (grouped mode), ties broken
+    by lexicographically smallest type.
+
+    Shape: per-batch (user, type, n) partial counts → hash-bucket
+    combine (sum counts, vectorized sort + drop_duplicates argmax) —
+    the output is one row per user but no stage ever groups per
+    user."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        g["bucket"] = (g["user_id"].to_numpy() % USER_BUCKETS).astype(np.int64)
+        return g
+
+    def bucket_mode(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        t = t.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        w = t.drop_duplicates("user_id", keep="first")
+        return w.rename(columns={"event_type": "top_event"})[
+            ["user_id", "top_event", "n"]
+        ]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_mode, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"user_id": "int64", "n": "int64"})
+
+
+REL_USER_MODE_EVENT_SQL = """
+with c as (
+  select user_id, event_type, count(*) as n from events group by 1, 2
+)
+select user_id, event_type as top_event, n::BIGINT as n
+from c
+qualify row_number() over (partition by user_id order by n desc, event_type) = 1
+"""
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rel_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    """Exact 7-day rolling distinct-user count per day.
+
+    Rolling DISTINCT doesn't decompose as a sum of daily counts, so the
+    shape is: per-batch distinct (day, user) pairs → hash-bucket by
+    user (buckets PARTITION users, so per-bucket distinct counts add) →
+    inside each bucket a vectorized 7× fan-out (activity on day d
+    contributes to windows d..d+6) + dedup + per-day count → the
+    driver sums ≤ buckets × (days+6) tiny counter rows and keeps days
+    that really occur.  Work scales with distinct pairs × 7, never
+    with raw events, and no stage holds more than one bucket."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {"day": batch["ts"].dt.floor("D"), "user_id": batch["user_id"]}
+        ).drop_duplicates()
+        b["bucket"] = (b["user_id"].to_numpy() % USER_BUCKETS).astype(np.int64)
+        return b
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["day", "user_id"])
+        w = ROLLING_WINDOW_DAYS
+        days = g["day"].to_numpy().repeat(w) + np.tile(
+            np.arange(w), len(g)
+        ) * np.timedelta64(1, "D")
+        fan = pd.DataFrame(
+            {"day": days, "user_id": g["user_id"].to_numpy().repeat(w)}
+        ).drop_duplicates()
+        c = fan.groupby("day", as_index=False).agg(n=("user_id", "size"))
+        real = set(g["day"])
+        c["real"] = c["day"].isin(real)
+        return c
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("day", as_index=False).agg(
+        active_7d=("n", "sum"), real=("real", "any")
+    )
+    out = out.loc[out["real"], ["day", "active_7d"]].reset_index(drop=True)
+    return out.astype({"active_7d": "int64"})
+
+
+REL_ROLLING_ACTIVE_SQL = f"""
+with du as (
+  select distinct date_trunc('day', ts) as day, user_id from events
+),
+days as (select distinct day from du)
+select d.day, count(distinct u.user_id)::BIGINT as active_7d
+from days d
+join du u on u.day between d.day - interval {ROLLING_WINDOW_DAYS - 1} day and d.day
+group by d.day
+"""
+
+
 BLOOM_PRICE_CUTOFF = 400_000.0
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
@@ -1135,6 +1333,9 @@ REGISTRY = {
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
+    "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),
+    "rel_user_mode_event": (rel_user_mode_event, REL_USER_MODE_EVENT_SQL),
+    "rel_rolling_active_users": (rel_rolling_active_users, REL_ROLLING_ACTIVE_SQL),
     "rel_value_percent_rank": (rel_value_percent_rank, REL_VALUE_PERCENT_RANK_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),

@@ -47,6 +47,13 @@ FAST_ORACLE = [
     "rel_event_lag_delta",
     "rel_sample_per_user",
     "rel_value_percent_rank",
+    "rel_props_json",
+    "rel_user_funnel",
+    "rel_user_mode_event",
+    "rel_rolling_active_users",
+    "doc_source_lang_matrix",
+    "doc_dedup_keep_best",
+    "doc_decontaminate",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
