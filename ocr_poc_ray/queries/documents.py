@@ -1181,6 +1181,54 @@ qualify row_number() over (partition by text order by source, doc_id) = 1
 """
 
 
+def doc_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Language-mix diversity per source: Shannon entropy (natural
+    log) of each source's language distribution plus the distinct-lang
+    count — the mixture-health metric of a multi-source corpus.  Same
+    shape as the pivot: (source, lang) partial counts, one vectorized
+    combine per source group."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["source", "lang"], as_index=False).agg(
+            n=("lang", "size")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("lang", as_index=False).agg(n=("n", "sum"))
+        tot = float(g["n"].sum())
+        p = g["n"].to_numpy(dtype=np.float64) / tot
+        return pd.DataFrame(
+            {
+                "source": [group["source"].iloc[0]],
+                "n_docs": [int(tot)],
+                "n_langs": [len(g)],
+                "lang_entropy": [round(float(-(p * np.log(p)).sum()), 6)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype(
+        {"n_docs": "int64", "n_langs": "int64", "lang_entropy": "float64"}
+    )
+
+
+DOC_SOURCE_ENTROPY_SQL = """
+with c as (
+  select source, lang, count(*) as n from documents group by 1, 2
+),
+t as (select source, sum(n) as tot from c group by 1)
+select c.source, max(t.tot)::BIGINT as n_docs, count(*)::BIGINT as n_langs,
+       round(sum(-(c.n / t.tot) * ln(c.n / t.tot)), 6) as lang_entropy
+from c join t using (source)
+group by c.source
+"""
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
@@ -1209,4 +1257,5 @@ REGISTRY = {
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "doc_source_lang_matrix": (doc_source_lang_matrix, DOC_SOURCE_LANG_MATRIX_SQL),
     "doc_dedup_keep_best": (doc_dedup_keep_best, DOC_DEDUP_KEEP_BEST_SQL),
+    "doc_source_entropy": (doc_source_entropy, DOC_SOURCE_ENTROPY_SQL),
 }

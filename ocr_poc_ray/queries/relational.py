@@ -1243,6 +1243,243 @@ group by d.day
 """
 
 
+def rel_corr_value_k(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation between ``value`` and the JSON-extracted
+    ``k`` per event type, via the classic mergeable-moment partial
+    (n, Σx, Σy, Σx², Σy², Σxy): each batch collapses to one 6-number
+    row per event type, the combine sums a handful of partials — the
+    textbook distributed-statistics shape (nothing wide ever moves)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], '"k": (?P<k>\\d+)'), "k"
+            ),
+            pa.float64(),
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "x": batch["value"].to_numpy(),
+                "y": ks,
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+        return g
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        n = float(group["n"].sum())
+        sx, sy = float(group["sx"].sum()), float(group["sy"].sum())
+        sxx, syy = float(group["sxx"].sum()), float(group["syy"].sum())
+        sxy = float(group["sxy"].sum())
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n": [int(n)],
+                "corr_value_k": [round(num / den, 6) if den > 0 else None],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n": "int64", "corr_value_k": "float64"})
+
+
+REL_CORR_VALUE_K_SQL = r"""
+select event_type, count(*) as n,
+       round(corr(value,
+                  cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)), 6)
+         as corr_value_k
+from events
+group by event_type
+"""
+
+
+def rel_cumulative_users(sf_dir: str) -> pd.DataFrame:
+    """New-user curve: first-seen day per user, new-user count per day,
+    and the cumulative distinct-user total over time.
+
+    Shape: per-batch (user, min day) partials → hash-bucket min-merge
+    (buckets partition users, so per-bucket first-day histograms ADD)
+    → each bucket emits a per-day new-user count → the driver sums
+    ≤ buckets × days tiny rows and runs the cumsum over the day axis
+    (days scale with calendar time, not data volume)."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {"day": batch["ts"].dt.floor("D"), "user_id": batch["user_id"]}
+        )
+        g = b.groupby("user_id", as_index=False).agg(day=("day", "min"))
+        g["bucket"] = (g["user_id"].to_numpy() % USER_BUCKETS).astype(np.int64)
+        return g
+
+    def bucket_newusers(group: pd.DataFrame) -> pd.DataFrame:
+        first = group.groupby("user_id", as_index=False).agg(day=("day", "min"))
+        return first.groupby("day", as_index=False).agg(n_new=("user_id", "size"))
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_newusers, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("day", as_index=False).agg(n_new=("n_new", "sum"))
+    out = out.sort_values("day", kind="mergesort").reset_index(drop=True)
+    out["cum_users"] = out["n_new"].cumsum()
+    return out.astype({"n_new": "int64", "cum_users": "int64"})
+
+
+REL_CUMULATIVE_USERS_SQL = """
+with f as (
+  select user_id, min(date_trunc('day', ts)) as first_day from events group by 1
+),
+d as (select first_day as day, count(*) as n_new from f group by 1)
+select day, n_new::BIGINT as n_new,
+       (sum(n_new) over (order by day))::BIGINT as cum_users
+from d
+"""
+
+
+HIGH_PURCHASE_VALUE = 150.0
+
+
+def rel_viewers_never_purchased(sf_dir: str) -> pd.DataFrame:
+    """Self set-difference: users with at least one view and NO
+    high-value purchase (value > ``HIGH_PURCHASE_VALUE``), with their
+    view counts — the EXCEPT/anti-join pattern done as one streaming
+    pass (per-batch per-user partial counts + flag) and a hash-bucket
+    combine; no second read of the table and no shuffle of raw
+    events."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "v": (batch["event_type"] == "view").astype(np.int64),
+                "p": (
+                    (batch["event_type"] == "purchase")
+                    & (batch["value"] > HIGH_PURCHASE_VALUE)
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            n_views=("v", "sum"), n_purch=("p", "sum")
+        )
+        g["bucket"] = (g["user_id"].to_numpy() % USER_BUCKETS).astype(np.int64)
+        return g
+
+    def bucket_filter(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("user_id", as_index=False).agg(
+            n_views=("n_views", "sum"), n_purch=("n_purch", "sum")
+        )
+        keep = g.loc[(g["n_views"] > 0) & (g["n_purch"] == 0)]
+        return keep[["user_id", "n_views"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:  # typed empty: all viewers purchased
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_views": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.astype({"user_id": "int64", "n_views": "int64"})
+
+
+REL_VIEWERS_NEVER_PURCHASED_SQL = f"""
+with v as (
+  select user_id, count(*) as n_views from events
+  where event_type = 'view' group by user_id
+),
+p as (select distinct user_id from events
+      where event_type = 'purchase' and value > {HIGH_PURCHASE_VALUE})
+select v.user_id, v.n_views::BIGINT as n_views
+from v anti join p using (user_id)
+"""
+
+
+def rel_user_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users cohorted by first-seen day; for each
+    (cohort day, day offset) the count of cohort members active at
+    that offset — the canonical distributed SELF-JOIN done by
+    co-partitioning instead of a shuffle join: one streaming pass
+    emits per-batch (user, day) distinct pairs AND (user, min day)
+    partials into the SAME user-hash buckets; each bucket derives its
+    users' first days and joins its own activity pairs locally
+    (buckets partition users, so (cohort, offset) counts add across
+    buckets).  The raw events table is read once and never
+    shuffled."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {"day": batch["ts"].dt.floor("D"), "user_id": batch["user_id"]}
+        ).drop_duplicates()
+        b["bucket"] = (b["user_id"].to_numpy() % USER_BUCKETS).astype(np.int64)
+        return b
+
+    def bucket_retention(group: pd.DataFrame) -> pd.DataFrame:
+        du = group.drop_duplicates(["user_id", "day"])
+        first = du.groupby("user_id", as_index=False).agg(cohort_day=("day", "min"))
+        j = du.merge(first, on="user_id")
+        j["day_offset"] = (
+            (j["day"] - j["cohort_day"]).dt.days.astype(np.int64)
+        )
+        return j.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_active=("user_id", "size")
+        )
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_retention, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+        n_active=("n_active", "sum")
+    )
+    return out.astype({"day_offset": "int64", "n_active": "int64"})
+
+
+REL_USER_RETENTION_SQL = """
+with f as (
+  select user_id, min(date_trunc('day', ts)) as cohort_day
+  from events group by user_id
+),
+du as (select distinct date_trunc('day', ts) as day, user_id from events)
+select f.cohort_day, datediff('day', f.cohort_day, du.day)::BIGINT as day_offset,
+       count(*)::BIGINT as n_active
+from du join f using (user_id)
+group by 1, 2
+"""
+
+
 BLOOM_PRICE_CUTOFF = 400_000.0
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
@@ -1336,6 +1573,13 @@ REGISTRY = {
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),
     "rel_user_mode_event": (rel_user_mode_event, REL_USER_MODE_EVENT_SQL),
     "rel_rolling_active_users": (rel_rolling_active_users, REL_ROLLING_ACTIVE_SQL),
+    "rel_corr_value_k": (rel_corr_value_k, REL_CORR_VALUE_K_SQL),
+    "rel_cumulative_users": (rel_cumulative_users, REL_CUMULATIVE_USERS_SQL),
+    "rel_viewers_never_purchased": (
+        rel_viewers_never_purchased,
+        REL_VIEWERS_NEVER_PURCHASED_SQL,
+    ),
+    "rel_user_retention": (rel_user_retention, REL_USER_RETENTION_SQL),
     "rel_value_percent_rank": (rel_value_percent_rank, REL_VALUE_PERCENT_RANK_SQL),
     "rel_top_revenue_orders": (rel_top_revenue_orders, REL_TOP_REVENUE_ORDERS_SQL),
     "rel_range_join_click_error": (rel_range_join_click_error, REL_RANGE_JOIN_SQL),

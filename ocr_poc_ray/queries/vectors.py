@@ -162,8 +162,97 @@ group by grp, dim_idx
 """
 
 
+def _partial_moments(batch: pd.DataFrame) -> pd.DataFrame:
+    """(n, Σx per dim, Σxᵀx) for one batch, flattened to bytes — the
+    mergeable second-moment partial shared by vec_dim_stats and
+    vec_top_eigen.  One matmul per batch; a d×d float64 matrix is
+    ~32 kB at d=64, so a partial is KB-sized regardless of corpus."""
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+    return pd.DataFrame(
+        [
+            {
+                "n": len(X),
+                "sums": X.sum(axis=0).tobytes(),
+                "xtx": (X.T @ X).tobytes(),
+            }
+        ]
+    )
+
+
+def _combined_moments(sf_dir: str) -> tuple[int, np.ndarray, np.ndarray]:
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["embedding"])
+    partials = ds.map_batches(_partial_moments, batch_format="pandas").to_pandas()
+    n = int(partials["n"].sum())
+    s = np.sum([np.frombuffer(b, dtype=np.float64) for b in partials["sums"]], axis=0)
+    d = len(s)
+    xtx = np.sum(
+        [np.frombuffer(b, dtype=np.float64).reshape(d, d) for b in partials["xtx"]],
+        axis=0,
+    )
+    return n, s, xtx
+
+
+def vec_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean and population variance of the embedding
+    column — distributed moments: each batch collapses to one
+    (n, Σx, Σx²-diagonal) partial; the driver folds O(blocks) KB-sized
+    partials.  Oracle: DuckDB parallel-unnest + avg/var_pop."""
+    n, s, xtx = _combined_moments(sf_dir)
+    mean = s / n
+    var = np.diag(xtx) / n - mean * mean
+    return pd.DataFrame(
+        {
+            "dim_idx": np.arange(1, len(s) + 1, dtype=np.int64),
+            "mean": np.round(mean, 6),
+            "var_pop": np.round(var, 6),
+        }
+    ).astype({"dim_idx": "int64", "mean": "float64", "var_pop": "float64"})
+
+
+VEC_DIM_STATS_SQL = """
+with u as (
+  select generate_subscripts(embedding, 1) as dim_idx,
+         unnest(embedding)::DOUBLE as e
+  from embeddings
+)
+select dim_idx, round(avg(e), 6) as mean, round(var_pop(e), 6) as var_pop
+from u
+group by dim_idx
+"""
+
+
+TOP_EIGEN_COMPONENTS = 8
+
+
+def vec_top_eigen(sf_dir: str) -> pd.DataFrame:
+    """Top principal-component spectrum of the embedding covariance
+    (the PCA precursor): the SAME mergeable (n, Σx, Σxᵀx) partials as
+    ``vec_dim_stats`` reduce to one d×d covariance on the driver, where
+    ``numpy.linalg.eigh`` is exact and cheap (d², not corpus-sized).
+    Output is the sign-free spectrum — eigenvalue + explained-variance
+    share per component — so the result is deterministic.  Rows-only:
+    no SQL engine exposes eigendecomposition."""
+    n, s, xtx = _combined_moments(sf_dir)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals = np.linalg.eigh(cov)[0][::-1]  # descending
+    total = float(evals.sum())
+    k = min(TOP_EIGEN_COMPONENTS, len(evals))
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, k + 1, dtype=np.int64),
+            "eigenvalue": np.round(evals[:k], 6),
+            "explained_share": np.round(evals[:k] / total, 6),
+        }
+    ).astype(
+        {"component": "int64", "eigenvalue": "float64", "explained_share": "float64"}
+    )
+
+
 REGISTRY = {
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
+    "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
+    "vec_top_eigen": (vec_top_eigen, None),
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),
     "vec_knn_ivf": (vec_knn_ivf, None),

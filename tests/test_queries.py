@@ -54,6 +54,11 @@ FAST_ORACLE = [
     "doc_source_lang_matrix",
     "doc_dedup_keep_best",
     "doc_decontaminate",
+    "doc_source_entropy",
+    "rel_corr_value_k",
+    "rel_cumulative_users",
+    "rel_viewers_never_purchased",
+    "vec_dim_stats",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",

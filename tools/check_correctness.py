@@ -78,6 +78,10 @@ def main() -> int:
         )
 
     qs, sqls = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query names (not registered): {sorted(unknown)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
