@@ -1229,6 +1229,71 @@ group by c.source
 """
 
 
+COOC_TOP_K = 12
+
+
+def doc_token_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Document-level co-occurrence matrix for the corpus's top tokens
+    (the embedding/PMI precursor): how many documents contain BOTH
+    tokens of each pair.
+
+    Shape: pass 1 reuses the exact heavy-hitter top-k
+    (``textstats.top_tokens`` — hash-bucketed vocabulary combine);
+    the k winners broadcast via ``ray.put``.  Pass 2 builds one
+    docs×k 0/1 presence matrix per batch and emits a single k×k
+    matmul partial (``Mᵀ·M`` — co-occurrence as linear algebra, kB
+    per block regardless of corpus); the driver sums O(blocks) tiny
+    matrices.  Capping at top-k is the standard scale bound for
+    co-occurrence (uncapped vocab² is quadratic)."""
+    from ocr_poc_ray.functions.textstats import top_tokens
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    top = top_tokens(ds, k=COOC_TOP_K)["token"].tolist()
+    vocab = np.asarray(sorted(top), dtype=object)
+    vref = ray.put(vocab)
+
+    def presence_matmul(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        b = batch.reset_index(drop=True)
+        e = b["text"].str.lower().str.split().explode().dropna()
+        cat = pd.Categorical(e, categories=v)
+        mask = cat.codes >= 0
+        M = np.zeros((len(b), len(v)), dtype=np.float64)
+        M[e.index.to_numpy()[mask], cat.codes[mask]] = 1.0
+        return pd.DataFrame([{"c": (M.T @ M).tobytes()}])
+
+    parts = ds.map_batches(presence_matmul, batch_format="pandas").to_pandas()
+    k = len(vocab)
+    C = np.sum(
+        [np.frombuffer(b, dtype=np.float64).reshape(k, k) for b in parts["c"]],
+        axis=0,
+    ).astype(np.int64)
+    ia, ib = np.triu_indices(k, k=1)
+    out = pd.DataFrame(
+        {"tok_a": vocab[ia], "tok_b": vocab[ib], "n_docs": C[ia, ib]}
+    )
+    out = out[out["n_docs"] > 0].reset_index(drop=True)
+    return out.astype({"n_docs": "int64"})
+
+
+DOC_TOKEN_COOC_SQL = rf"""
+with tok as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+),
+c as (select token, count(*) as n from tok group by token),
+top as (select token from c order by n desc, token limit {COOC_TOP_K}),
+dt as (
+  select distinct doc_id, token from tok
+  where token in (select token from top)
+)
+select a.token as tok_a, b.token as tok_b, count(*)::BIGINT as n_docs
+from dt a join dt b using (doc_id)
+where a.token < b.token
+group by 1, 2
+"""
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
@@ -1258,4 +1323,5 @@ REGISTRY = {
     "doc_source_lang_matrix": (doc_source_lang_matrix, DOC_SOURCE_LANG_MATRIX_SQL),
     "doc_dedup_keep_best": (doc_dedup_keep_best, DOC_DEDUP_KEEP_BEST_SQL),
     "doc_source_entropy": (doc_source_entropy, DOC_SOURCE_ENTROPY_SQL),
+    "doc_token_cooccurrence": (doc_token_cooccurrence, DOC_TOKEN_COOC_SQL),
 }

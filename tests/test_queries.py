@@ -58,7 +58,9 @@ FAST_ORACLE = [
     "rel_corr_value_k",
     "rel_cumulative_users",
     "rel_viewers_never_purchased",
+    "rel_user_retention",
     "vec_dim_stats",
+    "doc_token_cooccurrence",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
