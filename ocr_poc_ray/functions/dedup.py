@@ -768,9 +768,12 @@ def connected_components_distributed(
         rev = pd.DataFrame({"src": batch["doc_b"], "dst": batch["doc_a"]})
         return pd.concat([fwd, rev], ignore_index=True)
 
+    # repartition before the per-round join: Ray 2.49 Dataset.join
+    # raises ArrowInvalid ("No match ... FieldRef") when an input has
+    # 0-row blocks (CLAUDE.md pitfall) — merging blocks removes them.
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         to_directed, batch_format="pandas"
-    ).materialize()
+    ).repartition(num_buckets).materialize()
     if edges.count() == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),

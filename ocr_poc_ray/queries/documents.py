@@ -349,73 +349,110 @@ from reach group by node
 
 
 DECON_SOURCE_MOD = 50  # every 50th doc seeds the blocklist (keeps the
-# O(docs x grams) oracle cross-join tractable at every checked sf)
+# oracle's shingle join tractable at every checked sf)
 DECON_GRAM_TOKENS = 8
 
 
-def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
-    """Benchmark decontamination: flag every document whose text
-    contains any blocklist n-gram (here the leading 8-token shingle of
-    every ``DECON_SOURCE_MOD``-th doc stands in for an eval suite's
-    contamination grams).
+def _window_hashes(th: np.ndarray, n: int) -> np.ndarray:
+    """Distinct uint64 hashes of every token-aligned n-token window of
+    one doc (same positional polynomial as the dedup shinglers); empty
+    for docs shorter than n tokens."""
+    from ocr_poc_ray.functions.dedup import _SHINGLE_MULT
 
-    Scale shape: the blocklist is the SMALL side by construction (real
-    eval suites are a few thousand grams) — collected once, broadcast
-    via ``ray.put``, and scanned with one vectorized
-    ``pc.match_substring`` pass per gram; the corpus side streams and
-    never shuffles."""
-    import pyarrow.compute as pc
+    m = len(th)
+    if m < n:
+        return np.array([], dtype=np.uint64)
+    k = m - n + 1
+    acc = np.zeros(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            acc = acc * _SHINGLE_MULT + th[i : i + k]
+    return np.unique(acc)
+
+
+def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: count, per document, how many
+    blocklist n-grams occur as token-aligned 8-token windows of its
+    text (the leading shingle of every ``DECON_SOURCE_MOD``-th doc
+    stands in for an eval suite's contamination grams).
+
+    Scale shape: grams are never compared as strings — both sides hash
+    8-token windows with the dedup shinglers' positional polynomial
+    (one vectorized siphash pass per batch + a rolling combine), the
+    distinct gram hashes broadcast once as a SORTED numpy array
+    (zero-copy ``ray.get`` per worker), and each doc's window set
+    membership-tests via one ``np.searchsorted`` — cost per doc is
+    O(tokens + windows·log bl), independent of blocklist size, where
+    the old per-gram substring scan was O(blocklist) passes per
+    batch."""
+    from ocr_poc_ray.functions.dedup import _batch_token_hashes
 
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
-    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+    def seed_grams(batch: pd.DataFrame) -> pd.DataFrame:
         sel = batch[batch["doc_id"] % DECON_SOURCE_MOD == 0]
+        th, off = _batch_token_hashes(sel["text"])
         out = []
-        for t in sel["text"]:
-            toks = t.lower().split()
-            if len(toks) >= DECON_GRAM_TOKENS:
-                out.append(" ".join(toks[:DECON_GRAM_TOKENS]))
-        return pd.DataFrame({"gram": pd.Series(out, dtype="object")})
+        for i in range(len(sel)):
+            toks = th[off[i] : off[i + 1]]
+            lead = _window_hashes(toks[:DECON_GRAM_TOKENS], DECON_GRAM_TOKENS)
+            if len(lead):
+                out.append(lead[0])
+        return pd.DataFrame({"gh": pd.Series(out, dtype="uint64")})
 
-    bl = sorted(set(ds.map_batches(grams, batch_format="pandas").to_pandas()["gram"]))
-    bl_ref = ray.put(bl)
+    bl = np.unique(
+        ds.map_batches(seed_grams, batch_format="pandas")
+        .to_pandas()["gh"]
+        .to_numpy(dtype=np.uint64)
+    )
+    bl_ref = ray.put(bl)  # sorted distinct gram hashes — the small side
 
-    def flag(batch: pa.Table) -> pa.Table:
-        grams_l = ray.get(bl_ref)
-        low = pc.utf8_lower(batch["text"])
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        blist = ray.get(bl_ref)  # zero-copy plasma read, cached per worker
+        th, off = _batch_token_hashes(batch["text"])
         hits = np.zeros(len(batch), dtype=np.int64)
-        for g in grams_l:
-            hits += (
-                pc.match_substring(low, g)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-        return pa.table(
+        for i in range(len(batch)):
+            wh = _window_hashes(th[off[i] : off[i + 1]], DECON_GRAM_TOKENS)
+            if len(wh) and len(blist):
+                pos = np.searchsorted(blist, wh)
+                pos[pos == len(blist)] = len(blist) - 1
+                hits[i] = int((blist[pos] == wh).sum())
+        return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
-                "n_hits": pa.array(hits),
-                "contaminated": pa.array(hits > 0),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_hits": hits,
+                "contaminated": hits > 0,
             }
         )
 
-    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
     return out.astype({"doc_id": "int64", "n_hits": "int64", "contaminated": "bool"})
 
 
 DOC_DECONTAMINATE_SQL = rf"""
-with bl as (
-  select distinct array_to_string(toks[1:{DECON_GRAM_TOKENS}], ' ') as gram
-  from (select regexp_extract_all(lower(text), '\S+') as toks
-        from documents where doc_id % {DECON_SOURCE_MOD} = 0)
-  where len(toks) >= {DECON_GRAM_TOKENS}
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as t from documents
+),
+bl as (
+  select distinct array_to_string(t[1:{DECON_GRAM_TOKENS}], ' ') as gram
+  from toks where doc_id % {DECON_SOURCE_MOD} = 0
+    and len(t) >= {DECON_GRAM_TOKENS}
+),
+sh as (
+  select doc_id, array_to_string(t[i:i+{DECON_GRAM_TOKENS - 1}], ' ') as gram
+  from toks
+  cross join unnest(generate_series(1, len(t) - {DECON_GRAM_TOKENS - 1}))
+    as u(i)
+),
+hits as (
+  select s.doc_id, count(distinct s.gram)::BIGINT as n_hits
+  from (select distinct doc_id, gram from sh) s
+  join bl using (gram)
+  group by s.doc_id
 )
-select d.doc_id,
-       coalesce(sum(case when contains(lower(d.text), b.gram)
-                         then 1 else 0 end), 0)::BIGINT as n_hits,
-       coalesce(sum(case when contains(lower(d.text), b.gram)
-                         then 1 else 0 end), 0) > 0 as contaminated
-from documents d left join bl b on true
-group by d.doc_id
+select d.doc_id, coalesce(h.n_hits, 0)::BIGINT as n_hits,
+       coalesce(h.n_hits, 0) > 0 as contaminated
+from documents d left join hits h using (doc_id)
 """
 
 
