@@ -249,10 +249,124 @@ def vec_top_eigen(sf_dir: str) -> pd.DataFrame:
     )
 
 
+JOIN_PARTS = 8
+
+
+def vec_quality_centroids(sf_dir: str) -> pd.DataFrame:
+    """Cross-table big-big join: per-label embedding centroids over
+    ONLY the documents that pass the text quality gate — the
+    embeddings table hash-joined to the quality-filtered doc ids.
+
+    Scale shape: at 100 TB the filtered id set is corpus-sized, so
+    broadcasting it is wrong; both sides hash-partition on the id via
+    ``Dataset.join`` (each input ``repartition``-ed first — the Ray
+    2.49 empty-block ArrowInvalid pitfall), then the joined stream
+    collapses to per-label partial sum-vectors exactly like
+    ``vec_group_centroids``."""
+    import os as _os
+
+    from ocr_poc_ray.functions.textstats import add_quality
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    q = (
+        add_quality(docs)
+        .map_batches(
+            lambda b: b.loc[b["is_quality"], ["doc_id"]].rename(
+                columns={"doc_id": "vec_id"}
+            ),
+            batch_format="pandas",
+        )
+        .repartition(JOIN_PARTS)
+    )
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        # Acero hash joins reject list<float> payload columns — carry
+        # the vector across the exchange as fixed-width binary instead.
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"],
+                "label": batch["label"],
+                "emb": [
+                    np.asarray(v, dtype=np.float64).tobytes()
+                    for v in batch["embedding"]
+                ],
+            }
+        )
+
+    emb = (
+        ray.data.read_parquet(
+            _emb_path(sf_dir), columns=["vec_id", "embedding", "label"]
+        )
+        .map_batches(pack, batch_format="pandas")
+        .repartition(JOIN_PARTS)
+    )
+    joined = emb.join(q, "inner", num_partitions=JOIN_PARTS, on=("vec_id",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack(
+            [np.frombuffer(b, dtype=np.float64) for b in batch["emb"]]
+        )
+        lab = batch["label"].to_numpy()
+        rows = []
+        for g in np.unique(lab):
+            sub = X[lab == g]
+            rows.append(
+                {"label": int(g), "n": len(sub), "sums": sub.sum(axis=0).tobytes()}
+            )
+        return pd.DataFrame(rows)
+
+    partials = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for g, gdf in partials.groupby("label"):
+        total = np.sum(
+            [np.frombuffer(b, dtype=np.float64) for b in gdf["sums"]], axis=0
+        )
+        cent = np.round(total / int(gdf["n"].sum()), 6)
+        for i, c in enumerate(cent):
+            out.append({"label": int(g), "dim_idx": i + 1, "centroid": float(c)})
+    return pd.DataFrame(out).astype(
+        {"label": "int64", "dim_idx": "int64", "centroid": "float64"}
+    )
+
+
+def _quality_ids_subquery() -> str:
+    from ocr_poc_ray.queries.documents import _STOP_EN_PATTERN, _STRIP
+
+    return rf"""
+  select doc_id from (
+    select doc_id,
+           length(text)::DOUBLE as n_chars,
+           len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE as n_punct,
+           case when {_STRIP('text')} = '' then 0
+                else len(regexp_extract_all(text, '\S+')) end as ws_tokens
+    from documents
+  )
+  where n_chars >= 50
+    and (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.20
+    and ws_tokens >= 10
+"""
+
+
+def _vec_quality_centroids_sql() -> str:
+    return f"""
+with q as ({_quality_ids_subquery()}),
+u as (
+  select e.label, generate_subscripts(e.embedding, 1) as dim_idx,
+         unnest(e.embedding)::DOUBLE as v
+  from embeddings e join q on e.vec_id = q.doc_id
+)
+select label, dim_idx, round(avg(v), 6) as centroid
+from u
+group by label, dim_idx
+"""
+
+
 REGISTRY = {
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
     "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
     "vec_top_eigen": (vec_top_eigen, None),
+    "vec_quality_centroids": (vec_quality_centroids, _vec_quality_centroids_sql()),
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),
     "vec_knn_ivf": (vec_knn_ivf, None),
