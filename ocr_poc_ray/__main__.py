@@ -9,6 +9,7 @@ extract     resumable checkpointed extraction over a transcript corpus
 fixture     write a deterministic synthetic transcript corpus
 fields      typed-field extraction over a span-docs parquet
 bench-info  print the engine's operator registry (name → oracle kind)
+query       run one registered query over an sf_dir (print or parquet)
 
 This is the ONLY module in the package that may own a Ray session
 (guarded — the driver/bench/tests own their own).
@@ -90,6 +91,34 @@ def cmd_bench_info(_args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from ocr_poc_ray.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see `bench-info`", file=sys.stderr)
+        return 2
+    fn, _sql = REGISTRY[args.name]
+    out = fn(args.sf_dir)
+    try:  # Dataset / pyarrow results → pandas for uniform output
+        import pyarrow as pa
+        from ray.data import Dataset
+
+        if isinstance(out, Dataset):
+            out = out.to_pandas()
+        elif isinstance(out, pa.Table):
+            out = out.to_pandas()
+    except ImportError:
+        pass
+    if args.output:
+        out.to_parquet(args.output, index=False)
+        print(json.dumps({"query": args.name, "rows": len(out),
+                          "output": args.output}))
+    else:
+        print(out.to_string(max_rows=args.max_rows))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ocr_poc_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +150,15 @@ def main(argv: list[str] | None = None) -> int:
 
     bi = sub.add_parser("bench-info", help="list the operator registry")
     bi.set_defaults(fn=cmd_bench_info)
+
+    q = sub.add_parser("query", help="run one registered query over an sf_dir")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--output", default="", help="write result parquet here "
+                   "instead of printing")
+    q.add_argument("--max-rows", type=int, default=50)
+    q.add_argument("--num-cpus", type=int, default=0)
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
