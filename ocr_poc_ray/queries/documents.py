@@ -1282,6 +1282,20 @@ def doc_token_cooccurrence(sf_dir: str) -> pd.DataFrame:
     per block regardless of corpus); the driver sums O(blocks) tiny
     matrices.  Capping at top-k is the standard scale bound for
     co-occurrence (uncapped vocab² is quadratic)."""
+    vocab, C, _n = _cooc_matrix(sf_dir)
+    ia, ib = np.triu_indices(len(vocab), k=1)
+    out = pd.DataFrame(
+        {"tok_a": vocab[ia], "tok_b": vocab[ib], "n_docs": C[ia, ib]}
+    )
+    out = out[out["n_docs"] > 0].reset_index(drop=True)
+    return out.astype({"n_docs": "int64"})
+
+
+def _cooc_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """(sorted top-k vocab, k×k doc-level co-occurrence count matrix,
+    total doc count) — the shared two-pass backbone of
+    ``doc_token_cooccurrence`` and ``doc_token_pmi``.  The matrix
+    diagonal is each token's document frequency."""
     from ocr_poc_ray.functions.textstats import top_tokens
 
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
@@ -1297,7 +1311,7 @@ def doc_token_cooccurrence(sf_dir: str) -> pd.DataFrame:
         mask = cat.codes >= 0
         M = np.zeros((len(b), len(v)), dtype=np.float64)
         M[e.index.to_numpy()[mask], cat.codes[mask]] = 1.0
-        return pd.DataFrame([{"c": (M.T @ M).tobytes()}])
+        return pd.DataFrame([{"c": (M.T @ M).tobytes(), "n": len(b)}])
 
     parts = ds.map_batches(presence_matmul, batch_format="pandas").to_pandas()
     k = len(vocab)
@@ -1305,12 +1319,7 @@ def doc_token_cooccurrence(sf_dir: str) -> pd.DataFrame:
         [np.frombuffer(b, dtype=np.float64).reshape(k, k) for b in parts["c"]],
         axis=0,
     ).astype(np.int64)
-    ia, ib = np.triu_indices(k, k=1)
-    out = pd.DataFrame(
-        {"tok_a": vocab[ia], "tok_b": vocab[ib], "n_docs": C[ia, ib]}
-    )
-    out = out[out["n_docs"] > 0].reset_index(drop=True)
-    return out.astype({"n_docs": "int64"})
+    return vocab, C, int(parts["n"].sum())
 
 
 DOC_TOKEN_COOC_SQL = rf"""
@@ -1328,6 +1337,57 @@ select a.token as tok_a, b.token as tok_b, count(*)::BIGINT as n_docs
 from dt a join dt b using (doc_id)
 where a.token < b.token
 group by 1, 2
+"""
+
+
+def doc_token_pmi(sf_dir: str) -> pd.DataFrame:
+    """Pointwise mutual information over the top-token pairs —
+    PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with doc-level presence
+    probabilities.  Zero extra distributed work beyond
+    ``doc_token_cooccurrence``: the co-occurrence matrix DIAGONAL is
+    each token's document frequency and the batch partials carry the
+    doc count, so the whole statistic falls out of the same k×k
+    matmul partials."""
+    vocab, C, n_docs = _cooc_matrix(sf_dir)
+    df = np.diag(C).astype(np.float64)
+    ia, ib = np.triu_indices(len(vocab), k=1)
+    n_ab = C[ia, ib].astype(np.float64)
+    keep = n_ab > 0
+    ia, ib, n_ab = ia[keep], ib[keep], n_ab[keep]
+    pmi = np.log(n_ab * float(n_docs) / (df[ia] * df[ib]))
+    return pd.DataFrame(
+        {
+            "tok_a": vocab[ia],
+            "tok_b": vocab[ib],
+            "n_docs": n_ab.astype(np.int64),
+            "pmi": np.round(pmi, 6),
+        }
+    ).astype({"n_docs": "int64", "pmi": "float64"})
+
+
+DOC_TOKEN_PMI_SQL = rf"""
+with tok as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+),
+c as (select token, count(*) as n from tok group by token),
+top as (select token from c order by n desc, token limit {COOC_TOP_K}),
+dt as (
+  select distinct doc_id, token from tok
+  where token in (select token from top)
+),
+df as (select token, count(*)::DOUBLE as nd from dt group by token),
+tot as (select count(*)::DOUBLE as n_total from documents)
+select a.token as tok_a, b.token as tok_b, count(*)::BIGINT as n_docs,
+       round(ln(count(*) * max(tot.n_total) / (max(da.nd) * max(db.nd))), 6)
+         as pmi
+from dt a
+join dt b using (doc_id)
+join df da on da.token = a.token
+join df db on db.token = b.token
+cross join tot
+where a.token < b.token
+group by a.token, b.token
 """
 
 
@@ -1361,4 +1421,5 @@ REGISTRY = {
     "doc_dedup_keep_best": (doc_dedup_keep_best, DOC_DEDUP_KEEP_BEST_SQL),
     "doc_source_entropy": (doc_source_entropy, DOC_SOURCE_ENTROPY_SQL),
     "doc_token_cooccurrence": (doc_token_cooccurrence, DOC_TOKEN_COOC_SQL),
+    "doc_token_pmi": (doc_token_pmi, DOC_TOKEN_PMI_SQL),
 }
