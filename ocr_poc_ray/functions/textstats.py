@@ -254,13 +254,11 @@ def chunk_tokens(
 # --------------------------------------------------------------------------
 
 
-def top_tokens(
-    ds: Dataset, *, k: int = 10, text_col: str = "text", n_buckets: int = 16
-) -> pd.DataFrame:
-    """Global top-`k` lowercase whitespace tokens by occurrence count,
-    ties broken token-ascending.  Exact at any vocabulary size: the
-    bucket count bounds the combine's group cardinality (vocabulary /
-    n_buckets per group), never the corpus size."""
+def _vocab_partial(text_col: str, n_buckets: int):
+    """Per-batch vocabulary combiner shared by the corpus-vocabulary
+    statistics: one Arrow lower+split+value_counts per batch, output
+    sized by the batch's vocabulary (never its rows), hash-bucketed so
+    every token lives wholly in one downstream group."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         text = pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col]))
@@ -277,6 +275,19 @@ def top_tokens(
             pd.util.hash_array(df["token"].to_numpy(dtype=object)) % n_buckets
         ).astype("int64")
         return df
+
+    return partial
+
+
+def top_tokens(
+    ds: Dataset, *, k: int = 10, text_col: str = "text", n_buckets: int = 16
+) -> pd.DataFrame:
+    """Global top-`k` lowercase whitespace tokens by occurrence count,
+    ties broken token-ascending.  Exact at any vocabulary size: the
+    bucket count bounds the combine's group cardinality (vocabulary /
+    n_buckets per group), never the corpus size."""
+
+    partial = _vocab_partial(text_col, n_buckets)
 
     def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
         agg = group.groupby("token", as_index=False)["cnt"].sum()
@@ -297,6 +308,50 @@ def top_tokens(
         .rename(columns={"cnt": "n"})
     )
     return out[["token", "n"]].astype({"n": "int64"})
+
+
+def token_freq_spectrum(
+    ds: Dataset, *, text_col: str = "text", n_buckets: int = 16
+) -> pd.DataFrame:
+    """Zipf spectrum of the corpus vocabulary: for each occurrence
+    count `freq`, how many distinct tokens occur exactly that often —
+    the count-of-counts curve used to size tokenizer vocabularies and
+    spot synthetic/boilerplate corpora (natural text is ~power-law).
+
+    Exact at any vocabulary size with nothing vocabulary-sized ever
+    leaving a task: per-batch vocabulary partials → hash-bucketed exact
+    token counts (each token wholly in one bucket) → per-bucket
+    count-of-counts partial → one tiny combine over distinct frequency
+    values (≪ vocabulary; bounded by the largest token count)."""
+
+    partial = _vocab_partial(text_col, n_buckets)
+
+    def bucket_spectrum(group: pd.DataFrame) -> pd.DataFrame:
+        freq = group.groupby("token")["cnt"].sum()
+        vc = freq.value_counts()
+        return pd.DataFrame(
+            {
+                "freq": vc.index.to_numpy(dtype="int64"),
+                "n_tokens": vc.to_numpy(dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_spectrum, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"freq": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
+    out = (
+        parts.groupby("freq", as_index=False)["n_tokens"]
+        .sum()
+        .sort_values("freq", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"freq": "int64", "n_tokens": "int64"})
 
 
 # --------------------------------------------------------------------------

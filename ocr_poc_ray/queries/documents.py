@@ -929,6 +929,139 @@ select token, n from c order by n desc, token limit {TOP_TOKENS_K}
 """
 
 
+def doc_token_zipf(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary Zipf spectrum: n_tokens per exact occurrence count —
+    the count-of-counts curve a tokenizer-vocabulary design reads."""
+    from ocr_poc_ray.functions.textstats import token_freq_spectrum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    return token_freq_spectrum(ds)
+
+
+DOC_TOKEN_ZIPF_SQL = rf"""
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '\S+')) as token from documents
+), c as (
+  select token, count(*) as n from tok group by token
+)
+select n::BIGINT as freq, count(*)::BIGINT as n_tokens
+from c group by n order by freq
+"""
+
+
+# Corpus-adaptive stopword induction + removal (the CCNet-style
+# corpus-frequency filter, applied at token granularity because this
+# corpus has no line structure): a token present in ≥ STOPWORD_DF_PCT%
+# of all documents is boilerplate vocabulary; strip it everywhere.
+# Both engines compare df*100 >= PCT*N in exact integer arithmetic, so
+# the boundary is bit-identical.
+STOPWORD_DF_PCT = 78
+
+
+def doc_adaptive_stopwords(sf_dir: str) -> pd.DataFrame:
+    """Two passes, nothing corpus-sized on the driver: (1) per-batch
+    DISTINCT (token, doc) document-frequency partials — output is the
+    batch vocabulary — hash-bucketed exact combine, filter df*2 >= N
+    (the induced stop list is tiny by construction: only near-universal
+    tokens qualify); (2) stop set broadcast once via ray.put as a
+    sorted numpy array, vectorized np.isin removal per batch."""
+    import ray as _ray
+
+    pct = STOPWORD_DF_PCT
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    n_buckets = 16
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split()
+        pairs = pd.DataFrame(
+            {
+                "doc": batch["doc_id"].repeat(toks.str.len()).to_numpy(),
+                "token": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                ) if int(toks.str.len().sum()) else np.array([], dtype=object),
+            }
+        ).drop_duplicates()
+        out = pairs.groupby("token", as_index=False).size()
+        out = out.rename(columns={"size": "df"})
+        out["n_docs"] = 0
+        # ride the batch's row count along on one marker row per batch
+        marker = pd.DataFrame(
+            {"token": [""], "df": [0], "n_docs": [len(batch)]}
+        )
+        out = pd.concat([out, marker], ignore_index=True)
+        out["_hb"] = (
+            pd.util.hash_array(out["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return out
+
+    def bucket_df(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("token", as_index=False).agg(
+            df=("df", "sum"), n_docs=("n_docs", "sum")
+        )
+        return agg
+
+    parts = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_df, batch_format="pandas")
+        .to_pandas()
+    )
+    n_total = int(parts["n_docs"].sum())
+    stop = parts[(parts["token"] != "") & (parts["df"] * 100 >= pct * n_total)]
+    stop_arr = np.sort(stop["token"].to_numpy(dtype=object))
+    stop_ref = _ray.put(stop_arr)
+
+    def strip(batch: pd.DataFrame) -> pd.DataFrame:
+        sw = _ray.get(stop_ref)
+        n = len(batch)
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype="int64")
+        clean = np.full(n, "", dtype=object)
+        removed = np.zeros(n, dtype="int64")
+        if int(lens.sum()):
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            keep = ~np.isin(np.char.lower(flat.astype(str)), sw.astype(str))
+            doc_idx = np.repeat(np.arange(n), lens)
+            kept_counts = np.bincount(doc_idx[keep], minlength=n).astype("int64")
+            removed = lens - kept_counts
+            if keep.any():  # one vectorized join per batch, no row loop
+                joined = pd.Series(flat[keep]).groupby(doc_idx[keep]).agg(" ".join)
+                clean[joined.index.to_numpy()] = joined.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "clean_text": clean,
+                "n_removed": pd.Series(removed, dtype="int64"),
+            }
+        )
+
+    out = ds.map_batches(strip, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "n_removed": "int64"})
+
+
+DOC_ADAPTIVE_STOPWORDS_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks from documents
+), d as (
+  select distinct doc_id, lower(unnest(toks)) as tok from t
+), s as (
+  select coalesce(list(tok), []) as sl
+  from (
+    select tok from d group by tok
+    having count(*) * 100 >= {STOPWORD_DF_PCT} * (select count(*) from documents)
+  )
+)
+select t.doc_id,
+       coalesce(array_to_string(
+         list_filter(toks, x -> not list_contains(sl, lower(x))), ' '
+       ), '') as clean_text,
+       (len(toks) - len(list_filter(toks, x -> not list_contains(sl, lower(x)))))::BIGINT
+         as n_removed
+from t, s
+"""
+
+
 def doc_repetition(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filter signal: per-doc fraction of
     bigrams taken by the most frequent bigram + the filter verdict."""
@@ -1422,4 +1555,6 @@ REGISTRY = {
     "doc_source_entropy": (doc_source_entropy, DOC_SOURCE_ENTROPY_SQL),
     "doc_token_cooccurrence": (doc_token_cooccurrence, DOC_TOKEN_COOC_SQL),
     "doc_token_pmi": (doc_token_pmi, DOC_TOKEN_PMI_SQL),
+    "doc_token_zipf": (doc_token_zipf, DOC_TOKEN_ZIPF_SQL),
+    "doc_adaptive_stopwords": (doc_adaptive_stopwords, DOC_ADAPTIVE_STOPWORDS_SQL),
 }

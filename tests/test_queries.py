@@ -61,6 +61,8 @@ FAST_ORACLE = [
     "rel_user_retention",
     "vec_dim_stats",
     "doc_token_cooccurrence",
+    "doc_token_zipf",
+    "doc_adaptive_stopwords",
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
