@@ -1563,8 +1563,104 @@ group by l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# EXISTS semi-join grouped count (TPC-H Q4 shape): orders with at least
+# one returned lineitem, counted by priority.  Both sides are fact-sized
+# at 100 TB (no broadcast): distinct is taken with per-batch unique
+# partials + a hash-bucketed exact combine (bounded groups, never one
+# per key), then a partitioned hash join carries only (orderkey,
+# priority), and the final count is a partial-agg + tiny combine.
+# ---------------------------------------------------------------------------
+
+def rel_priority_returned_orders(sf_dir: str) -> pd.DataFrame:
+    n_buckets = 16
+    returned = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch.loc[batch["l_returnflag"] == "R", ["l_orderkey"]]
+        keys = keys.drop_duplicates()
+        keys["_hb"] = (keys["l_orderkey"].to_numpy() % n_buckets).astype("int64")
+        return keys
+
+    def bucket_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates("l_orderkey")[["l_orderkey"]]
+
+    distinct_keys = (
+        returned.map_batches(local_distinct, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .repartition(n_buckets)  # merge 0-row blocks away (join pitfall)
+    )
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).repartition(n_buckets)
+    joined = orders.join(
+        distinct_keys, "inner", num_partitions=n_buckets,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_orderpriority", as_index=False).size()
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)["size"]
+        .sum()
+        .rename(columns={"size": "n_orders"})
+        .sort_values("o_orderpriority", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_orders": "int64"})
+
+
+REL_PRIORITY_RETURNED_SQL = """
+select o_orderpriority, count(*)::BIGINT as n_orders
+from orders
+where o_orderkey in (select l_orderkey from lineitem where l_returnflag = 'R')
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group median of a CONTINUOUS measure (quantile_disc
+# semantics: the element at 0-based rank floor((n-1)·q)) — no sort of
+# the fact table and nothing fact-sized on the driver.  The histogram
+# trick rel_quantity_quantiles uses needs low-cardinality values;
+# events.value is continuous, so this uses iterative range refinement
+# (functions.selection.exact_group_quantile_disc): each pass histograms
+# the unresolved keys' values into fixed bins (bounded combine), narrows
+# to the bin holding the target rank, and only a ≤threshold-sized final
+# bin is ever collected.
+# ---------------------------------------------------------------------------
+
+def rel_median_value_by_type(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.selection import exact_group_quantile_disc
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    out = exact_group_quantile_disc(ds, key_col="event_type", value_col="value", q=0.5)
+    out = out.rename(columns={"value": "median_value"})
+    out["median_value"] = out["median_value"].round(6)
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
+REL_MEDIAN_VALUE_SQL = """
+select event_type, round(quantile_disc(value, 0.5), 6) as median_value
+from events group by event_type order by event_type
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_priority_returned_orders": (
+        rel_priority_returned_orders,
+        REL_PRIORITY_RETURNED_SQL,
+    ),
+    "rel_median_value_by_type": (rel_median_value_by_type, REL_MEDIAN_VALUE_SQL),
     "rel_bloom_semijoin": (rel_bloom_semijoin, REL_BLOOM_SEMIJOIN_SQL),
     "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),

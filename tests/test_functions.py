@@ -586,3 +586,37 @@ def test_bloom_no_false_negatives_and_merge(ray_session):
     assert bloom_contains(words, keys["k"].to_numpy()).all()
     probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
     assert bloom_contains(words, probe).mean() < 0.01
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 1.0])
+def test_exact_group_quantile_disc(ray_session, q):
+    """Iterative range refinement matches a local sort at every q,
+    with duplicate runs and a collect threshold small enough to force
+    several histogram rounds."""
+    from ocr_poc_ray.functions.selection import exact_group_quantile_disc
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 3000), np.full(2000, 0.5), rng.uniform(-2, 2, 1000)]
+    )
+    keys = rng.choice(["a", "b", "c"], size=len(vals))
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = exact_group_quantile_disc(
+        ds, key_col="k", value_col="v", q=q, n_bins=8, collect_threshold=16
+    )
+    for k, grp in df.groupby("k"):
+        exp = np.sort(grp["v"].to_numpy())[int(np.floor((len(grp) - 1) * q))]
+        assert float(got.loc[got["k"] == k, "value"].iloc[0]) == float(exp)
+
+
+def test_exact_group_quantile_single_value_group(ray_session):
+    from ocr_poc_ray.functions.selection import exact_group_quantile_disc
+
+    df = pd.DataFrame({"k": ["x"] * 100 + ["y"], "v": [3.25] * 100 + [7.0]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = exact_group_quantile_disc(
+        ds, key_col="k", value_col="v", q=0.5, n_bins=4, collect_threshold=8
+    )
+    assert float(got.loc[got["k"] == "x", "value"].iloc[0]) == 3.25
+    assert float(got.loc[got["k"] == "y", "value"].iloc[0]) == 7.0

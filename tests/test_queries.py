@@ -56,6 +56,8 @@ FAST_ORACLE = [
     "doc_decontaminate",
     "doc_source_entropy",
     "rel_corr_value_k",
+    "rel_priority_returned_orders",
+    "rel_median_value_by_type",
     "rel_cumulative_users",
     "rel_viewers_never_purchased",
     "rel_user_retention",
