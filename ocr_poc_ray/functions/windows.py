@@ -451,13 +451,15 @@ def keyed_lag_delta(
     ts_col: str = "ts",
     order_col: str = "event_id",
     sort_num_blocks: int | None = None,
+    key_dtype: str = "int64",
 ) -> Dataset:
     """Microseconds between each event and its key's previous event in
     (ts, order) order — SQL ``date_diff('microsecond', lag(ts) over
     (partition by key order by ts, order), ts)``.  Output: (order_col,
     key_col, delta_us int64), first-in-key = LAG_FIRST_SENTINEL.
     Integer microseconds, never float seconds: float rounding and SQL
-    millisecond truncation disagree at boundaries."""
+    millisecond truncation disagree at boundaries.  ``key_dtype`` is
+    the key column's pandas dtype (``object`` for string keys)."""
 
     def _match(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key_col, ts_col, order_col], kind="mergesort")
@@ -478,6 +480,6 @@ def keyed_lag_delta(
         sort_cols=[ts_col, order_col],
         in_cols=[key_col, ts_col, order_col],
         match_fn=_match,
-        out_meta={order_col: "int64", key_col: "int64", "delta_us": "int64"},
+        out_meta={order_col: "int64", key_col: key_dtype, "delta_us": "int64"},
         sort_num_blocks=sort_num_blocks,
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -336,6 +337,81 @@ group by conv_id
 """
 
 
+def xs_turn_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation inter-turn timing over the transcript `ts`
+    column: turn count, mean and max gap seconds — the cadence profile
+    an agent-transcript curation pass reads (e.g. to find stalled or
+    machine-generated conversations).
+
+    Shape: the lag itself is the sort-based interior-final/edge-raw
+    window (keyed_lag_delta over conv_id — exact across block splits);
+    the rollup is per-batch partials + a hash-bucketed combine, so
+    group cardinality (conversations) never becomes a task count.
+    All gap math stays integer microseconds until the final division —
+    the sums are exact in int64 and in SQL, so avg is bit-identical."""
+    from ocr_poc_ray.functions.windows import keyed_lag_delta
+
+    lag = keyed_lag_delta(
+        _documents_as_transcripts(sf_dir),
+        key_col="conv_id",
+        ts_col="ts",
+        order_col="turn_idx",
+        key_dtype="object",
+    )
+    n_buckets = 8
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch.groupby("conv_id").agg(n_turns=("delta_us", "size"))
+        gaps = batch[batch["delta_us"] >= 0].groupby("conv_id")["delta_us"].agg(
+            n_gaps="count", sum_us="sum", max_us="max"
+        )
+        out = n.join(gaps, how="left").reset_index()
+        out[["n_gaps", "sum_us"]] = out[["n_gaps", "sum_us"]].fillna(0)
+        out["_hb"] = (
+            pd.util.hash_array(out["conv_id"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_gaps=("n_gaps", "sum"),
+            sum_us=("sum_us", "sum"),
+            max_us=("max_us", "max"),
+        )
+        has = g["n_gaps"] > 0
+        g["avg_gap_s"] = np.where(
+            has, ((g["sum_us"] / g["n_gaps"]) / 1_000_000).round(6), np.nan
+        )
+        g["max_gap_s"] = np.where(has, (g["max_us"] / 1_000_000.0).round(6), np.nan)
+        return g[["conv_id", "n_turns", "avg_gap_s", "max_gap_s"]]
+
+    out = (
+        lag.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    return out.astype({"n_turns": "int64"})
+
+
+# ts is BASE_TS_US + doc_id seconds (see _documents_as_transcripts), so
+# the gap microseconds are (doc_id - lag(doc_id)) * 1e6 exactly.
+XS_TURN_GAPS_SQL = """
+with l as (
+  select source as conv_id,
+         (doc_id - lag(doc_id) over (partition by source order by doc_id))
+           * 1000000 as gap_us
+  from documents
+)
+select conv_id, count(*)::BIGINT as n_turns,
+       round(avg(gap_us) / 1000000, 6) as avg_gap_s,
+       round(max(gap_us) / 1000000.0, 6) as max_gap_s
+from l group by conv_id order by conv_id
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
@@ -345,6 +421,7 @@ REGISTRY = {
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),
     "xs_conv_stats": (xs_conv_stats, XS_CONV_STATS_SQL),
+    "xs_turn_gaps": (xs_turn_gaps, XS_TURN_GAPS_SQL),
     "mm_decode": (mm_decode, MM_DECODE_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
 }

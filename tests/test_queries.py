@@ -68,6 +68,7 @@ FAST_ORACLE = [
     "vec_knn_cosine",
     "xs_extract_documents",
     "xs_conv_docs_documents",
+    "xs_turn_gaps",
 ]
 
 
