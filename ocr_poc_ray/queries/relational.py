@@ -1654,6 +1654,38 @@ from events group by event_type order by event_type
 """
 
 
+QUANTILES_EXACT_QS = (0.1, 0.5, 0.9)
+
+
+def rel_value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-type p10/p50/p90 of the continuous measure — the
+    multi-quantile variant of rel_median_value_by_type: one range-
+    refinement search per (type, q), every distributed pass serving all
+    searches at once.  The oracle-verified complement of the rows-only
+    sketch in rel_value_quantiles_by_type."""
+    from ocr_poc_ray.functions.selection import exact_group_quantiles_disc
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    out = exact_group_quantiles_disc(
+        ds, key_col="event_type", value_col="value", qs=QUANTILES_EXACT_QS
+    )
+    out["value"] = out["value"].round(6)
+    return (
+        out.sort_values(["event_type", "q"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"q": "float64", "value": "float64"})
+    )
+
+
+REL_VALUE_QUANTILES_EXACT_SQL = "\nunion all\n".join(
+    f"select event_type, {q} as q, round(quantile_disc(value, {q}), 6) as value "
+    "from events group by event_type"
+    for q in QUANTILES_EXACT_QS
+) + "\norder by event_type, q"
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1661,6 +1693,10 @@ REGISTRY = {
         REL_PRIORITY_RETURNED_SQL,
     ),
     "rel_median_value_by_type": (rel_median_value_by_type, REL_MEDIAN_VALUE_SQL),
+    "rel_value_quantiles_exact": (
+        rel_value_quantiles_exact,
+        REL_VALUE_QUANTILES_EXACT_SQL,
+    ),
     "rel_bloom_semijoin": (rel_bloom_semijoin, REL_BLOOM_SEMIJOIN_SQL),
     "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),

@@ -606,7 +606,7 @@ def test_exact_group_quantile_disc(ray_session, q):
         ds, key_col="k", value_col="v", q=q, n_bins=8, collect_threshold=16
     )
     for k, grp in df.groupby("k"):
-        exp = np.sort(grp["v"].to_numpy())[int(np.floor((len(grp) - 1) * q))]
+        exp = np.sort(grp["v"].to_numpy())[max(0, int(np.ceil(len(grp) * q)) - 1)]
         assert float(got.loc[got["k"] == k, "value"].iloc[0]) == float(exp)
 
 

@@ -58,6 +58,7 @@ FAST_ORACLE = [
     "rel_corr_value_k",
     "rel_priority_returned_orders",
     "rel_median_value_by_type",
+    "rel_value_quantiles_exact",
     "rel_cumulative_users",
     "rel_viewers_never_purchased",
     "rel_user_retention",
