@@ -362,7 +362,23 @@ group by label, dim_idx
 """
 
 
+def vec_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed k-means over the embedding corpus (broadcast-refine:
+    centroids broadcast per iteration, per-batch matmul assignment +
+    k-row packed-sum partials, O(k·d) driver combine).  Rows-only by
+    design: parity with a single-process run holds only up to float
+    summation order, so the verification is the well-separated-blob
+    recovery test in tests/test_functions.py."""
+    from ocr_poc_ray.functions.clustering import kmeans_fit
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    _centroids, summary = kmeans_fit(ds, k=8, n_iters=8, seed=7)
+    summary["sse"] = summary["sse"].round(4)
+    return summary.sort_values("cluster", kind="mergesort").reset_index(drop=True)
+
+
 REGISTRY = {
+    "vec_kmeans": (vec_kmeans, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
     "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
     "vec_top_eigen": (vec_top_eigen, None),

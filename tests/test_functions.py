@@ -620,3 +620,56 @@ def test_exact_group_quantile_single_value_group(ray_session):
     )
     assert float(got.loc[got["k"] == "x", "value"].iloc[0]) == 3.25
     assert float(got.loc[got["k"] == "y", "value"].iloc[0]) == 7.0
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    """Distributed broadcast-refine k-means: on well-separated blobs the
+    partition is exact regardless of float summation order, centroids
+    land on blob means, and the summary accounts for every point."""
+    from ocr_poc_ray.functions.clustering import kmeans_fit, kmeans_predict
+
+    rng = np.random.default_rng(3)
+    blobs = [(0.0, 0.0), (50.0, 0.0), (0.0, 50.0)]
+    rows = []
+    for bi, (cx, cy) in enumerate(blobs):
+        pts = rng.normal(0, 0.5, size=(400, 2)) + np.array([cx, cy])
+        rows.extend(
+            {"vec_id": bi * 1000 + i, "embedding": list(map(float, p))}
+            for i, p in enumerate(pts)
+        )
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    centroids, summary = kmeans_fit(ds, k=3, n_iters=6, seed=7)
+    assert summary["n_points"].sum() == 1200
+    assert sorted(summary["n_points"].tolist()) == [400, 400, 400]
+    # each blob mean matched by exactly one centroid
+    blob_means = np.array(blobs)
+    dists = np.linalg.norm(centroids[:, None, :] - blob_means[None], axis=2)
+    assert (dists.min(axis=1) < 0.2).all()
+    assert sorted(dists.argmin(axis=1).tolist()) == [0, 1, 2]
+
+    pred = kmeans_predict(ds, centroids).to_pandas()
+    assert len(pred) == 1200
+    # every blob is pure: one cluster id per thousand-block of vec_ids
+    pred["blob"] = pred["vec_id"] // 1000
+    assert (pred.groupby("blob")["cluster"].nunique() == 1).all()
+
+
+def test_kmeans_deterministic_init_across_partitionings(ray_session):
+    from ocr_poc_ray.functions.clustering import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [list(map(float, v)) for v in rng.normal(0, 1, (300, 4))],
+        }
+    )
+    outs = []
+    for parts in (2, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        c, s = kmeans_fit(ds, k=4, n_iters=3, seed=11)
+        outs.append((c, s))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-9)
+    assert outs[0][1]["n_points"].tolist() == outs[1][1]["n_points"].tolist()
