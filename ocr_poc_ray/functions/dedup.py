@@ -705,6 +705,110 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Prefix-filtered exact similarity join (PPJoin-style candidates)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs_prefix(
+    ds: Dataset,
+    *,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> Dataset:
+    """EXACT (id_a, id_b, jaccard ≥ threshold) similarity join via
+    prefix filtering — the near-linear candidate path that replaces
+    ``ngram_jaccard_pairs``'s quadratic pair-grid when near-duplicates
+    are sparse (cf. SSJoin/PPJoin prefix-filtering principle: under any
+    fixed total order of shingles, two sets with overlap ≥ α must share
+    an element within their first ``len - α + 1`` shingles, and
+    Jaccard ≥ t ⇒ overlap ≥ ceil(t·len) for each side).
+
+    Shape: one pass emits each doc's prefix shingles (a (hash, id)
+    projection — ~(1-t)·|shingles| rows per doc, never the text); the
+    hot-bucket pre-filter keeps only shingles seen twice (singleton
+    prefixes are the overwhelming majority); per-bucket all-pairs emit
+    candidates; a bounded-bucket distinct dedups across shingles; the
+    exact Jaccard is attached by ``ngram_jaccard_verify``'s distributed
+    text joins.  The global order here is the shingle hash itself — a
+    production run orders by ascending document frequency instead
+    (computable with the top_tokens bucketed-vocabulary machinery) and
+    salts any still-hot shingle, which shrinks prefix buckets further;
+    correctness needs only SOME fixed total order.
+    """
+    import ray.data as rd
+
+    t = float(threshold)
+
+    def explode_prefix(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch[text_col])
+        ids = batch[id_col].to_numpy()
+        out_ps, out_id = [], []
+        for d in range(len(batch)):
+            sh = np.sort(_doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram))
+            m = len(sh)
+            if m == 0:
+                continue
+            plen = m - int(np.ceil(t * m)) + 1
+            out_ps.append(sh[:plen])
+            out_id.append(np.full(plen, ids[d], dtype=np.int64))
+        if not out_ps:
+            return pd.DataFrame(
+                {"ps": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"ps": np.concatenate(out_ps).view(np.int64),
+             "doc_id": np.concatenate(out_id)}
+        )
+
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    exploded = ds.map_batches(explode_prefix, batch_format="pandas").materialize()
+    hot = _filter_hot_buckets(exploded, ["ps"])
+    if hot is None:
+        return rd.from_arrow(empty)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ids = g["doc_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
+
+    cand = hot.groupby("ps").map_groups(bucket_pairs, batch_format="pandas")
+    cand = _distinct_pairs(cand, ["doc_a", "doc_b"]).repartition(
+        num_partitions
+    ).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+    verified = ngram_jaccard_verify(
+        cand, ds, id_col=id_col, text_col=text_col, ngram=ngram,
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["jaccard"] >= t]
+        return pd.DataFrame(
+            {"id_a": b["doc_a"].astype("int64"),
+             "id_b": b["doc_b"].astype("int64"),
+             "jaccard": b["jaccard"].round(6)}
+        )
+
+    out = verified.map_batches(finish, batch_format="pandas").materialize()
+    if out.count() == 0:
+        return rd.from_arrow(empty)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Connected components over candidate pairs.
 #
 # Candidate pairs are the OUTPUT of the LSH passes — orders of

@@ -287,6 +287,26 @@ where len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+def doc_jaccard_pairs_prefix(sf_dir: str) -> pd.DataFrame:
+    """Identical result to doc_jaccard_pairs, produced by the PPJoin-
+    style prefix-filtered candidate path instead of the quadratic
+    pair-grid — near-linear when near-duplicates are sparse, which is
+    the 100-TB regime.  Shares the same DuckDB oracle."""
+    from ocr_poc_ray.functions.dedup import ngram_jaccard_pairs_prefix
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    out = ngram_jaccard_pairs_prefix(ds, threshold=JACCARD_THRESHOLD).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+
+
 def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
     """MinHash candidates → exact Jaccard verify ≥0.5 → connected
     components.  The final step uses the in-memory union-find (the
@@ -724,6 +744,67 @@ select lang, doc_id from documents
 where md5(cast(doc_id as varchar)) <
       case lang {' '.join(f"when '{k}' then '{v}'" for k, v in MIXTURE_RATES.items())}
            else '{MIXTURE_DEFAULT_RATE}' end
+"""
+
+
+def doc_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-LLM data
+    blend, α = 0.5): per-language keep rate sqrt(n_min / n_lang), i.e.
+    keep probability ∝ n^(α-1) normalized so the smallest language is
+    kept whole — rates DERIVED from the data (two passes), unlike
+    doc_mixture_sample's fixed weights.  Membership is a deterministic
+    md5 fraction, so the subset is identical on any engine / run /
+    partitioning.  Both engines compute rate and fraction as IEEE
+    doubles (sqrt and division are exactly rounded), so the boundary is
+    bit-identical.
+
+    Shape: pass 1 is a per-batch language-count partial + tiny combine
+    (languages are few); the rate table broadcasts as a closure
+    constant; pass 2 is row-local."""
+    import hashlib as _hl
+    import math as _math
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).size()
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang")["size"]
+        .sum()
+    )
+    n_min = int(counts.min())
+    rates = {lang: _math.sqrt(n_min / int(n)) for lang, n in counts.items()}
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        bounds = batch["lang"].map(rates)
+        keep = [
+            int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) / 4294967296.0 < b
+            for i, b in zip(batch["doc_id"], bounds)
+        ]
+        return batch.loc[keep, ["lang", "doc_id"]]
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             "doc_id": pd.Series([], dtype="int64")}
+        )
+    return out.astype({"doc_id": "int64"})
+
+
+DOC_TEMPERATURE_SAMPLE_SQL = """
+with c as (
+  select lang, count(*) as n from documents group by lang
+), r as (
+  select lang, sqrt(cast((select min(n) from c) as double) / n) as rate from c
+)
+select d.lang, d.doc_id
+from documents d join r on d.lang = r.lang
+where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::BIGINT
+        / 4294967296.0 < r.rate
 """
 
 
@@ -1538,9 +1619,11 @@ REGISTRY = {
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),
+    "doc_jaccard_pairs_prefix": (doc_jaccard_pairs_prefix, DOC_JACCARD_PAIRS_SQL),
     "doc_curation_pipeline": (doc_curation_pipeline, DOC_CURATION_SQL),
     "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
     "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SAMPLE_SQL),
+    "doc_temperature_sample": (doc_temperature_sample, DOC_TEMPERATURE_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),

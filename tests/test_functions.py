@@ -673,3 +673,41 @@ def test_kmeans_deterministic_init_across_partitionings(ray_session):
         outs.append((c, s))
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-9)
     assert outs[0][1]["n_points"].tolist() == outs[1][1]["n_points"].tolist()
+
+
+def test_prefix_join_equals_pair_grid(ray_session):
+    """The prefix-filtered candidate path must produce exactly the
+    pair-grid's output (same threshold, same shingles) on a corpus with
+    planted near-duplicates, rewrites, and unrelated docs."""
+    from ocr_poc_ray.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, rows = [], []
+    for i in range(120):
+        toks = list(rng.choice(vocab, size=rng.integers(5, 30)))
+        texts.append(" ".join(toks))
+    # planted exact dups and near-dups
+    texts[50] = texts[10]
+    texts[51] = texts[10] + " extra"
+    toks = texts[20].split()
+    toks[0] = "CHANGED"
+    texts[52] = " ".join(toks)
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+        )
+
+    grid = canon(ngram_jaccard_pairs(ds, threshold=0.4, chunk_rows=32))
+    pref = canon(ngram_jaccard_pairs_prefix(ds, threshold=0.4))
+    assert len(grid) > 0  # planted dups must be found
+    pd.testing.assert_frame_equal(pref, grid)

@@ -33,6 +33,8 @@ FAST_ORACLE = [
     "doc_repetition",
     "doc_chunk_dedup",
     "doc_mixture_sample",
+    "doc_temperature_sample",
+    "doc_jaccard_pairs_prefix",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
