@@ -119,20 +119,26 @@ def bench_conversation_docs(sf: float) -> float:
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary pipelines over the driver's test tables."""
-    from ocr_poc_ray.queries.documents import doc_minhash_pairs, doc_exact_dedup
+    from ocr_poc_ray.queries.documents import (
+        doc_exact_dedup,
+        doc_jaccard_pairs_prefix,
+        doc_minhash_pairs,
+    )
     from ocr_poc_ray.queries.relational import (
         rel_agg_lineitem,
         rel_asof_purchase_click,
         rel_sessionize,
     )
     from ocr_poc_ray.queries.transcripts import fields_extract_synth
-    from ocr_poc_ray.queries.vectors import vec_knn_cosine
+    from ocr_poc_ray.queries.vectors import vec_kmeans, vec_knn_cosine
 
     out: dict[str, float] = {}
     for name, fn in (
         ("dedup_exact", doc_exact_dedup),
         ("dedup_minhash", doc_minhash_pairs),
+        ("jaccard_prefix", doc_jaccard_pairs_prefix),
         ("knn_cosine", vec_knn_cosine),
+        ("kmeans", vec_kmeans),
         ("agg_lineitem", rel_agg_lineitem),
         ("sessionize", rel_sessionize),
         ("asof_join", rel_asof_purchase_click),

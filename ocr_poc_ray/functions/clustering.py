@@ -60,6 +60,12 @@ def kmeans_fit(
 
     from ocr_poc_ray.functions.similarity import _to_matrix
 
+    # pin the (id, vec) projection in the object store once — every
+    # iteration re-scans it; re-reading the source per pass pays the
+    # full read stage ~n_iters times (measured ~2.5 s/pass overhead on
+    # small corpora).  Spill-backed, so this holds at corpus scale too.
+    ds = ds.materialize()
+
     # --- deterministic init: bottom-k priorities, local partials ---
     def prio_partial(b: pd.DataFrame) -> pd.DataFrame:
         ids = b[id_col].to_numpy()

@@ -774,16 +774,28 @@ def ngram_jaccard_pairs_prefix(
     if hot is None:
         return rd.from_arrow(empty)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ids = g["doc_id"].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
+    # pairs are generated inside BOUNDED meta-buckets (ps % 32), one
+    # vectorized self-merge per meta-bucket — never one Ray group per
+    # hot shingle (the many-group map_groups pitfall, CLAUDE.md)
+    _MB = 32
 
-    cand = hot.groupby("ps").map_groups(bucket_pairs, batch_format="pandas")
+    def add_mb(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_mb=(b["ps"].to_numpy() % _MB).astype("int64"))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["ps", "doc_id"])[["ps", "doc_id"]]
+        m = g.merge(g, on="ps", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame(
+            {"doc_a": m["doc_id_a"].to_numpy(),
+             "doc_b": m["doc_id_b"].to_numpy()}
+        )
+
+    cand = (
+        hot.map_batches(add_mb, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
     cand = _distinct_pairs(cand, ["doc_a", "doc_b"]).repartition(
         num_partitions
     ).materialize()

@@ -130,3 +130,40 @@ def test_registered_extractor_exceptions_are_contained():
         assert r.error == "extractor_error:RuntimeError"
     finally:
         EXTRACTORS.pop("exploding", None)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-1e6, 1e6, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    q=st.floats(0.0, 1.0),
+)
+def test_exact_quantile_matches_duckdb(ray_session, data, q):
+    """The range-refinement selection must reproduce DuckDB's
+    quantile_disc bit-for-bit on arbitrary floats, duplicates, and any
+    q — the oracle semantics themselves, not a reimplementation."""
+    import duckdb
+    import ray.data
+
+    from ocr_poc_ray.functions.selection import exact_group_quantile_disc
+
+    df = pd.DataFrame(data, columns=["k", "v"])
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = exact_group_quantile_disc(
+        ds, key_col="k", value_col="v", q=q, n_bins=8, collect_threshold=4
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        f"select k, quantile_disc(v, {q!r}) as value from t group by k"
+    ).fetchdf()
+    merged = got.merge(exp, on="k", suffixes=("_got", "_exp"))
+    assert len(merged) == df["k"].nunique()
+    assert (merged["value_got"] == merged["value_exp"]).all(), merged
