@@ -325,6 +325,36 @@ def token_freq_spectrum(
     values (≪ vocabulary; bounded by the largest token count)."""
 
     partial = _vocab_partial(text_col, n_buckets)
+    return _freq_spectrum_finish(ds.map_batches(partial, batch_format="pyarrow"))
+
+
+def value_freq_spectrum(
+    ds: Dataset, *, col: str, n_buckets: int = 16
+) -> pd.DataFrame:
+    """Count-of-counts over a whole COLUMN's values (e.g. passage-
+    duplication cluster sizes over chunk_text) — same bounded shape as
+    the token spectrum, with the per-batch combiner a plain
+    value_counts of the column."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        df = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy(dtype=object),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        df["_hb"] = (
+            pd.util.hash_array(df["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return df
+
+    return _freq_spectrum_finish(ds.map_batches(partial, batch_format="pandas"))
+
+
+def _freq_spectrum_finish(partials: Dataset) -> pd.DataFrame:
+    """Bucketed exact counts → per-bucket count-of-counts → one tiny
+    combine over distinct frequency values."""
 
     def bucket_spectrum(group: pd.DataFrame) -> pd.DataFrame:
         freq = group.groupby("token")["cnt"].sum()
@@ -337,8 +367,7 @@ def token_freq_spectrum(
         )
 
     parts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("_hb")
+        partials.groupby("_hb")
         .map_groups(bucket_spectrum, batch_format="pandas")
         .to_pandas()
     )

@@ -987,6 +987,26 @@ left join g on d.doc_id = g.doc_id
 """
 
 
+# Mirrors the chunker exactly: trimmed \S+ tokens, 8-token slices,
+# space-joined; cluster size = corpus-wide occurrence count of the
+# chunk string.
+DOC_CHUNK_DUP_HISTOGRAM_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks from documents
+), e as (
+  select doc_id, toks,
+         unnest(generate_series(0, (len(toks) + {_CS} - 1) // {_CS} - 1)) as ci
+  from t where len(toks) > 0
+), c as (
+  select array_to_string(toks[ci * {_CS} + 1 : ci * {_CS} + {_CS}], ' ') as ct
+  from e
+)
+select cnt::BIGINT as cluster_size, count(*)::BIGINT as n_chunks
+from (select ct, count(*) as cnt from c group by ct)
+group by cnt order by cluster_size
+"""
+
+
 TOP_TOKENS_K = 10
 
 
@@ -1008,6 +1028,20 @@ with tok as (
 )
 select token, n from c order by n desc, token limit {TOP_TOKENS_K}
 """
+
+
+def doc_chunk_dup_histogram(sf_dir: str) -> pd.DataFrame:
+    """Passage-duplication profile: for every cluster size c, how many
+    distinct 8-token chunks occur exactly c times corpus-wide — the
+    dedup-planning histogram (how much would chunk dedup remove?).
+    Shape: the vectorized Arrow chunker feeds a bucketed exact
+    value-count combine; nothing chunk-vocabulary-sized leaves a task."""
+    from ocr_poc_ray.functions.textstats import chunk_tokens, value_freq_spectrum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    chunks = chunk_tokens(ds, chunk_size=CHUNK_DEDUP_SIZE)
+    out = value_freq_spectrum(chunks, col="chunk_text")
+    return out.rename(columns={"freq": "cluster_size", "n_tokens": "n_chunks"})
 
 
 def doc_token_zipf(sf_dir: str) -> pd.DataFrame:
@@ -1629,6 +1663,7 @@ REGISTRY = {
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),
     "doc_chunk_dedup": (doc_chunk_dedup, DOC_CHUNK_DEDUP_SQL),
+    "doc_chunk_dup_histogram": (doc_chunk_dup_histogram, DOC_CHUNK_DUP_HISTOGRAM_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_near_dup_components": (doc_near_dup_components, None),
     "doc_dup_components_exact": (doc_dup_components_exact, DOC_DUP_COMPONENTS_SQL),

@@ -32,6 +32,7 @@ FAST_ORACLE = [
     "doc_top_tokens",
     "doc_repetition",
     "doc_chunk_dedup",
+    "doc_chunk_dup_histogram",
     "doc_mixture_sample",
     "doc_temperature_sample",
     "doc_jaccard_pairs_prefix",
