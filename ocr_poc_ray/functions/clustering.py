@@ -66,6 +66,18 @@ def kmeans_fit(
     # small corpora).  Spill-backed, so this holds at corpus scale too.
     ds = ds.materialize()
 
+    if ds.count() == 0:  # typed empty result, mirroring ngram_jaccard_pairs
+        return (
+            np.zeros((0, 0), dtype=np.float64),
+            pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int64"),
+                    "n_points": pd.Series([], dtype="int64"),
+                    "sse": pd.Series([], dtype="float64"),
+                }
+            ),
+        )
+
     # --- deterministic init: bottom-k priorities, local partials ---
     def prio_partial(b: pd.DataFrame) -> pd.DataFrame:
         ids = b[id_col].to_numpy()

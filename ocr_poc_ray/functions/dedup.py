@@ -747,7 +747,7 @@ def ngram_jaccard_pairs_prefix(
         ids = batch[id_col].to_numpy()
         out_ps, out_id = [], []
         for d in range(len(batch)):
-            sh = np.sort(_doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram))
+            sh = _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram)  # sorted (np.unique contract)
             m = len(sh)
             if m == 0:
                 continue

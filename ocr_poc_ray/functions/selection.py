@@ -78,6 +78,12 @@ def exact_group_quantiles_disc(
     active searches at once (one broadcast, one read)."""
     import ray as _ray
 
+    # Pin the narrow (key, value) projection once: every refinement
+    # round re-reads it (stats + up to max_rounds histograms + the
+    # final collect), and a lazy dataset would re-run the full source
+    # read per pass (~seconds each on parquet; cf. kmeans_fit).
+    ds = ds.select_columns([key_col, value_col]).materialize()
+
     def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(key_col)[value_col].agg(["count", "min", "max"])
         return g.reset_index()
@@ -164,7 +170,12 @@ def exact_group_quantiles_disc(
             s["rank"] -= int(cum[b_idx - 1]) if b_idx else 0
             s["remaining"] = int(counts[b_idx])
             new_lo, new_hi = float(edges[i][b_idx]), float(edges[i][b_idx + 1])
-            s["closed"] = b_idx == n_bins - 1
+            # the last bin is closed at its top edge ONLY if the range
+            # we just histogrammed was itself closed there — a
+            # half-open parent range counted v == hi as excluded, so
+            # the child must keep excluding it or the final collect
+            # picks up extra rows (consistency assert below)
+            s["closed"] = s["closed"] and b_idx == n_bins - 1
             if new_lo == new_hi:  # run of one repeated value
                 s["value"] = new_lo
             else:

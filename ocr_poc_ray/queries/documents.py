@@ -1076,14 +1076,16 @@ STOPWORD_DF_PCT = 78
 def doc_adaptive_stopwords(sf_dir: str) -> pd.DataFrame:
     """Two passes, nothing corpus-sized on the driver: (1) per-batch
     DISTINCT (token, doc) document-frequency partials — output is the
-    batch vocabulary — hash-bucketed exact combine, filter df*2 >= N
-    (the induced stop list is tiny by construction: only near-universal
-    tokens qualify); (2) stop set broadcast once via ray.put as a
+    batch vocabulary — hash-bucketed exact combine that ALSO applies
+    the df*100 >= STOPWORD_DF_PCT*N filter in-bucket, so only the tiny
+    stop list (near-universal tokens) ever reaches the driver, never
+    the vocabulary; (2) stop set broadcast once via ray.put as a
     sorted numpy array, vectorized np.isin removal per batch."""
     import ray as _ray
 
     pct = STOPWORD_DF_PCT
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    n_total = ds.count()  # parquet metadata only — no read
 
     n_buckets = 16
 
@@ -1099,32 +1101,26 @@ def doc_adaptive_stopwords(sf_dir: str) -> pd.DataFrame:
         ).drop_duplicates()
         out = pairs.groupby("token", as_index=False).size()
         out = out.rename(columns={"size": "df"})
-        out["n_docs"] = 0
-        # ride the batch's row count along on one marker row per batch
-        marker = pd.DataFrame(
-            {"token": [""], "df": [0], "n_docs": [len(batch)]}
-        )
-        out = pd.concat([out, marker], ignore_index=True)
         out["_hb"] = (
             pd.util.hash_array(out["token"].to_numpy(dtype=object)) % n_buckets
         ).astype("int64")
         return out
 
     def bucket_df(group: pd.DataFrame) -> pd.DataFrame:
-        agg = group.groupby("token", as_index=False).agg(
-            df=("df", "sum"), n_docs=("n_docs", "sum")
-        )
-        return agg
+        agg = group.groupby("token", as_index=False).agg(df=("df", "sum"))
+        return agg[agg["df"] * 100 >= pct * n_total]
 
-    parts = (
+    stop = (
         ds.map_batches(df_partial, batch_format="pandas")
         .groupby("_hb")
         .map_groups(bucket_df, batch_format="pandas")
         .to_pandas()
     )
-    n_total = int(parts["n_docs"].sum())
-    stop = parts[(parts["token"] != "") & (parts["df"] * 100 >= pct * n_total)]
-    stop_arr = np.sort(stop["token"].to_numpy(dtype=object))
+    stop_arr = (
+        np.sort(stop["token"].to_numpy(dtype=object))
+        if "token" in stop.columns and len(stop)
+        else np.array([], dtype=object)
+    )
     stop_ref = _ray.put(stop_arr)
 
     def strip(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1626,7 +1626,7 @@ order by o_orderpriority
 
 # ---------------------------------------------------------------------------
 # Exact per-group median of a CONTINUOUS measure (quantile_disc
-# semantics: the element at 0-based rank floor((n-1)·q)) — no sort of
+# semantics: the element at 0-based rank max(0, ceil(n·q)-1)) — no sort of
 # the fact table and nothing fact-sized on the driver.  The histogram
 # trick rel_quantity_quantiles uses needs low-cardinality values;
 # events.value is continuous, so this uses iterative range refinement

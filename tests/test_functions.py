@@ -610,6 +610,49 @@ def test_exact_group_quantile_disc(ray_session, q):
         assert float(got.loc[got["k"] == k, "value"].iloc[0]) == float(exp)
 
 
+def test_exact_group_quantile_values_on_bin_edges(ray_session):
+    """Regression: integer-like values landing exactly on linspace bin
+    edges.  A half-open child range whose target rank falls in the LAST
+    bin must stay half-open (v == hi excluded) or the final collect
+    picks up extra rows and the consistency assert trips."""
+    from ocr_poc_ray.functions.selection import exact_group_quantiles_disc
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 12, "v": [0, 1, 1, 1, 5, 6, 7, 7.9, 8, 14, 15, 16]}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = exact_group_quantiles_disc(
+        ds, key_col="k", value_col="v", qs=[0.62], n_bins=4, collect_threshold=2
+    )
+    assert float(got["value"].iloc[0]) == 7.9  # duckdb quantile_disc(v, 0.62)
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 20, 300), 0)
+    df2 = pd.DataFrame({"k": rng.choice(["g", "h"], 300), "v": vals})
+    ds2 = ray.data.from_pandas(df2).repartition(5)
+    got2 = exact_group_quantiles_disc(
+        ds2, key_col="k", value_col="v", qs=[0.1, 0.75], n_bins=8,
+        collect_threshold=16,
+    )
+    for _, r in got2.iterrows():
+        grp = np.sort(df2.loc[df2["k"] == r["k"], "v"].to_numpy())
+        exp = grp[max(0, int(np.ceil(len(grp) * r["q"])) - 1)]
+        assert float(r["value"]) == float(exp)
+
+
+def test_kmeans_empty_corpus(ray_session):
+    from ocr_poc_ray.functions.clustering import kmeans_fit
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                      "embedding": pd.Series([], dtype=object)})
+    )
+    centroids, summary = kmeans_fit(ds, k=3, n_iters=2)
+    assert centroids.shape[0] == 0
+    assert len(summary) == 0
+    assert list(summary.columns) == ["cluster", "n_points", "sse"]
+
+
 def test_exact_group_quantile_single_value_group(ray_session):
     from ocr_poc_ray.functions.selection import exact_group_quantile_disc
 
