@@ -19,6 +19,7 @@ multi-key-safe vectorized ``match_fn``.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
@@ -481,5 +482,83 @@ def keyed_lag_delta(
         in_cols=[key_col, ts_col, order_col],
         match_fn=_match,
         out_meta={order_col: "int64", key_col: key_dtype, "delta_us": "int64"},
+        sort_num_blocks=sort_num_blocks,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key run-length analysis (gaps-and-islands) — streak detection in
+# the same one-sort edge pattern.
+# ---------------------------------------------------------------------------
+
+
+def keyed_streaks(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    label_col: str = "event_type",
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """SQL gaps-and-islands per key: runs of consecutive equal
+    ``label_col`` values in (ts, order) order.  Output one row per key:
+    (key_col, n_runs, max_run, top_type) where top_type is the
+    lexicographically smallest label among the longest runs (the
+    deterministic tie-break both engines share).  Everything is one
+    range-sort + vectorized per-block run detection; only the first /
+    last key of each block ships raw rows to the edge combine — key
+    cardinality never appears as a group count."""
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        brk = g[label_col].ne(g[label_col].shift()) | g[key_col].ne(
+            g[key_col].shift()
+        )
+        runs = (
+            pd.DataFrame(
+                {
+                    "key": g[key_col].to_numpy(),
+                    "label": g[label_col].to_numpy(),
+                    "grp": brk.cumsum().to_numpy(),
+                }
+            )
+            .groupby(["key", "grp"], sort=False)
+            .agg(label=("label", "first"), run_len=("label", "size"))
+            .reset_index()
+        )
+        per_key = runs.groupby("key", sort=False).agg(
+            n_runs=("run_len", "size"), max_run=("run_len", "max")
+        )
+        top = (
+            runs.merge(
+                per_key["max_run"], left_on="key", right_index=True
+            )
+            .query("run_len == max_run")
+            .groupby("key", sort=False)["label"]
+            .min()
+        )
+        out = per_key.join(top.rename("top_type")).reset_index()
+        return pd.DataFrame(
+            {
+                key_col: out["key"].to_numpy(),
+                "n_runs": out["n_runs"].to_numpy(np.int64),
+                "max_run": out["max_run"].to_numpy(np.int64),
+                "top_type": out["top_type"].to_numpy(dtype=object),
+            }
+        )
+
+    return keyed_sorted_match(
+        ds.select_columns([key_col, ts_col, order_col, label_col]),
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, label_col],
+        match_fn=_match,
+        out_meta={
+            key_col: "int64",
+            "n_runs": "int64",
+            "max_run": "int64",
+            "top_type": "object",
+        },
         sort_num_blocks=sort_num_blocks,
     )

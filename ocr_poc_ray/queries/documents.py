@@ -1635,6 +1635,234 @@ group by a.token, b.token
 """
 
 
+def doc_length_pct_rank_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group percent_rank of n_chars within each language —
+    the grouped window-rank family (global variant:
+    rel_value_percent_rank).  Shape: per-batch (lang, n_chars) count
+    partials → a combine bounded by languages × distinct lengths
+    (n_chars is a bounded int; a continuous measure would use
+    functions.selection's range refinement instead), strictly-below
+    cumulative counts packed into flat numpy arrays broadcast once
+    (zero-copy), one row-local searchsorted pass maps every doc.  No
+    per-group sort, nothing corpus-sized on the driver."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "n_chars"], as_index=False).size()
+
+    parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    agg = (
+        parts.groupby(["lang", "n_chars"], as_index=False)["size"].sum()
+        .sort_values(["lang", "n_chars"], kind="mergesort")
+    )
+    langs = np.asarray(sorted(agg["lang"].unique()), dtype=object)
+    lang_codes = np.searchsorted(langs, agg["lang"].to_numpy(dtype=object))
+    offsets = np.searchsorted(lang_codes, np.arange(len(langs) + 1))
+    values = agg["n_chars"].to_numpy(np.int64)
+    cnts = agg["size"].to_numpy(np.int64)
+    below = np.empty_like(cnts)
+    n_per = np.empty(len(langs), dtype=np.int64)
+    for li in range(len(langs)):
+        lo, hi = offsets[li], offsets[li + 1]
+        c = cnts[lo:hi]
+        below[lo:hi] = np.concatenate([[0], np.cumsum(c[:-1])])
+        n_per[li] = c.sum()
+    ref = _ray.put((langs, offsets, values, below, n_per))
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        L, off, V, B, N = _ray.get(ref)
+        lc = np.searchsorted(L, b["lang"].to_numpy(dtype=object))
+        x = b["n_chars"].to_numpy(np.int64)
+        pr = np.empty(len(b), dtype=np.float64)
+        for li in np.unique(lc):
+            m = lc == li
+            lo, hi = off[li], off[li + 1]
+            idx = np.searchsorted(V[lo:hi], x[m])  # exact hit by construction
+            pr[m] = B[lo:hi][idx] / max(int(N[li]) - 1, 1)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64),
+             "pct_rank": np.round(pr, 6)}
+        )
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "pct_rank": "float64"})
+
+
+# percent_rank = (rank-1)/(n-1) with rank = 1 + count(strictly smaller):
+# exactly the broadcast strictly-below count; single-row groups are 0 on
+# both sides.
+DOC_LENGTH_PCT_RANK_SQL = """
+select doc_id,
+       round(percent_rank() over (partition by lang order by n_chars), 6)
+         as pct_rank
+from documents
+"""
+
+
+def doc_unigram_logprob(sf_dir: str, top_v: int | None = None) -> pd.DataFrame:
+    """Corpus-LM quality scoring (the CCNet perplexity-filter analog
+    with the corpus itself as the LM): per-doc mean unigram
+    log-probability.  Pass 1 builds the model — global token counts via
+    the hash-bucketed exact combine; the model IS vocabulary-sized, so
+    collecting it collects the model, and a web-scale run bounds it
+    with ``top_v`` (per-bucket top-k inside the combine, OOV scored at
+    the add-one floor 1/(total+1)).  Pass 2 broadcasts (sorted tokens,
+    log-probs, total) as numpy arrays (zero-copy) and scores every doc
+    row-locally.  The registered query runs top_v=None for exact SQL
+    parity; the capped path is unit-tested."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    n_buckets = 16
+
+    def cnt_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split()
+        if not int(toks.str.len().sum()):
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_hb": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        vc = pd.Series(flat).value_counts()
+        out = pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                            "n": vc.to_numpy(np.int64)})
+        out["_hb"] = (
+            pd.util.hash_array(out["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return out
+
+    def bucket_cnt(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("token", as_index=False)["n"].sum()
+        # the pre-cap bucket total rides along on one token=None marker
+        # row so the model normalizes by the TRUE corpus token count
+        # even when the vocabulary is capped
+        total_row = pd.DataFrame({"token": [None], "n": [int(agg["n"].sum())]})
+        if top_v is not None:  # bounded model: keep the bucket's top shard
+            agg = agg.nlargest(max(1, top_v // n_buckets), "n")
+        return pd.concat([agg, total_row], ignore_index=True)
+
+    vocab = (
+        ds.map_batches(cnt_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_cnt, batch_format="pandas")
+        .to_pandas()
+    )
+    if vocab.empty or "token" not in vocab.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_toks": pd.Series([], dtype="int64"),
+                             "avg_logprob": pd.Series([], dtype="float64")})
+    total = int(vocab.loc[vocab["token"].isna(), "n"].sum())
+    vocab = vocab[vocab["token"].notna()].sort_values("token", kind="mergesort")
+    if total == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_toks": pd.Series([], dtype="int64"),
+                             "avg_logprob": pd.Series([], dtype="float64")})
+    tok_arr = vocab["token"].to_numpy(dtype=object)
+    logp = np.log(vocab["n"].to_numpy(np.float64) / total)
+    oov_logp = np.log(1.0 / (total + 1))
+    ref = _ray.put((tok_arr, logp))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        T, LP = _ray.get(ref)
+        toks = batch["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        n = len(batch)
+        sums = np.zeros(n, dtype=np.float64)
+        if int(lens.sum()):
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            idx = np.searchsorted(T, flat)
+            idx_c = np.clip(idx, 0, len(T) - 1)
+            hit = T[idx_c] == flat
+            lp = np.where(hit, LP[idx_c], oov_logp)
+            doc_idx = np.repeat(np.arange(n), lens)
+            sums = np.bincount(doc_idx, weights=lp, minlength=n)
+        keep = lens > 0  # SQL's tok join drops token-less docs
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "n_toks": lens[keep],
+                "avg_logprob": np.round(sums[keep] / lens[keep], 6),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.astype(
+        {"doc_id": "int64", "n_toks": "int64", "avg_logprob": "float64"}
+    )
+
+
+DOC_UNIGRAM_LOGPROB_SQL = r"""
+with tok as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+), c as (
+  select token, count(*) as n from tok group by token
+), tot as (
+  select count(*) as t from tok
+)
+select doc_id, count(*)::BIGINT as n_toks,
+       round(avg(ln(c.n / (select t from tot))), 6) as avg_logprob
+from tok join c using (token)
+group by doc_id
+"""
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def doc_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES
+    keys): each doc gets priority ln(u)/w with a deterministic
+    md5-fraction u and weight w = n_chars; the global top-k by priority
+    is exactly a weighted reservoir draw.  Shape: priorities are
+    row-local, each batch keeps a local top-k, one k×blocks merge picks
+    the final k — never a global sort, identical on any partitioning.
+    Both engines compute u and the division as IEEE doubles on the same
+    md5 bytes, so the selected set is bit-identical."""
+    import hashlib as _hl
+
+    k = WEIGHTED_SAMPLE_K
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "n_chars"])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        w = np.maximum(b["n_chars"].to_numpy(np.float64), 1.0)
+        u = np.asarray(
+            [
+                (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) + 1)
+                / 4294967296.0
+                for i in ids
+            ]
+        )
+        pri = np.log(u) / w
+        out = pd.DataFrame({"doc_id": ids, "priority": pri})
+        return out.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["priority", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = out.reset_index(drop=True)
+    out["priority"] = out["priority"].round(6)
+    return out.astype({"doc_id": "int64", "priority": "float64"})
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+select doc_id,
+       round(ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / greatest(n_chars, 1), 6) as priority
+from documents
+order by ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) / greatest(n_chars, 1) desc, doc_id
+limit {WEIGHTED_SAMPLE_K}
+"""
+
+
 REGISTRY = {
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
@@ -1671,4 +1899,9 @@ REGISTRY = {
     "doc_token_pmi": (doc_token_pmi, DOC_TOKEN_PMI_SQL),
     "doc_token_zipf": (doc_token_zipf, DOC_TOKEN_ZIPF_SQL),
     "doc_adaptive_stopwords": (doc_adaptive_stopwords, DOC_ADAPTIVE_STOPWORDS_SQL),
+    "doc_length_pct_rank_by_lang": (
+        doc_length_pct_rank_by_lang, DOC_LENGTH_PCT_RANK_SQL,
+    ),
+    "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
 }

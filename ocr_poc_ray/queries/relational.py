@@ -1686,6 +1686,51 @@ REL_VALUE_QUANTILES_EXACT_SQL = "\nunion all\n".join(
 ) + "\norder by event_type, q"
 
 
+def rel_event_streaks(sf_dir: str) -> pd.DataFrame:
+    """Per-user streak analysis (gaps-and-islands): runs of consecutive
+    identical event_type in time order — the repeated-action /
+    bot-behaviour signal of an event pipeline.  One range-sort +
+    vectorized run detection per block; only block-edge keys reach the
+    combine (functions.windows.keyed_streaks)."""
+    from ocr_poc_ray.functions.windows import keyed_streaks
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = keyed_streaks(ds).to_pandas()
+    return out.astype(
+        {"user_id": "int64", "n_runs": "int64", "max_run": "int64"}
+    )
+
+
+# classic gaps-and-islands: a run breaks when the label changes;
+# top_type = lexicographically smallest label among the longest runs.
+REL_EVENT_STREAKS_SQL = """
+with o as (
+  select user_id, event_type, ts, event_id,
+         case when lag(event_type) over
+                (partition by user_id order by ts, event_id)
+              is distinct from event_type then 1 else 0 end as brk
+  from events
+), g as (
+  select user_id, event_type,
+         sum(brk) over (partition by user_id order by ts, event_id
+                        rows unbounded preceding) as grp
+  from o
+), r as (
+  select user_id, event_type, count(*) as run_len
+  from g group by user_id, event_type, grp
+), m as (
+  select user_id, count(*)::BIGINT as n_runs, max(run_len)::BIGINT as max_run
+  from r group by user_id
+)
+select m.user_id, m.n_runs, m.max_run, min(r.event_type) as top_type
+from m join r on r.user_id = m.user_id and r.run_len = m.max_run
+group by m.user_id, m.n_runs, m.max_run
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1700,6 +1745,7 @@ REGISTRY = {
     "rel_bloom_semijoin": (rel_bloom_semijoin, REL_BLOOM_SEMIJOIN_SQL),
     "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
+    "rel_event_streaks": (rel_event_streaks, REL_EVENT_STREAKS_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

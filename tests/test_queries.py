@@ -73,6 +73,10 @@ FAST_ORACLE = [
     "xs_extract_documents",
     "xs_conv_docs_documents",
     "xs_turn_gaps",
+    "doc_length_pct_rank_by_lang",
+    "doc_unigram_logprob",
+    "doc_weighted_sample",
+    "rel_event_streaks",
 ]
 
 
@@ -126,3 +130,19 @@ def test_rows_only_queries_run(ray_session):
             continue
         out = fn(SF_DIR)
         assert len(out) > 0, name
+
+
+def test_unigram_logprob_capped_vocab(ray_session):
+    """top_v caps the broadcast model; OOV tokens score at the add-one
+    floor so every doc still gets a finite score."""
+    from ocr_poc_ray.queries.documents import doc_unigram_logprob
+
+    full = doc_unigram_logprob(SF_DIR)
+    capped = doc_unigram_logprob(SF_DIR, top_v=16)
+    assert len(capped) == len(full)
+    merged = full.merge(capped, on="doc_id", suffixes=("_f", "_c"))
+    assert (merged["n_toks_f"] == merged["n_toks_c"]).all()
+    # capping can only lower a doc's average log-prob (OOV floor is
+    # below every real in-vocab probability)
+    assert (merged["avg_logprob_c"] <= merged["avg_logprob_f"] + 1e-9).all()
+    assert (capped["avg_logprob"] > -100).all()

@@ -294,3 +294,66 @@ def test_lag_delta_split_boundaries(ray_session, events_df, nblocks):
         .reset_index(drop=True)
     )
     assert out["delta_us"].tolist() == expect["delta_us"].tolist()
+
+
+def _oracle_streaks(df: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        labels = g["event_type"].tolist()
+        runs = []
+        for lab in labels:
+            if runs and runs[-1][0] == lab:
+                runs[-1][1] += 1
+            else:
+                runs.append([lab, 1])
+        max_run = max(r[1] for r in runs)
+        out.append(
+            {
+                "user_id": u,
+                "n_runs": len(runs),
+                "max_run": max_run,
+                "top_type": min(r[0] for r in runs if r[1] == max_run),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_streaks_split_boundaries(ray_session, events_df, nblocks):
+    """Runs that straddle block boundaries must merge in the edge
+    combine, not double-count as separate runs."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import keyed_streaks
+
+    ds = rd.from_pandas(events_df)
+    got = (
+        keyed_streaks(ds, sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "n_runs": "int64", "max_run": "int64"})
+    )
+    exp = _oracle_streaks(events_df)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_streaks_single_long_run(ray_session):
+    """One key whose entire history is a single run spanning every
+    block: n_runs must be 1, max_run the full count."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import keyed_streaks
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 30,
+            "ts": pd.date_range("2024-01-01", periods=30, freq="1min"),
+            "event_id": range(30),
+            "event_type": ["view"] * 30,
+        }
+    )
+    got = keyed_streaks(rd.from_pandas(df), sort_num_blocks=5).to_pandas()
+    assert got.to_dict("records") == [
+        {"user_id": 1, "n_runs": 1, "max_run": 30, "top_type": "view"}
+    ]
