@@ -412,6 +412,137 @@ from l group by conv_id order by conv_id
 """
 
 
+def xs_extract_lang_stats(sf_dir: str) -> pd.DataFrame:
+    """Pipeline composition over real data: the extraction output
+    hash-joined back to the documents dimension (lang) — a distributed
+    big-big join (the doc→lang map is corpus-sized, so NO broadcast),
+    then a per-language partial-agg rollup (languages are few).  Joins
+    follow the 0-row-block pitfall rule: repartition both inputs
+    first (CLAUDE.md)."""
+    ex = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    ex = ex.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "turn_idx": b["turn_idx"].astype("int64"),
+                "extracted_text": b["extracted_text"],
+                "success": b["success"],
+            }
+        ),
+        batch_format="pandas",
+    ).repartition(8)
+    langs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).repartition(8)
+    joined = ex.join(
+        langs, "inner", num_partitions=8, on=("turn_idx",), right_on=("doc_id",)
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n_chars=b["extracted_text"].str.len())
+        return b.groupby("lang", as_index=False).agg(
+            n_turns=("turn_idx", "size"),
+            n_success=("success", "sum"),
+            total_chars=("n_chars", "sum"),
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_turns=("n_turns", "sum"),
+        n_success=("n_success", "sum"),
+        total_chars=("total_chars", "sum"),
+    )
+    return out.astype(
+        {"n_turns": "int64", "n_success": "int64", "total_chars": "int64"}
+    )
+
+
+XS_EXTRACT_LANG_STATS_SQL = rf"""
+with e as (
+  select doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+)
+select d.lang, count(*)::BIGINT as n_turns,
+       sum(case when e.extracted_text <> '' then 1 else 0 end)::BIGINT
+         as n_success,
+       sum(length(e.extracted_text))::BIGINT as total_chars
+from e join documents d on e.turn_idx = d.doc_id
+group by d.lang
+"""
+
+
+CTX_WINDOW_TURNS = 4
+
+
+def xs_context_window_chars(sf_dir: str) -> pd.DataFrame:
+    """Per-turn context-window budget: how many extracted characters
+    the previous ≤4 turns of the same conversation contribute — the
+    chat-template context-assembly measure, a keyed LAGGED rolling sum
+    (rows between 4 preceding and 1 preceding).  One range-sort +
+    vectorized per-block shift/rolling via keyed_sorted_match; string
+    keys ride the object dtype path."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    k = CTX_WINDOW_TURNS
+    ex = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    ex = ex.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].astype("int64"),
+                "extracted_text": b["extracted_text"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        lens = g["extracted_text"].str.len().astype("float64")
+        sh = lens.groupby(g["conv_id"], sort=False).shift().fillna(0.0)
+        ctx = (
+            sh.groupby(g["conv_id"], sort=False)
+            .rolling(k, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(dtype=object),
+                "turn_idx": g["turn_idx"].to_numpy(np.int64),
+                "ctx_chars": ctx.to_numpy(np.int64),
+            }
+        )
+
+    out = keyed_sorted_match(
+        ex,
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "extracted_text"],
+        match_fn=_match,
+        out_meta={"conv_id": "object", "turn_idx": "int64",
+                  "ctx_chars": "int64"},
+    ).to_pandas()
+    return out.astype({"turn_idx": "int64", "ctx_chars": "int64"})
+
+
+XS_CONTEXT_WINDOW_SQL = rf"""
+with e as (
+  select source as conv_id, doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+)
+select conv_id, turn_idx,
+       coalesce(sum(length(extracted_text)) over (
+         partition by conv_id order by turn_idx
+         rows between {CTX_WINDOW_TURNS} preceding and 1 preceding
+       ), 0)::BIGINT as ctx_chars
+from e
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
@@ -422,6 +553,10 @@ REGISTRY = {
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),
     "xs_conv_stats": (xs_conv_stats, XS_CONV_STATS_SQL),
     "xs_turn_gaps": (xs_turn_gaps, XS_TURN_GAPS_SQL),
+    "xs_extract_lang_stats": (xs_extract_lang_stats, XS_EXTRACT_LANG_STATS_SQL),
+    "xs_context_window_chars": (
+        xs_context_window_chars, XS_CONTEXT_WINDOW_SQL,
+    ),
     "mm_decode": (mm_decode, MM_DECODE_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
 }

@@ -77,6 +77,8 @@ FAST_ORACLE = [
     "doc_unigram_logprob",
     "doc_weighted_sample",
     "rel_event_streaks",
+    "xs_extract_lang_stats",
+    "xs_context_window_chars",
 ]
 
 
