@@ -167,3 +167,61 @@ def test_exact_quantile_matches_duckdb(ray_session, data, q):
     merged = got.merge(exp, on="k", suffixes=("_got", "_exp"))
     assert len(merged) == df["k"].nunique()
     assert (merged["value_got"] == merged["value_exp"]).all(), merged
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_users=st.integers(min_value=1, max_value=4),
+    per_user=st.integers(min_value=1, max_value=25),
+    nblocks=st.integers(min_value=2, max_value=6),
+)
+def test_streaks_random_corpora(ray_session, seed, n_users, per_user, nblocks):
+    """keyed_streaks equals a sequential run-length scan on any corpus
+    — duplicate timestamps and tiny blocks force runs across every
+    block boundary."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import keyed_streaks
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(per_user):
+            t = t + pd.Timedelta(seconds=int(rng.choice([0, 0, 1, 300])))
+            rows.append(
+                {"user_id": u, "ts": t, "event_id": eid,
+                 "event_type": str(rng.choice(["a", "b"]))}
+            )
+            eid += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+    got = (
+        keyed_streaks(rd.from_pandas(df), sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        labels = g["event_type"].tolist()
+        runs = []
+        for lab in labels:
+            if runs and runs[-1][0] == lab:
+                runs[-1][1] += 1
+            else:
+                runs.append([lab, 1])
+        mx = max(r[1] for r in runs)
+        exp_rows.append(
+            {"user_id": u, "n_runs": len(runs), "max_run": mx,
+             "top_type": min(r[0] for r in runs if r[1] == mx)}
+        )
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64", "n_runs": "int64", "max_run": "int64"}),
+        exp.astype({"user_id": "int64", "n_runs": "int64", "max_run": "int64"}),
+    )
