@@ -1,0 +1,130 @@
+"""Distributed PageRank over an undirected pair graph — the iterative
+graph-algorithm family alongside connected components (min-label
+propagation, functions/dedup.py) and k-means (broadcast-refine,
+functions/clustering.py).
+
+Why a dataflow and not a broadcast loop: the node state (node, degree,
+rank) is GRAPH-sized, so unlike k-means' k×d centroids it cannot ride
+``ray.put``.  Every iteration is therefore expressed over Datasets:
+contributions rank/degree ship along edges via a bucketed hash join,
+the receiving side sums them in a bucketed combine (``num_buckets``
+groups — never one per node), and the new rank is a row-local map.
+Nothing graph-sized ever reaches the driver; rounds scale with data
+only through the join/combine exchanges.
+
+Exact parity with a single-process run holds only up to float summation
+order, so the registered query is rows-only and tests compare against a
+numpy power iteration with tolerance.
+
+Join inputs are repartitioned first: Ray 2.49 ``Dataset.join`` raises
+ArrowInvalid on 0-row blocks (CLAUDE.md pitfall).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def pagerank(
+    pairs: Dataset,
+    *,
+    damping: float = 0.85,
+    n_iters: int = 8,
+    num_buckets: int = 16,
+    id_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> Dataset:
+    """(doc_id, rank) over the undirected graph given as id pairs.
+
+    Ranks sum to ~1 over the nodes that appear in at least one pair
+    (an undirected graph has no dangling nodes: every node has
+    degree ≥ 1, so no leaked mass beyond float error).
+    """
+    import ray.data as rd
+
+    a, b = id_cols
+
+    def to_directed(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": batch[a], "dst": batch[b]})
+        rev = pd.DataFrame({"src": batch[b], "dst": batch[a]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = (
+        pairs.select_columns([a, b])
+        .map_batches(to_directed, batch_format="pandas")
+        .repartition(num_buckets)
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+        )
+
+    def bucket_combine(ds: Dataset, value_col: str) -> Dataset:
+        """Exact per-node sum of ``value_col`` in ``num_buckets`` groups."""
+
+        def bucketed(bt: pd.DataFrame) -> pd.DataFrame:
+            return bt.assign(
+                bucket=(pd.util.hash_array(bt["node"].to_numpy()) %
+                        num_buckets).astype("int64")
+            )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)[value_col].sum()
+
+        return (
+            ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pandas")
+        )
+
+    def deg_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        g = bt.groupby("src", as_index=False).size()
+        return pd.DataFrame({"node": g["src"], "deg": g["size"].astype("int64")})
+
+    deg = bucket_combine(
+        edges.map_batches(deg_partial, batch_format="pandas"), "deg"
+    ).repartition(num_buckets).materialize()
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = deg.map_batches(
+        lambda bt: bt.assign(rank=1.0 / n_nodes), batch_format="pandas"
+    ).repartition(num_buckets).materialize()
+
+    for _ in range(n_iters):
+        contrib = ranks.map_batches(
+            lambda bt: pd.DataFrame(
+                {"src": bt["node"], "contrib": bt["rank"] / bt["deg"]}
+            ),
+            batch_format="pandas",
+        ).repartition(num_buckets)
+        msgs = edges.join(
+            contrib, "inner", num_partitions=num_buckets, on=("src",)
+        ).map_batches(
+            lambda bt: pd.DataFrame({"node": bt["dst"], "c": bt["contrib"]}),
+            batch_format="pandas",
+        ).repartition(num_buckets)
+        sums = bucket_combine(msgs, "c").repartition(num_buckets)
+        ranks = deg.join(
+            sums, "inner", num_partitions=num_buckets, on=("node",)
+        ).map_batches(
+            lambda bt: pd.DataFrame(
+                {"node": bt["node"], "deg": bt["deg"],
+                 "rank": base + damping * bt["c"]}
+            ),
+            batch_format="pandas",
+        ).repartition(num_buckets).materialize()
+
+    import numpy as np
+
+    return ranks.map_batches(
+        lambda bt: pd.DataFrame(
+            {"doc_id": bt["node"],
+             "rank": np.round(bt["rank"].to_numpy(np.float64), 6)}
+        ),
+        batch_format="pandas",
+    )

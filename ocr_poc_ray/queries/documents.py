@@ -325,6 +325,33 @@ def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
     return comp.astype({"doc_id": "int64", "component": "int64"})
 
 
+def doc_dup_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the near-duplicate graph: which documents are the
+    HUBS of duplication (high rank = similar to many/central dups —
+    the canonical-copy pick for a keep-one policy).  Pairs from the
+    prefix-filtered exact Jaccard join; ranks via the join-dataflow
+    power iteration (functions.graph.pagerank — node state is a
+    Dataset, never a broadcast).  Float summation order makes this
+    rows-only; the algorithm is tolerance-tested against a numpy power
+    iteration on random graphs."""
+    from ocr_poc_ray.functions.dedup import ngram_jaccard_pairs_prefix
+    from ocr_poc_ray.functions.graph import pagerank
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs_prefix(ds, threshold=0.5)
+    pairs = pairs.map_batches(
+        lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"}),
+        batch_format="pandas",
+    )
+    # 4 iterations: the ranking (hub ordering) stabilizes in 2-3 rounds
+    # on dup-cluster graphs; every extra round costs 2 bucketed joins
+    out = pagerank(pairs, n_iters=4, num_buckets=8).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
+    return out.astype({"doc_id": "int64", "rank": "float64"})
+
+
 def doc_dup_components_exact(sf_dir: str) -> pd.DataFrame:
     """Oracle-verified connected components: the exact n-gram Jaccard
     pair set (same subset/threshold as ``doc_jaccard_pairs``) fed to
@@ -1810,6 +1837,143 @@ group by doc_id
 """
 
 
+def doc_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Conditional bigram LM scoring: per-doc mean ln p(w2 | w1) with
+    p = c(w1 w2) / c(w1) estimated from the corpus itself — one step up
+    the n-gram ladder from doc_unigram_logprob (fluency, not just
+    vocabulary rarity).  Same shape: both count tables build in one
+    streaming pass each through the hash-bucketed exact combine (the
+    bigram model is vocabulary²-bounded, in practice corpus-bigram
+    sized; a web-scale run caps it top-V like the unigram path), the
+    model broadcasts once as sorted numpy arrays, scoring is row-local.
+    Docs with < 2 tokens have no bigrams and are absent (SQL join
+    semantics)."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    n_buckets = 16
+
+    def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        if not int(lens.sum()):
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_hb": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        same = doc_idx[:-1] == doc_idx[1:]
+        bi = np.char.add(
+            np.char.add(flat[:-1][same].astype(str), " "),
+            flat[1:][same].astype(str),
+        ).astype(object)
+        vc_u = pd.Series(flat).value_counts()
+        vc_b = pd.Series(bi).value_counts()
+        out = pd.DataFrame(
+            {
+                # unigram keys ("w") and bigram keys ("w1 w2") cannot
+                # collide — \S+ tokens never contain the space the
+                # bigram key embeds — and `kind` disambiguates anyway
+                "gram": np.concatenate(
+                    [vc_u.index.to_numpy(dtype=object),
+                     vc_b.index.to_numpy(dtype=object)]
+                ),
+                "n": np.concatenate(
+                    [vc_u.to_numpy(np.int64), vc_b.to_numpy(np.int64)]
+                ),
+                "kind": np.concatenate(
+                    [np.zeros(len(vc_u), dtype=np.int64),
+                     np.ones(len(vc_b), dtype=np.int64)]
+                ),
+            }
+        )
+        out["_hb"] = (
+            pd.util.hash_array(out["gram"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return out
+
+    def bucket_cnt(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["gram", "kind"], as_index=False)["n"].sum()
+
+    model = (
+        ds.map_batches(gram_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_cnt, batch_format="pandas")
+        .to_pandas()
+    )
+    if model.empty or "gram" not in model.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_bigrams": pd.Series([], dtype="int64"),
+                             "avg_logprob": pd.Series([], dtype="float64")})
+    uni = model[model["kind"] == 0].sort_values("gram", kind="mergesort")
+    big = model[model["kind"] == 1].sort_values("gram", kind="mergesort")
+    u_tok = uni["gram"].to_numpy(dtype=object)
+    u_cnt = uni["n"].to_numpy(np.float64)
+    b_tok = big["gram"].to_numpy(dtype=object)
+    b_cnt = big["n"].to_numpy(np.float64)
+    ref = _ray.put((u_tok, u_cnt, b_tok, b_cnt))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        UT, UC, BT, BC = _ray.get(ref)
+        toks = batch["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        n = len(batch)
+        if not int(lens.sum()):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bigrams": pd.Series([], dtype="int64"),
+                                 "avg_logprob": pd.Series([], dtype="float64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_idx = np.repeat(np.arange(n), lens)
+        same = doc_idx[:-1] == doc_idx[1:]
+        w1 = flat[:-1][same]
+        bi = np.char.add(np.char.add(w1.astype(str), " "),
+                         flat[1:][same].astype(str)).astype(object)
+        bdoc = doc_idx[:-1][same]
+        cb = BC[np.searchsorted(BT, bi)]   # every corpus bigram exists
+        cu = UC[np.searchsorted(UT, w1)]
+        lp = np.log(cb / cu)
+        sums = np.bincount(bdoc, weights=lp, minlength=n)
+        counts = np.bincount(bdoc, minlength=n)
+        keep = counts > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "n_bigrams": counts[keep].astype(np.int64),
+                "avg_logprob": np.round(sums[keep] / counts[keep], 6),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.astype(
+        {"doc_id": "int64", "n_bigrams": "int64", "avg_logprob": "float64"}
+    )
+
+
+# DuckDB 1-based inclusive slices: toks[1:-2] = w1..w_{n-1},
+# toks[2:-1] = w2..w_n — zipped they are exactly the bigram pairs.
+DOC_BIGRAM_LOGPROB_SQL = r"""
+with t as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as toks from documents
+), tok as (
+  select doc_id, unnest(toks) as w from t
+), u as (
+  select w, count(*) as cu from tok group by w
+), zipped as (
+  select doc_id, unnest(list_zip(toks[1:-2], toks[2:-1])) as p from t
+), pairs as (
+  select doc_id, p[1] as w1, p[2] as w2 from zipped
+), b as (
+  select w1, w2, count(*) as cb from pairs group by w1, w2
+)
+select doc_id, count(*)::BIGINT as n_bigrams,
+       round(avg(ln(b.cb / u.cu)), 6) as avg_logprob
+from pairs
+join b using (w1, w2)
+join u on u.w = pairs.w1
+group by doc_id
+"""
+
+
 WEIGHTED_SAMPLE_K = 50
 
 
@@ -1904,4 +2068,6 @@ REGISTRY = {
     ),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
+    "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
+    "doc_dup_pagerank": (doc_dup_pagerank, None),
 }

@@ -754,3 +754,59 @@ def test_prefix_join_equals_pair_grid(ray_session):
     pref = canon(ngram_jaccard_pairs_prefix(ds, threshold=0.4))
     assert len(grid) > 0  # planted dups must be found
     pd.testing.assert_frame_equal(pref, grid)
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    """The join-dataflow PageRank equals a dense numpy power iteration
+    (same damping, same iteration count) within float-summation
+    tolerance, on a random undirected graph with multiple components."""
+    from ocr_poc_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(13)
+    n = 40
+    edges = set()
+    for _ in range(70):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            edges.add((min(int(i), int(j)), max(int(i), int(j))))
+    pairs = pd.DataFrame(sorted(edges), columns=["doc_a", "doc_b"])
+    ds = ray.data.from_pandas(pairs).repartition(4)
+
+    got = (
+        pagerank(ds, damping=0.85, n_iters=8, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    A = np.zeros((m, m))
+    for a, b in edges:
+        if a in idx and b in idx:
+            A[idx[b], idx[a]] = 1.0
+            A[idx[a], idx[b]] = 1.0
+    deg = A.sum(axis=0)
+    P = A / deg[None, :]
+    r = np.full(m, 1.0 / m)
+    for _ in range(8):
+        r = (1 - 0.85) / m + 0.85 * (P @ r)
+
+    assert got["doc_id"].tolist() == nodes
+    np.testing.assert_allclose(got["rank"].to_numpy(), np.round(r, 6), atol=2e-6)
+    assert abs(got["rank"].sum() - 1.0) < 1e-3
+
+
+def test_pagerank_empty_pairs(ray_session):
+    from ocr_poc_ray.functions.graph import pagerank
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                      "doc_b": pd.Series([], dtype="int64")})
+    )
+    out = pagerank(ds)
+    # Ray drops columns converting a 0-row dataset to pandas, so assert
+    # on the Dataset schema (query wrappers re-type the pandas side)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "rank"]
