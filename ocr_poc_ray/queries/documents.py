@@ -1974,6 +1974,59 @@ group by doc_id
 """
 
 
+def doc_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy of the token distribution — low
+    entropy = repetitive/template text (the distributional cousin of
+    doc_repetition's max-frequency rule).  Entirely row-local: one
+    vectorized pandas groupby per batch, no global state, no shuffle.
+    Token-less docs are absent (SQL group-by semantics)."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        n = len(batch)
+        if not int(lens.sum()):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "entropy": pd.Series([], dtype="float64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_idx = np.repeat(np.arange(n), lens)
+        cnt = (
+            pd.DataFrame({"d": doc_idx, "w": flat})
+            .groupby(["d", "w"], sort=False)
+            .size()
+        )
+        d = cnt.index.get_level_values(0).to_numpy()
+        p = cnt.to_numpy(np.float64) / lens[d]
+        ent = -np.bincount(d, weights=p * np.log(p), minlength=n)
+        keep = lens > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "entropy": np.round(ent[keep], 6),
+            }
+        )
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "entropy": "float64"})
+
+
+DOC_TOKEN_ENTROPY_SQL = r"""
+with tok as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as w
+  from documents
+), c as (
+  select doc_id, w, count(*) as n from tok group by doc_id, w
+), t as (
+  select doc_id, count(*) as tot from tok group by doc_id
+)
+select c.doc_id,
+       round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) as entropy
+from c join t using (doc_id)
+group by c.doc_id
+"""
+
+
 WEIGHTED_SAMPLE_K = 50
 
 
@@ -2070,4 +2123,5 @@ REGISTRY = {
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
     "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
     "doc_dup_pagerank": (doc_dup_pagerank, None),
+    "doc_token_entropy": (doc_token_entropy, DOC_TOKEN_ENTROPY_SQL),
 }

@@ -79,6 +79,8 @@ FAST_ORACLE = [
     "rel_event_streaks",
     "xs_extract_lang_stats",
     "xs_context_window_chars",
+    "doc_bigram_logprob",
+    "doc_token_entropy",
 ]
 
 
