@@ -518,10 +518,11 @@ def ngram_jaccard_verify(
     """Exact Jaccard for (doc_a, doc_b) candidate pairs — distributed.
 
     The candidate ID set (pair-output-sized, ids only — never texts)
-    is broadcast once to pre-filter the corpus down to candidate rows;
-    the texts are then attached to the pair rows with two partitioned
-    hash joins on doc id, and the shingle/Jaccard kernel runs per
-    joined batch.  No driver-side text materialization at any point;
+    is broadcast once to pre-filter the corpus down to candidate rows,
+    which are shingled ONCE each; the packed sorted shingle hashes are
+    then attached to the pair rows with two partitioned hash joins on
+    doc id, and the per-pair kernel is a vectorized sorted-array
+    intersection.  No driver-side text materialization at any point;
     size ``num_partitions`` to the verified-pair volume at scale.
     """
     import ray
@@ -547,8 +548,21 @@ def ngram_jaccard_verify(
 
         need = ray.get(need_ids_ref)
         mask = pc.is_in(batch[id_col], value_set=need)
-        return batch.filter(mask).select([id_col, text_col]).rename_columns(
-            ["_jid", "_jtext"]
+        sub = batch.filter(mask)
+        # shingle ONCE per candidate doc, ship packed sorted uint64
+        # hashes through the joins — a doc appears in ~pairs/doc joined
+        # rows, and re-shingling its text per PAIR was the verify hot
+        # spot (measured ~55 µs/pair string sets vs ~5 µs/pair packed
+        # intersections at sf0.1)
+        texts = sub[text_col].to_pandas().fillna("")
+        th, offsets = _batch_token_hashes(texts)
+        packed = [
+            _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram).tobytes()
+            for d in range(len(texts))
+        ]
+        return pa.table(
+            {"_jid": sub[id_col].cast(pa.int64()),
+             "_jsh": pa.array(packed, pa.binary())}
         )
 
     # repartition merges away 0-row blocks — Ray's hash join (2.49)
@@ -561,25 +575,35 @@ def ngram_jaccard_verify(
         cand_texts, "inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("_jid",),
     ).map_batches(
-        # the join consumes the right key column (_jid); only the text survives
-        lambda b: b.rename(columns={"_jtext": "_text_a"}),
+        # the join consumes the right key column (_jid); only the
+        # packed shingles survive
+        lambda b: b.rename(columns={"_jsh": "_sh_a"}),
         batch_format="pandas",
     ).repartition(num_partitions)
     j2 = j1.join(
         cand_texts, "inner", num_partitions=num_partitions,
         on=("doc_b",), right_on=("_jid",),
     ).map_batches(
-        lambda b: b.rename(columns={"_jtext": "_text_b"}),
+        lambda b: b.rename(columns={"_jsh": "_sh_b"}),
         batch_format="pandas",
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        jac = []
-        for ta, tb in zip(batch["_text_a"], batch["_text_b"]):
-            sa, sb = _shingles(ta or "", ngram), _shingles(tb or "", ngram)
-            union = len(sa | sb)
-            jac.append(len(sa & sb) / union if union else 0.0)
-        out = batch.drop(columns=["_text_a", "_text_b"]).copy()
+        n = len(batch)
+        jac = np.zeros(n, dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(batch["_sh_a"], batch["_sh_b"])):
+            a = np.frombuffer(ba, dtype=np.uint64)
+            b = np.frombuffer(bb, dtype=np.uint64)
+            if len(a) > len(b):
+                a, b = b, a
+            if len(b):
+                # both sorted-unique (np.unique contract): count hits
+                idx = np.searchsorted(b, a)
+                idx[idx == len(b)] = 0
+                inter = int((b[idx] == a).sum())
+                union = len(a) + len(b) - inter
+                jac[i] = inter / union if union else 0.0
+        out = batch.drop(columns=["_sh_a", "_sh_b"]).copy()
         out["jaccard"] = jac
         return out
 
@@ -745,7 +769,7 @@ def ngram_jaccard_pairs_prefix(
     def explode_prefix(batch: pd.DataFrame) -> pd.DataFrame:
         th, offsets = _batch_token_hashes(batch[text_col])
         ids = batch[id_col].to_numpy()
-        out_ps, out_id = [], []
+        out_ps, out_id, out_m = [], [], []
         for d in range(len(batch)):
             sh = _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram)  # sorted (np.unique contract)
             m = len(sh)
@@ -754,14 +778,17 @@ def ngram_jaccard_pairs_prefix(
             plen = m - int(np.ceil(t * m)) + 1
             out_ps.append(sh[:plen])
             out_id.append(np.full(plen, ids[d], dtype=np.int64))
+            out_m.append(np.full(plen, m, dtype=np.int64))
         if not out_ps:
             return pd.DataFrame(
                 {"ps": pd.Series([], dtype="int64"),
-                 "doc_id": pd.Series([], dtype="int64")}
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "m": pd.Series([], dtype="int64")}
             )
         return pd.DataFrame(
             {"ps": np.concatenate(out_ps).view(np.int64),
-             "doc_id": np.concatenate(out_id)}
+             "doc_id": np.concatenate(out_id),
+             "m": np.concatenate(out_m)}
         )
 
     empty = pa.table(
@@ -783,12 +810,19 @@ def ngram_jaccard_pairs_prefix(
         return b.assign(_mb=(b["ps"].to_numpy() % _MB).astype("int64"))
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["ps", "doc_id"])[["ps", "doc_id"]]
-        m = g.merge(g, on="ps", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        g = group.drop_duplicates(["ps", "doc_id"])[["ps", "doc_id", "m"]]
+        mm = g.merge(g, on="ps", suffixes=("_a", "_b"))
+        mm = mm[mm["doc_id_a"] < mm["doc_id_b"]]
+        # PPJoin length filter (exact, no false negatives): Jaccard ≥ t
+        # implies |smaller| ≥ t·|larger| — prunes incompatible-length
+        # candidates before the verify joins ever see them
+        ma = mm["m_a"].to_numpy(np.float64)
+        mb = mm["m_b"].to_numpy(np.float64)
+        ok = np.minimum(ma, mb) >= t * np.maximum(ma, mb)
+        mm = mm[ok]
         return pd.DataFrame(
-            {"doc_a": m["doc_id_a"].to_numpy(),
-             "doc_b": m["doc_id_b"].to_numpy()}
+            {"doc_a": mm["doc_id_a"].to_numpy(),
+             "doc_b": mm["doc_id_b"].to_numpy()}
         )
 
     cand = (
