@@ -153,3 +153,50 @@ def sample_frames(ds: Dataset, *, every_ms: int = 1000) -> Dataset:
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
     )
+
+
+class AudioWindower:
+    """STUB audio-segmentation stage for audio rows: emits one row per
+    overlapping analysis window (real build: decode + resample the
+    window's samples per row — soundfile/ffmpeg slot, loaded once per
+    actor in __init__ exactly like MediaDecoder's codec slot)."""
+
+    def __init__(self, window_ms: int = 1000, hop_ms: int = 500):
+        self.window_ms = window_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_idx, out_s, out_e = [], [], [], []
+        for media_id, kind, payload in zip(
+            batch["media_id"], batch["kind"], batch["payload"]
+        ):
+            if kind != "audio":
+                continue
+            try:
+                meta = _fake_decode(bytes(payload))
+            except Exception:
+                continue
+            dur = meta["duration_ms"]
+            for i, start in enumerate(range(0, max(dur, 1), self.hop_ms)):
+                out_id.append(media_id)
+                out_idx.append(i)
+                out_s.append(start)
+                out_e.append(min(start + self.window_ms, dur))
+        return pd.DataFrame(
+            {
+                "media_id": out_id,
+                "window_idx": pd.array(out_idx, dtype="int32"),
+                "start_ms": pd.array(out_s, dtype="int32"),
+                "end_ms": pd.array(out_e, dtype="int32"),
+            }
+        )
+
+
+def window_audio(ds: Dataset, *, window_ms: int = 1000, hop_ms: int = 500) -> Dataset:
+    return ds.map_batches(
+        AudioWindower,
+        fn_constructor_kwargs={"window_ms": window_ms, "hop_ms": hop_ms},
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )

@@ -171,7 +171,12 @@ def _media_ds(sf_dir: str) -> ray.data.Dataset:
         kind = kinds[doc_id % 3]
         mid = f"m-{doc_id:08d}"
         w, h = 64 + (doc_id % 7) * 16, 48 + (doc_id % 5) * 16
-        dur = 3_000 + (doc_id % 11) * 500 if kind == "video" else 0
+        if kind == "video":
+            dur = 3_000 + (doc_id % 11) * 500
+        elif kind == "audio":
+            dur = 2_000 + (doc_id % 13) * 250
+        else:
+            dur = 0
         rows["media_id"].append(mid)
         rows["kind"].append(kind)
         # every 37th payload is corrupt → decode_ok=False path
@@ -210,6 +215,7 @@ select printf('m-%08d', doc_id) as media_id,
        case when doc_id % 37 <> 0 then 48 + (doc_id % 5) * 16 else -1 end as height,
        case when doc_id % 37 = 0 then -1
             when doc_id % 3 = 2 then 3000 + (doc_id % 11) * 500
+            when doc_id % 3 = 1 then 2000 + (doc_id % 13) * 250
             else 0 end as duration_ms
 from documents
 """
@@ -231,6 +237,39 @@ with v as (
 )
 select media_id, ts_ms // 1000 as frame_idx, ts_ms
 from (select media_id, unnest(range(0, dur, 1000)) as ts_ms from v)
+"""
+
+
+def mm_audio_windows(sf_dir: str) -> pd.DataFrame:
+    """Audio modality leg of the multimodal plumbing: overlapping
+    1000 ms / 500 ms-hop analysis windows per audio row — the
+    actor-pool segmentation stage a transcription or audio-embedding
+    pipeline feeds (decode kernel stubbed; schema/batching real).
+    Metadata is deterministic from doc_id, so the oracle re-derives the
+    windows relationally."""
+    from ocr_poc_ray.functions.multimodal import window_audio
+
+    out = window_audio(_media_ds(sf_dir), window_ms=1000, hop_ms=500).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"media_id": pd.Series([], dtype=object),
+                             "window_idx": pd.Series([], dtype="int64"),
+                             "start_ms": pd.Series([], dtype="int64"),
+                             "end_ms": pd.Series([], dtype="int64")})
+    return out.astype(
+        {"window_idx": "int64", "start_ms": "int64", "end_ms": "int64"}
+    )
+
+
+MM_AUDIO_WINDOWS_SQL = """
+with a as (
+  select printf('m-%08d', doc_id) as media_id,
+         2000 + (doc_id % 13) * 250 as dur
+  from documents
+  where doc_id % 3 = 1 and doc_id % 37 <> 0
+)
+select media_id, start_ms // 500 as window_idx, start_ms,
+       least(start_ms + 1000, dur) as end_ms
+from (select media_id, dur, unnest(range(0, dur, 500)) as start_ms from a)
 """
 
 
@@ -559,4 +598,5 @@ REGISTRY = {
     ),
     "mm_decode": (mm_decode, MM_DECODE_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
 }

@@ -260,6 +260,36 @@ def test_media_decode_stub_pipeline():
         MediaDecoder(use_real_codecs=True)
 
 
+def test_audio_windowing_stub_pipeline():
+    """Overlapping 1000 ms / 500 ms-hop windows per audio row; non-audio
+    and corrupt rows are skipped; the last window clamps to duration."""
+    from ocr_poc_ray.functions.multimodal import (
+        MEDIA_SCHEMA,
+        make_fake_payload,
+        window_audio,
+    )
+
+    rows = [
+        {"media_id": "a0", "kind": "audio",
+         "payload": make_fake_payload("a0", "audio", dur=2300),
+         "content_type": "audio/fake", "width": -1, "height": -1,
+         "duration_ms": -1},
+        {"media_id": "v0", "kind": "video",
+         "payload": make_fake_payload("v0", "video", dur=5000),
+         "content_type": "video/fake", "width": -1, "height": -1,
+         "duration_ms": -1},
+        {"media_id": "bad", "kind": "audio", "payload": b"corrupt",
+         "content_type": "audio/fake", "width": -1, "height": -1,
+         "duration_ms": -1},
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    wins = window_audio(ray.data.from_arrow(tbl)).to_pandas()
+    assert set(wins["media_id"]) == {"a0"}
+    a0 = wins.sort_values("window_idx")
+    assert a0["start_ms"].tolist() == [0, 500, 1000, 1500, 2000]
+    assert a0["end_ms"].tolist() == [1000, 1500, 2000, 2300, 2300]
+
+
 def test_knn_ivf_recall(emb_ds):
     """IVF with generous nprobe recovers most brute-force neighbors."""
     from ocr_poc_ray.functions.similarity import knn_brute_force, knn_ivf
