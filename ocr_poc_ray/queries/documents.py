@@ -2027,6 +2027,55 @@ group by c.doc_id
 """
 
 
+def doc_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(lang, source) in ONE streaming pass: only the finest
+    (lang, source) cells are aggregated distributed (per-batch partials
+    + tiny combine — cell count is bounded by the dimension product);
+    the coarser levels are exact integer sums of those cells, derived
+    driver-side at no extra read.  NULL margin keys surface as 'ALL'
+    (coalesce in the oracle) so the hash compare is dtype-stable."""
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "source"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+    )
+    by_lang = cells.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+    )
+    by_lang["source"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "n_docs": [int(cells["n_docs"].sum())],
+            "total_chars": [int(cells["total_chars"].sum())],
+        }
+    )
+    out = pd.concat(
+        [cells, by_lang[["lang", "source", "n_docs", "total_chars"]], grand],
+        ignore_index=True,
+    )
+    return out.astype({"n_docs": "int64", "total_chars": "int64"})
+
+
+DOC_LANG_SOURCE_ROLLUP_SQL = """
+select coalesce(lang, 'ALL') as lang, coalesce(source, 'ALL') as source,
+       count(*)::BIGINT as n_docs, sum(n_chars)::BIGINT as total_chars
+from documents
+group by rollup (lang, source)
+"""
+
+
 WEIGHTED_SAMPLE_K = 50
 
 
@@ -2124,4 +2173,7 @@ REGISTRY = {
     "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
     "doc_dup_pagerank": (doc_dup_pagerank, None),
     "doc_token_entropy": (doc_token_entropy, DOC_TOKEN_ENTROPY_SQL),
+    "doc_lang_source_rollup": (
+        doc_lang_source_rollup, DOC_LANG_SOURCE_ROLLUP_SQL,
+    ),
 }
