@@ -566,10 +566,12 @@ def ngram_jaccard_verify(
         )
 
     # repartition merges away 0-row blocks — Ray's hash join (2.49)
-    # raises FieldRef errors when an input block is empty
+    # raises FieldRef errors when an input block is empty.  materialize:
+    # this dataset feeds BOTH joins, and a lazy branch would re-run the
+    # corpus scan + per-doc shingling once per side (CLAUDE.md pitfall).
     cand_texts = docs.map_batches(collect, batch_format="pyarrow").repartition(
         num_partitions
-    )
+    ).materialize()
 
     j1 = pairs_mat.join(
         cand_texts, "inner", num_partitions=num_partitions,

@@ -116,6 +116,24 @@ def decode_media(ds: Dataset, *, concurrency: int | tuple[int, int] = (1, 4)) ->
     )
 
 
+def _decoded_rows(batch: pd.DataFrame, kind: str):
+    """Yield (media_id, duration_ms) for every decodable row of ``kind``
+    — the shared kind-filter / decode-failure-skip protocol of the
+    timeline stages (FrameSampler, AudioWindower).  A duration of 0
+    yields no timeline positions downstream (``range(0, 0, step)``),
+    matching the SQL mirrors' ``range(0, dur, step)`` exactly."""
+    for media_id, k, payload in zip(
+        batch["media_id"], batch["kind"], batch["payload"]
+    ):
+        if k != kind:
+            continue
+        try:
+            meta = _fake_decode(bytes(payload))
+        except Exception:
+            continue
+        yield media_id, meta["duration_ms"]
+
+
 class FrameSampler:
     """STUB frame-sample stage for video rows: emits one row per sampled
     frame index (real build: ffmpeg seek + decode per index)."""
@@ -125,14 +143,8 @@ class FrameSampler:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out_id, out_idx, out_ts = [], [], []
-        for media_id, kind, payload in zip(batch["media_id"], batch["kind"], batch["payload"]):
-            if kind != "video":
-                continue
-            try:
-                meta = _fake_decode(bytes(payload))
-            except Exception:
-                continue
-            for i, ts in enumerate(range(0, max(meta["duration_ms"], 1), self.every_ms)):
+        for media_id, dur in _decoded_rows(batch, "video"):
+            for i, ts in enumerate(range(0, dur, self.every_ms)):
                 out_id.append(media_id)
                 out_idx.append(i)
                 out_ts.append(ts)
@@ -167,17 +179,8 @@ class AudioWindower:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out_id, out_idx, out_s, out_e = [], [], [], []
-        for media_id, kind, payload in zip(
-            batch["media_id"], batch["kind"], batch["payload"]
-        ):
-            if kind != "audio":
-                continue
-            try:
-                meta = _fake_decode(bytes(payload))
-            except Exception:
-                continue
-            dur = meta["duration_ms"]
-            for i, start in enumerate(range(0, max(dur, 1), self.hop_ms)):
+        for media_id, dur in _decoded_rows(batch, "audio"):
+            for i, start in enumerate(range(0, dur, self.hop_ms)):
                 out_id.append(media_id)
                 out_idx.append(i)
                 out_s.append(start)

@@ -500,6 +500,7 @@ def keyed_streaks(
     order_col: str = "event_id",
     label_col: str = "event_type",
     sort_num_blocks: int | None = None,
+    key_dtype: str = "int64",
 ) -> Dataset:
     """SQL gaps-and-islands per key: runs of consecutive equal
     ``label_col`` values in (ts, order) order.  Output one row per key:
@@ -555,7 +556,7 @@ def keyed_streaks(
         in_cols=[key_col, ts_col, order_col, label_col],
         match_fn=_match,
         out_meta={
-            key_col: "int64",
+            key_col: key_dtype,  # "object" for string keys (cf. keyed_lag_delta)
             "n_runs": "int64",
             "max_run": "int64",
             "top_type": "object",

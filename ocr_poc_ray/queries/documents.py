@@ -1091,6 +1091,22 @@ from c group by n order by freq
 """
 
 
+
+def _flat_tokens(text_series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat, lens, doc_idx) for a batch's texts: lowercased whitespace
+    tokens concatenated across rows, per-row token counts, and the row
+    index of every token.  THE tokenization shared by every LM /
+    entropy / vocabulary query — one place to change if the corpus ever
+    grows unicode whitespace (CLAUDE.md RE2-parity note)."""
+    toks = text_series.fillna("").str.lower().str.split()
+    lens = toks.str.len().to_numpy(np.int64)
+    if int(lens.sum()):
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    else:
+        flat = np.array([], dtype=object)
+    return flat, lens, np.repeat(np.arange(len(lens)), lens)
+
+
 # Corpus-adaptive stopword induction + removal (the CCNet-style
 # corpus-frequency filter, applied at token granularity because this
 # corpus has no line structure): a token present in ≥ STOPWORD_DF_PCT%
@@ -1117,13 +1133,11 @@ def doc_adaptive_stopwords(sf_dir: str) -> pd.DataFrame:
     n_buckets = 16
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.split()
+        flat, lens, doc_idx = _flat_tokens(batch["text"])
         pairs = pd.DataFrame(
             {
-                "doc": batch["doc_id"].repeat(toks.str.len()).to_numpy(),
-                "token": np.concatenate(
-                    [np.asarray(t, dtype=object) for t in toks]
-                ) if int(toks.str.len().sum()) else np.array([], dtype=object),
+                "doc": batch["doc_id"].to_numpy()[doc_idx],
+                "token": flat,
             }
         ).drop_duplicates()
         out = pairs.groupby("token", as_index=False).size()
@@ -1747,12 +1761,11 @@ def doc_unigram_logprob(sf_dir: str, top_v: int | None = None) -> pd.DataFrame:
     n_buckets = 16
 
     def cnt_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.split()
-        if not int(toks.str.len().sum()):
+        flat, _lens, _di = _flat_tokens(batch["text"])
+        if not len(flat):
             return pd.DataFrame({"token": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype="int64"),
                                  "_hb": pd.Series([], dtype="int64")})
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
         vc = pd.Series(flat).value_counts()
         out = pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
                             "n": vc.to_numpy(np.int64)})
@@ -1794,17 +1807,14 @@ def doc_unigram_logprob(sf_dir: str, top_v: int | None = None) -> pd.DataFrame:
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         T, LP = _ray.get(ref)
-        toks = batch["text"].fillna("").str.lower().str.split()
-        lens = toks.str.len().to_numpy(np.int64)
+        flat, lens, doc_idx = _flat_tokens(batch["text"])
         n = len(batch)
         sums = np.zeros(n, dtype=np.float64)
-        if int(lens.sum()):
-            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if len(flat):
             idx = np.searchsorted(T, flat)
             idx_c = np.clip(idx, 0, len(T) - 1)
             hit = T[idx_c] == flat
             lp = np.where(hit, LP[idx_c], oov_logp)
-            doc_idx = np.repeat(np.arange(n), lens)
             sums = np.bincount(doc_idx, weights=lp, minlength=n)
         keep = lens > 0  # SQL's tok join drops token-less docs
         return pd.DataFrame(
@@ -1854,14 +1864,11 @@ def doc_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     n_buckets = 16
 
     def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.split()
-        lens = toks.str.len().to_numpy(np.int64)
-        if not int(lens.sum()):
+        flat, _lens, doc_idx = _flat_tokens(batch["text"])
+        if not len(flat):
             return pd.DataFrame({"gram": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype="int64"),
                                  "_hb": pd.Series([], dtype="int64")})
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        doc_idx = np.repeat(np.arange(len(batch)), lens)
         same = doc_idx[:-1] == doc_idx[1:]
         bi = np.char.add(
             np.char.add(flat[:-1][same].astype(str), " "),
@@ -1915,15 +1922,12 @@ def doc_bigram_logprob(sf_dir: str) -> pd.DataFrame:
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         UT, UC, BT, BC = _ray.get(ref)
-        toks = batch["text"].fillna("").str.lower().str.split()
-        lens = toks.str.len().to_numpy(np.int64)
+        flat, _lens, doc_idx = _flat_tokens(batch["text"])
         n = len(batch)
-        if not int(lens.sum()):
+        if not len(flat):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "n_bigrams": pd.Series([], dtype="int64"),
                                  "avg_logprob": pd.Series([], dtype="float64")})
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        doc_idx = np.repeat(np.arange(n), lens)
         same = doc_idx[:-1] == doc_idx[1:]
         w1 = flat[:-1][same]
         bi = np.char.add(np.char.add(w1.astype(str), " "),
@@ -1983,14 +1987,11 @@ def doc_token_entropy(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.split()
-        lens = toks.str.len().to_numpy(np.int64)
+        flat, lens, doc_idx = _flat_tokens(batch["text"])
         n = len(batch)
-        if not int(lens.sum()):
+        if not len(flat):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "entropy": pd.Series([], dtype="float64")})
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        doc_idx = np.repeat(np.arange(n), lens)
         cnt = (
             pd.DataFrame({"d": doc_idx, "w": flat})
             .groupby(["d", "w"], sort=False)
@@ -2032,8 +2033,12 @@ def doc_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
     (lang, source) cells are aggregated distributed (per-batch partials
     + tiny combine — cell count is bounded by the dimension product);
     the coarser levels are exact integer sums of those cells, derived
-    driver-side at no extra read.  NULL margin keys surface as 'ALL'
-    (coalesce in the oracle) so the hash compare is dtype-stable."""
+    driver-side at no extra read.  Rollup margin keys surface as 'ALL'
+    (coalesce in the oracle).  Contract: rows with a NULL dimension are
+    EXCLUDED on both sides (SQL ``where lang is not null``, pandas
+    groupby dropna) — a genuine NULL cell would otherwise render as
+    'ALL' and collide with the margin labels, making the rollup output
+    ambiguous; filter or sentinel-fill NULL dims upstream instead."""
     ds = ray.data.read_parquet(
         _docs_path(sf_dir), columns=["lang", "source", "n_chars"]
     )
@@ -2072,6 +2077,7 @@ DOC_LANG_SOURCE_ROLLUP_SQL = """
 select coalesce(lang, 'ALL') as lang, coalesce(source, 'ALL') as source,
        count(*)::BIGINT as n_docs, sum(n_chars)::BIGINT as total_chars
 from documents
+where lang is not null and source is not null
 group by rollup (lang, source)
 """
 

@@ -81,6 +81,8 @@ FAST_ORACLE = [
     "xs_context_window_chars",
     "doc_bigram_logprob",
     "doc_token_entropy",
+    "doc_lang_source_rollup",
+    "mm_audio_windows",
 ]
 
 
@@ -126,11 +128,16 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, atol=1e-9)
 
 
-def test_rows_only_queries_run(ray_session):
+def test_unchecked_queries_run(ray_session):
+    """EVERY registry entry not oracle-checked above still executes and
+    returns rows at sf0.001 — rows-only queries AND the slow-oracle
+    ones excluded from FAST_ORACLE for suite-speed reasons.  No query
+    can be registered without at least running in CI."""
     from ocr_poc_ray.queries import REGISTRY
 
+    fast = set(FAST_ORACLE)
     for name, (fn, sql) in REGISTRY.items():
-        if sql is not None:
+        if name in fast:
             continue
         out = fn(SF_DIR)
         assert len(out) > 0, name
