@@ -240,3 +240,58 @@ def bloom_contains(
     pos = _bloom_positions(np.asarray(keys, dtype=np.int64), m_bits, k)
     bits = (words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
     return bits.all(axis=0).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — approximate frequencies in fixed memory, completing
+# the mergeable-sketch family (HLL = distinct, bloom = membership,
+# bottom-k = quantiles, count-min = frequency).  One-sided error:
+# estimate >= true count always; estimate <= true + eps*N with
+# probability 1 - delta for width = e/eps, depth = ln(1/delta).
+#
+# Shape: per-batch partial sketches (depth x width int64 — a few hundred
+# kB) add elementwise, so the combine is sketch-sized regardless of
+# corpus size; the finished sketch broadcasts for row-local probing.
+# ---------------------------------------------------------------------------
+
+
+def _cm_rows(keys: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices via double hashing (splitmix64 pair)."""
+    h1 = _splitmix64(keys, 11)
+    h2 = _splitmix64(keys, 12) | np.uint64(1)
+    d = np.arange(depth, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + d * h2[None, :]) % np.uint64(width)).astype(np.int64)
+
+
+def cm_build(
+    ds: Dataset, col: str, *, width: int = 2048, depth: int = 4
+) -> np.ndarray:
+    """Count-min sketch (depth, width) int64 over an int64 key column;
+    counts every occurrence (not distinct).  Mergeable: sketches of
+    shards ADD."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = np.zeros((depth, width), dtype=np.int64)
+        keys = batch[col].to_numpy(np.int64)
+        if len(keys):
+            cols = _cm_rows(keys, width, depth)
+            for d in range(depth):
+                np.add.at(sk[d], cols[d], 1)
+        return pd.DataFrame({"sk": [sk.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["sk"]:
+        out += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return out
+
+
+def cm_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Estimated counts for int64 keys: min over the depth rows."""
+    depth, width = sketch.shape
+    keys = np.asarray(keys, dtype=np.int64)
+    if not len(keys):
+        return np.zeros(0, dtype=np.int64)
+    cols = _cm_rows(keys, width, depth)
+    ests = np.stack([sketch[d][cols[d]] for d in range(depth)])
+    return ests.min(axis=0)

@@ -1731,6 +1731,32 @@ group by m.user_id, m.n_runs, m.max_run
 """
 
 
+def rel_cm_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch event counts per user — the fixed-memory
+    frequency estimate (mergeable per-batch partial sketches; the
+    probe list is the distinct-user set, output-sized).  One-sided
+    error by construction (never undercounts); tolerance vs exact is
+    asserted in tests/test_functions.py, so rows-only here (a sketch
+    has no SQL equivalent)."""
+    from ocr_poc_ray.functions.sketches import cm_build, cm_estimate
+
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["user_id"])
+    sketch = cm_build(ds, "user_id", width=4096, depth=4)
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("user_id")
+
+    users = (
+        ds.map_batches(distinct_partial, batch_format="pandas")
+        .to_pandas()["user_id"].drop_duplicates().sort_values()
+        .to_numpy(np.int64)
+    )
+    return pd.DataFrame(
+        {"user_id": users,
+         "est_events": cm_estimate(sketch, users).astype("int64")}
+    )
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1746,6 +1772,7 @@ REGISTRY = {
     "rel_running_value_by_user": (rel_running_value_by_user, REL_RUNNING_VALUE_SQL),
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
     "rel_event_streaks": (rel_event_streaks, REL_EVENT_STREAKS_SQL),
+    "rel_cm_user_counts": (rel_cm_user_counts, None),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

@@ -840,3 +840,32 @@ def test_pagerank_empty_pairs(ray_session):
     # on the Dataset schema (query wrappers re-type the pandas side)
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "rank"]
+
+
+def test_count_min_sketch_bounds(ray_session):
+    """CM estimates are one-sided (never undercount) and tight for the
+    heavy keys; merging shard sketches equals the whole-corpus sketch."""
+    from ocr_poc_ray.functions.sketches import cm_build, cm_estimate
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate(
+        [np.full(5000, 7), np.full(2000, 13), rng.integers(100, 10000, 3000)]
+    ).astype(np.int64)
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    sk = cm_build(ds, "k", width=2048, depth=4)
+    assert sk.sum() == 4 * len(keys)  # every occurrence counted per row
+
+    probe = np.array([7, 13, 99999], dtype=np.int64)
+    est = cm_estimate(sk, probe)
+    true = np.array([(keys == p).sum() for p in probe])
+    assert (est >= true).all()                       # one-sided
+    assert est[0] - true[0] <= 0.01 * len(keys)      # eps*N tightness
+    assert est[1] - true[1] <= 0.01 * len(keys)
+
+    # mergeability: shard sketches add to the whole-corpus sketch
+    half_a = cm_build(ray.data.from_pandas(df.iloc[:4000]), "k", width=2048, depth=4)
+    half_b = cm_build(ray.data.from_pandas(df.iloc[4000:]), "k", width=2048, depth=4)
+    np.testing.assert_array_equal(half_a + half_b, sk)
