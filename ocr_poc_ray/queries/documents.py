@@ -2082,6 +2082,94 @@ group by rollup (lang, source)
 """
 
 
+ZORDER_ROWS_PER_FILE = 100
+
+
+def doc_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton curve) data-layout assignment: interleave the
+    bits of (length bucket, language code) so rows close in BOTH
+    dimensions land in the same output file — the multi-dimensional
+    clustering a lakehouse OPTIMIZE ZORDER performs, here as the write
+    partitioner for a corpus re-layout.  Shape: the z-value is pure
+    row-local bit math (language codes from a tiny broadcast of the
+    sorted distinct languages); the file index is the global rank by
+    (z, doc_id) — the one legitimate all-to-all, ridden on the
+    prefix-scan machinery (one range-sort + O(blocks) offset combine).
+    At 100 TB the file assignment IS the write plan: rows_per_file
+    bounds every output file."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def lang_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["lang"]].drop_duplicates()
+
+    langs = np.asarray(
+        sorted(
+            ds.map_batches(lang_partial, batch_format="pandas")
+            .to_pandas()["lang"].drop_duplicates()
+        ),
+        dtype=object,
+    )
+
+    def add_z(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.minimum(b["n_chars"].to_numpy(np.int64) // 16, 255)
+        y = np.searchsorted(langs, b["lang"].to_numpy(dtype=object)).astype(
+            np.int64
+        )
+        z = np.zeros(len(b), dtype=np.int64)
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "zval": z}
+        )
+
+    ranked = ordered_prefix_sum(
+        ds.map_batches(add_z, batch_format="pandas"),
+        sort_cols=["zval", "doc_id"],
+        value_col=None,
+        out_col="rk",
+        unique_col="doc_id",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        rk = b["rk"].to_numpy(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "zval": b["zval"].to_numpy(np.int64),
+                "file_id": rk // ZORDER_ROWS_PER_FILE,
+            }
+        )
+
+    out = ranked.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "zval": "int64", "file_id": "int64"})
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"((((least(n_chars // 16, 255)) >> {i}) & 1) << {2 * i})"
+        f" + ((((dense_rank() over (order by lang) - 1)) >> {i} & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+with z as (
+  select doc_id, ({terms})::BIGINT as zval
+  from documents
+)
+select doc_id, zval,
+       ((row_number() over (order by zval, doc_id)) - 1)
+         // {ZORDER_ROWS_PER_FILE} as file_id
+from z
+"""
+
+
+DOC_ZORDER_SQL = _zorder_sql()
+
+
 WEIGHTED_SAMPLE_K = 50
 
 
@@ -2182,4 +2270,5 @@ REGISTRY = {
     "doc_lang_source_rollup": (
         doc_lang_source_rollup, DOC_LANG_SOURCE_ROLLUP_SQL,
     ),
+    "doc_zorder_layout": (doc_zorder_layout, DOC_ZORDER_SQL),
 }

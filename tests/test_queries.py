@@ -83,6 +83,7 @@ FAST_ORACLE = [
     "doc_token_entropy",
     "doc_lang_source_rollup",
     "mm_audio_windows",
+    "doc_zorder_layout",
 ]
 
 
