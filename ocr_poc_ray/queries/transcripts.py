@@ -511,6 +511,68 @@ group by d.lang
 """
 
 
+def xs_conv_dedup(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level exact dedup: fingerprint each conversation by
+    the md5 of its ORDER-STABLE assembled document (the repeated-chat
+    case of training-log curation — turn order matters, so this
+    composes the ordering-shuffle assembly with hash dedup), keep the
+    min conv_id per fingerprint.  Winner discovery is a bounded-bucket
+    combine over (fingerprint, conv_id) pairs — conversation-count
+    sized, never turn-sized."""
+    import hashlib as _hl
+
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    docs = conversation_docs(ds)
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "fp": [
+                    _hl.md5(t.encode()).hexdigest() for t in batch["doc_text"]
+                ],
+            }
+        )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _hb=(pd.util.hash_array(b["fp"].to_numpy(dtype=object)) % 16
+                 ).astype("int64")
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values("conv_id", kind="mergesort").drop_duplicates("fp")
+        return w[["conv_id", "fp"]]
+
+    out = (
+        docs.map_batches(fp, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(keep_min, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                             "fp": pd.Series([], dtype=object)})
+    return out
+
+
+XS_CONV_DEDUP_SQL = rf"""
+with e as (
+  select source as conv_id, doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+), d as (
+  select conv_id,
+         string_agg(extracted_text, ' ' order by turn_idx) as doc_text
+  from e where extracted_text <> '' group by conv_id
+)
+select conv_id, md5(doc_text) as fp from d
+qualify row_number() over (partition by md5(doc_text) order by conv_id) = 1
+"""
+
+
 CTX_WINDOW_TURNS = 4
 
 
@@ -596,6 +658,7 @@ REGISTRY = {
     "xs_context_window_chars": (
         xs_context_window_chars, XS_CONTEXT_WINDOW_SQL,
     ),
+    "xs_conv_dedup": (xs_conv_dedup, XS_CONV_DEDUP_SQL),
     "mm_decode": (mm_decode, MM_DECODE_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),

@@ -84,6 +84,7 @@ FAST_ORACLE = [
     "doc_lang_source_rollup",
     "mm_audio_windows",
     "doc_zorder_layout",
+    "xs_conv_dedup",
 ]
 
 
