@@ -2082,6 +2082,50 @@ group by rollup (lang, source)
 """
 
 
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 5  # train/val/test = 90/5/5
+
+
+def doc_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment by md5 fraction of
+    doc_id — the split that stays stable across engines, runs,
+    partitionings, and corpus growth (a doc's split never changes when
+    other docs are added, unlike a seeded global shuffle).  Row-local;
+    both engines compare the SAME integer md5 prefix against integer
+    percent thresholds, so the boundary is exact."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        frac = np.asarray(
+            [
+                int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in ids
+            ]
+        )
+        split = np.where(
+            frac < SPLIT_TRAIN_PCT,
+            "train",
+            np.where(frac < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pd.DataFrame({"doc_id": ids, "split": split.astype(object)})
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64"})
+
+
+DOC_TRAIN_SPLIT_SQL = f"""
+select doc_id,
+       case when ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT
+                 % 100 < {SPLIT_TRAIN_PCT} then 'train'
+            when ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT
+                 % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} then 'val'
+            else 'test' end as split
+from documents
+"""
+
+
 ZORDER_ROWS_PER_FILE = 100
 
 
@@ -2271,4 +2315,5 @@ REGISTRY = {
         doc_lang_source_rollup, DOC_LANG_SOURCE_ROLLUP_SQL,
     ),
     "doc_zorder_layout": (doc_zorder_layout, DOC_ZORDER_SQL),
+    "doc_train_split": (doc_train_split, DOC_TRAIN_SPLIT_SQL),
 }

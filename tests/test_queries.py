@@ -85,6 +85,7 @@ FAST_ORACLE = [
     "mm_audio_windows",
     "doc_zorder_layout",
     "xs_conv_dedup",
+    "doc_train_split",
 ]
 
 
