@@ -1757,6 +1757,74 @@ def rel_cm_user_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def rel_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join aggregate: every customer with its order count
+    and total spend — zero rows for order-less customers must SURVIVE
+    (the outer-join family member next to the inner hash join and the
+    anti-join).  Shape: orders pre-aggregate per batch to (custkey,
+    partial n, partial spend) — the combiner — then Ray's distributed
+    left_outer hash join attaches them to customers; nulls from the
+    outer side become 0 row-locally.  Both inputs repartitioned first
+    (0-row-block join pitfall)."""
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).agg(
+            pn=("o_totalprice", "size"), ps=("o_totalprice", "sum")
+        )
+        return g
+
+    # bounded-bucket exact combine so each custkey appears once before
+    # the join (join inputs stay distributed; no broadcast)
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hb=(b["o_custkey"] % 16).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            pn=("pn", "sum"), ps=("ps", "sum")
+        )
+
+    counts = (
+        orders.map_batches(agg_partial, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .repartition(8)
+    )
+    cust = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey"]
+    ).repartition(8)
+    joined = cust.join(
+        counts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "n_orders": b["pn"].fillna(0).astype("int64"),
+                "total_spend": b["ps"].fillna(0.0).round(2).astype("float64"),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.astype(
+        {"c_custkey": "int64", "n_orders": "int64", "total_spend": "float64"}
+    )
+
+
+REL_CUSTOMER_ORDER_COUNTS_SQL = """
+select c.c_custkey,
+       count(o.o_orderkey)::BIGINT as n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) as total_spend
+from customer c left join orders o on o.o_custkey = c.c_custkey
+group by c.c_custkey
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1773,6 +1841,7 @@ REGISTRY = {
     "rel_event_lag_delta": (rel_event_lag_delta, REL_EVENT_LAG_DELTA_SQL),
     "rel_event_streaks": (rel_event_streaks, REL_EVENT_STREAKS_SQL),
     "rel_cm_user_counts": (rel_cm_user_counts, None),
+    "rel_customer_order_counts": (rel_customer_order_counts, REL_CUSTOMER_ORDER_COUNTS_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

@@ -86,6 +86,7 @@ FAST_ORACLE = [
     "doc_zorder_layout",
     "xs_conv_dedup",
     "doc_train_split",
+    "rel_customer_order_counts",
 ]
 
 
