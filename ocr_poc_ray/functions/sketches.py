@@ -276,7 +276,8 @@ def cm_build(
         if len(keys):
             cols = _cm_rows(keys, width, depth)
             for d in range(depth):
-                np.add.at(sk[d], cols[d], 1)
+                # bincount beats np.add.at ~10x for a plain histogram
+                sk[d] += np.bincount(cols[d], minlength=width)
         return pd.DataFrame({"sk": [sk.tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()

@@ -525,6 +525,11 @@ def xs_conv_dedup(sf_dir: str) -> pd.DataFrame:
     docs = conversation_docs(ds)
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        # a conversation whose every turn extracted empty assembles to
+        # doc_text '' — the SQL mirror's `extracted_text <> ''` filter
+        # drops it before grouping, so drop it here too (latent on the
+        # current corpus, but one fixture change would flip the oracle)
+        batch = batch[batch["doc_text"] != ""]
         return pd.DataFrame(
             {
                 "conv_id": batch["conv_id"],
