@@ -203,3 +203,52 @@ def window_audio(ds: Dataset, *, window_ms: int = 1000, hop_ms: int = 500) -> Da
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
     )
+
+
+class ImageResizer:
+    """STUB image-resize stage for image rows: computes the
+    aspect-preserving target dimensions with INTEGER math (exact on any
+    engine) and re-emits a deterministic fake payload at the new size
+    (real build: PIL/cv2 decode-resize-encode per row — loaded once per
+    actor, the MediaDecoder codec-slot pattern).  Corrupt payloads are
+    skipped (failure rows belong to the decode stage's envelope)."""
+
+    def __init__(self, box: int = 64):
+        self.box = box
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_w, out_h, out_p = [], [], [], []
+        for media_id, kind, payload in zip(
+            batch["media_id"], batch["kind"], batch["payload"]
+        ):
+            if kind != "image":
+                continue
+            try:
+                meta = _fake_decode(bytes(payload))
+            except Exception:
+                continue
+            w, h = meta["width"], meta["height"]
+            m = max(w, h, 1)
+            nw, nh = max(w * self.box // m, 1), max(h * self.box // m, 1)
+            out_id.append(media_id)
+            out_w.append(nw)
+            out_h.append(nh)
+            out_p.append(make_fake_payload(media_id, "image", w=nw, h=nh))
+        return pd.DataFrame(
+            {
+                "media_id": out_id,
+                "new_width": pd.array(out_w, dtype="int32"),
+                "new_height": pd.array(out_h, dtype="int32"),
+                "payload": pd.Series(out_p, dtype=object),
+            }
+        )
+
+
+def resize_images(ds: Dataset, *, box: int = 64) -> Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"box": box},
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )

@@ -511,6 +511,38 @@ group by d.lang
 """
 
 
+def mm_resize(sf_dir: str) -> pd.DataFrame:
+    """Image-resize leg of the multimodal plumbing: aspect-preserving
+    fit into a 64-px box with integer-exact dimension math (the resize
+    kernel itself is the stubbed codec slot; the actor-pool batching,
+    binary payload output, and failure-skip protocol are real).  The
+    query returns the metadata columns only — payload bytes stay inside
+    the pipeline."""
+    from ocr_poc_ray.functions.multimodal import resize_images
+
+    out = resize_images(_media_ds(sf_dir), box=64).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"media_id": pd.Series([], dtype=object),
+                             "new_width": pd.Series([], dtype="int64"),
+                             "new_height": pd.Series([], dtype="int64")})
+    out = out[["media_id", "new_width", "new_height"]]
+    return out.astype({"new_width": "int64", "new_height": "int64"})
+
+
+MM_RESIZE_SQL = """
+with i as (
+  select printf('m-%08d', doc_id) as media_id,
+         64 + (doc_id % 7) * 16 as w, 48 + (doc_id % 5) * 16 as h
+  from documents
+  where doc_id % 3 = 0 and doc_id % 37 <> 0
+)
+select media_id,
+       greatest(w * 64 // greatest(w, h), 1) as new_width,
+       greatest(h * 64 // greatest(w, h), 1) as new_height
+from i
+"""
+
+
 def xs_conv_dedup(sf_dir: str) -> pd.DataFrame:
     """Conversation-level exact dedup: fingerprint each conversation by
     the md5 of its ORDER-STABLE assembled document (the repeated-chat
@@ -667,4 +699,5 @@ REGISTRY = {
     "mm_decode": (mm_decode, MM_DECODE_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
+    "mm_resize": (mm_resize, MM_RESIZE_SQL),
 }

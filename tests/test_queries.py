@@ -87,6 +87,7 @@ FAST_ORACLE = [
     "xs_conv_dedup",
     "doc_train_split",
     "rel_customer_order_counts",
+    "mm_resize",
 ]
 
 
