@@ -2082,6 +2082,112 @@ group by rollup (lang, source)
 """
 
 
+def doc_dup_ngram_fraction(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style duplicate-n-gram fraction: per document, the
+    share of its DISTINCT 3-gram shingles that also occur in another
+    document — the graded cousin of binary near-dup detection.  Fully
+    distributed, nothing broadcast: pass 1 explodes per-doc-distinct
+    shingle hashes (a (hash, doc_id) projection, never text); the
+    hot-shingle filter marks rows whose shingle has corpus df ≥ 2
+    (bounded-bucket counting, the dedup machinery); both the total and
+    the duplicated shingle counts per doc then combine in one bounded
+    bucket pass.  Docs with < 3 tokens have no 3-grams and are absent
+    (both engines).  Hashes stand in for shingle strings exactly as in
+    the similarity joins (64-bit collisions negligible, same contract
+    the jaccard oracles already verify)."""
+    from ocr_poc_ray.functions.dedup import (
+        _batch_token_hashes,
+        _doc_shingle_hashes,
+        _filter_hot_buckets,
+    )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch["text"])
+        ids = batch["doc_id"].to_numpy(np.int64)
+        out_ps, out_id = [], []
+        for d in range(len(batch)):
+            tok = th[offsets[d] : offsets[d + 1]]
+            if len(tok) < 3:  # no 3-grams — absent on both engines
+                continue
+            sh = _doc_shingle_hashes(tok, 3)
+            out_ps.append(sh)
+            out_id.append(np.full(len(sh), ids[d], dtype=np.int64))
+        if not out_ps:
+            return pd.DataFrame({"ps": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"ps": np.concatenate(out_ps).view(np.int64),
+             "doc_id": np.concatenate(out_id)}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas").materialize()
+    hot = _filter_hot_buckets(exploded, ["ps"])
+
+    def count_all(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame({"doc_id": g["doc_id"], "m": g["size"],
+                             "dup": np.zeros(len(g), dtype=np.int64)})
+
+    def count_hot(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "m": np.zeros(len(g), dtype=np.int64),
+                             "dup": g["size"]})
+
+    parts = exploded.map_batches(count_all, batch_format="pandas")
+    if hot is not None:
+        parts = parts.union(hot.map_batches(count_hot, batch_format="pandas"))
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hb=(b["doc_id"] % 16).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False).agg(
+            m=("m", "sum"), dup=("dup", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "n_shingles": agg["m"].astype("int64"),
+                "dup_frac": np.round(
+                    agg["dup"].to_numpy(np.float64)
+                    / agg["m"].to_numpy(np.float64), 6
+                ),
+            }
+        )
+
+    out = (
+        parts.map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype(
+        {"doc_id": "int64", "n_shingles": "int64", "dup_frac": "float64"}
+    )
+
+
+DOC_DUP_NGRAM_FRACTION_SQL = r"""
+with t as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as toks from documents
+), g as (
+  select doc_id, unnest(list_zip(toks[1:-3], toks[2:-2], toks[3:-1])) as tri
+  from t where len(toks) >= 3
+), d as (
+  select distinct doc_id, tri from g
+), df as (
+  select tri, count(*) as df from d group by tri
+)
+select d.doc_id, count(*)::BIGINT as n_shingles,
+       round(sum(case when df.df >= 2 then 1 else 0 end) / count(*), 6)
+         as dup_frac
+from d join df using (tri)
+group by d.doc_id
+"""
+
+
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 5  # train/val/test = 90/5/5
 
 
@@ -2316,4 +2422,7 @@ REGISTRY = {
     ),
     "doc_zorder_layout": (doc_zorder_layout, DOC_ZORDER_SQL),
     "doc_train_split": (doc_train_split, DOC_TRAIN_SPLIT_SQL),
+    "doc_dup_ngram_fraction": (
+        doc_dup_ngram_fraction, DOC_DUP_NGRAM_FRACTION_SQL,
+    ),
 }

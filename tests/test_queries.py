@@ -88,6 +88,7 @@ FAST_ORACLE = [
     "doc_train_split",
     "rel_customer_order_counts",
     "mm_resize",
+    "doc_dup_ngram_fraction",
 ]
 
 
