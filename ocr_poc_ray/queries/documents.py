@@ -2082,6 +2082,123 @@ group by rollup (lang, source)
 """
 
 
+def doc_corpus_card(sf_dir: str) -> pd.DataFrame:
+    """The dataset-card summary in ONE streaming pass: doc count,
+    whitespace-token total, distinct languages/sources, and length
+    min/max/mean — per-batch partials (count/sum/min/max + in-batch
+    distinct dim values) combine to a single row on the driver.
+    Nothing corpus-sized moves: the only non-scalar partial state is
+    the distinct dimension values (languages × sources, tiny)."""
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["text", "lang", "source", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split().str.len()
+        return pd.DataFrame(
+            {
+                "n_docs": [len(b)],
+                "n_tokens": [int(toks.sum())],
+                "langs": ["\x1f".join(sorted(set(b["lang"])))],
+                "sources": ["\x1f".join(sorted(set(b["source"])))],
+                "min_chars": [int(b["n_chars"].min())],
+                "max_chars": [int(b["n_chars"].max())],
+                "sum_chars": [int(b["n_chars"].sum())],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    langs = set()
+    sources = set()
+    for ls in p["langs"]:
+        langs.update(ls.split("\x1f"))
+    for ss in p["sources"]:
+        sources.update(ss.split("\x1f"))
+    n_docs = int(p["n_docs"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_tokens": pd.Series([int(p["n_tokens"].sum())], dtype="int64"),
+            "n_langs": pd.Series([len(langs)], dtype="int64"),
+            "n_sources": pd.Series([len(sources)], dtype="int64"),
+            "min_chars": pd.Series([int(p["min_chars"].min())], dtype="int64"),
+            "max_chars": pd.Series([int(p["max_chars"].max())], dtype="int64"),
+            "avg_chars": pd.Series(
+                [round(int(p["sum_chars"].sum()) / n_docs, 2)], dtype="float64"
+            ),
+        }
+    )
+
+
+DOC_CORPUS_CARD_SQL = r"""
+select count(*)::BIGINT as n_docs,
+       sum(len(regexp_extract_all(text, '\S+')))::BIGINT as n_tokens,
+       count(distinct lang)::BIGINT as n_langs,
+       count(distinct source)::BIGINT as n_sources,
+       min(n_chars)::BIGINT as min_chars,
+       max(n_chars)::BIGINT as max_chars,
+       round(sum(n_chars) / count(*), 2) as avg_chars
+from documents
+"""
+
+
+def doc_interleaved_order(sf_dir: str) -> pd.DataFrame:
+    """Language-interleaved training order: the k-th document of every
+    language gets adjacent positions (round-robin by language) — the
+    balanced data-loader schedule for multilingual training.  The
+    within-language rank rides ONE range-sort via the prefix-scan
+    machinery; each language's global base rank (a languages-sized
+    table) is subtracted row-locally, and interleave_key =
+    within_rank · n_langs + lang_code needs no second exchange."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    ranked = ordered_prefix_sum(
+        ds,
+        sort_cols=["lang", "doc_id"],
+        value_col=None,
+        out_col="rk",
+        unique_col="doc_id",
+    ).materialize()  # branched below (per-lang bases + final map)
+
+    def base_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False)["rk"].min()
+        return g.rename(columns={"rk": "base"})
+
+    bases = (
+        ranked.map_batches(base_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang")["base"].min()
+        .sort_index()
+    )
+    langs = np.asarray(bases.index.to_numpy(), dtype=object)
+    base_arr = bases.to_numpy(np.int64)
+    n_langs = len(langs)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        code = np.searchsorted(langs, b["lang"].to_numpy(dtype=object))
+        within = b["rk"].to_numpy(np.int64) - base_arr[code]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "interleave_key": within * n_langs + code,
+            }
+        )
+
+    out = ranked.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "interleave_key": "int64"})
+
+
+DOC_INTERLEAVED_ORDER_SQL = """
+select doc_id,
+       (row_number() over (partition by lang order by doc_id) - 1)
+         * (select count(distinct lang) from documents)
+       + (dense_rank() over (order by lang) - 1) as interleave_key
+from documents
+"""
+
+
 def doc_dup_ngram_fraction(sf_dir: str) -> pd.DataFrame:
     """RefinedWeb-style duplicate-n-gram fraction: per document, the
     share of its DISTINCT 3-gram shingles that also occur in another
@@ -2424,5 +2541,9 @@ REGISTRY = {
     "doc_train_split": (doc_train_split, DOC_TRAIN_SPLIT_SQL),
     "doc_dup_ngram_fraction": (
         doc_dup_ngram_fraction, DOC_DUP_NGRAM_FRACTION_SQL,
+    ),
+    "doc_corpus_card": (doc_corpus_card, DOC_CORPUS_CARD_SQL),
+    "doc_interleaved_order": (
+        doc_interleaved_order, DOC_INTERLEAVED_ORDER_SQL,
     ),
 }

@@ -89,6 +89,8 @@ FAST_ORACLE = [
     "rel_customer_order_counts",
     "mm_resize",
     "doc_dup_ngram_fraction",
+    "doc_corpus_card",
+    "doc_interleaved_order",
 ]
 
 
