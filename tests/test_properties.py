@@ -225,3 +225,57 @@ def test_streaks_random_corpora(ray_session, seed, n_users, per_user, nblocks):
         got.astype({"user_id": "int64", "n_runs": "int64", "max_run": "int64"}),
         exp.astype({"user_id": "int64", "n_runs": "int64", "max_run": "int64"}),
     )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=2, max_value=30),
+)
+def test_dup_ngram_fraction_matches_pure_python(ray_session, seed, n_docs):
+    """The distributed duplicate-3-gram fraction equals a sequential
+    set-based computation on corpora with planted duplication."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for i in range(n_docs):
+        n = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(vocab, n)))
+    if n_docs >= 2:
+        texts[1] = texts[0]  # planted exact dup
+
+    df = pd.DataFrame({"doc_id": range(n_docs), "text": texts})
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow as pa, pyarrow.parquet as pq
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        from ocr_poc_ray.queries.documents import doc_dup_ngram_fraction
+        got = doc_dup_ngram_fraction(d).sort_values("doc_id").reset_index(drop=True)
+
+    # sequential oracle over distinct word-trigram sets
+    shingle_sets = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        if len(toks) < 3:
+            continue
+        shingle_sets[i] = {tuple(toks[j:j + 3]) for j in range(len(toks) - 2)}
+    from collections import Counter
+    df_count = Counter(s for ss in shingle_sets.values() for s in ss)
+    exp = []
+    for i, ss in sorted(shingle_sets.items()):
+        dup = sum(1 for s in ss if df_count[s] >= 2)
+        exp.append({"doc_id": i, "n_shingles": len(ss),
+                    "dup_frac": round(dup / len(ss), 6)})
+    exp_df = pd.DataFrame(exp)
+    if exp_df.empty:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_id": "int64", "n_shingles": "int64"}),
+            exp_df.astype({"doc_id": "int64", "n_shingles": "int64"}),
+            check_dtype=False,
+        )
