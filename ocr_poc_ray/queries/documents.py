@@ -2082,6 +2082,87 @@ group by rollup (lang, source)
 """
 
 
+def doc_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
+    """Train/val/test split that keeps every near-duplicate CLUSTER in
+    one split — the train/test contamination guard a plain per-doc
+    hash split lacks: duplicated content straddling the split boundary
+    leaks test data into training.  Composes the exact similarity join
+    → distributed components (same subset/threshold as
+    doc_dup_components_exact so the recursive-CTE oracle stays
+    tractable) with the md5 split keyed on the COMPONENT id; singleton
+    docs are their own component.  The component table is
+    dup-cluster-sized (the dedup output, small by construction) and
+    broadcasts once; everything else is row-local."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    comp = doc_dup_components_exact(sf_dir)
+    comp_ids = comp["doc_id"].to_numpy(np.int64)
+    comp_lbl = comp["component"].to_numpy(np.int64)
+    order = np.argsort(comp_ids, kind="mergesort")
+    ref = _ray.put((comp_ids[order], comp_lbl[order]))
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_s, lbl_s = _ray.get(ref)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        keep = ids < JACCARD_MAX_DOC_ID
+        ids = ids[keep]
+        component = ids.copy()
+        if len(ids_s):
+            idx = np.searchsorted(ids_s, ids)
+            idx_c = np.clip(idx, 0, len(ids_s) - 1)
+            hit = ids_s[idx_c] == ids
+            component[hit] = lbl_s[idx_c[hit]]
+        frac = np.asarray(
+            [
+                int(_hl.md5(str(c).encode()).hexdigest()[:8], 16) % 100
+                for c in component
+            ]
+        )
+        split = np.where(
+            frac < SPLIT_TRAIN_PCT,
+            "train",
+            np.where(frac < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "component": component,
+             "split": split.astype(object)}
+        )
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "component": "int64"})
+
+
+def _leakage_split_sql() -> str:
+    md5c = ("('0x' || substr(md5(cast(coalesce(c.component, d.doc_id) as varchar)), 1, 8))::BIGINT % 100")
+    return f"""
+with recursive
+p as ({{jac}}),
+edges as (select id_a as a, id_b as b from p
+          union all
+          select id_b as a, id_a as b from p),
+reach(node, r) as (
+  select a, b from edges
+  union
+  select reach.node, e.b from reach join edges e on e.a = reach.r
+),
+comp as (
+  select node as doc_id, least(node, min(r)) as component
+  from reach group by node
+)
+select d.doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT as component,
+       case when {md5c} < {SPLIT_TRAIN_PCT} then 'train'
+            when {md5c} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} then 'val'
+            else 'test' end as split
+from documents d left join comp c using (doc_id)
+where d.doc_id < {JACCARD_MAX_DOC_ID}
+"""
+
+
 def doc_corpus_card(sf_dir: str) -> pd.DataFrame:
     """The dataset-card summary in ONE streaming pass: doc count,
     whitespace-token total, distinct languages/sources, and length
@@ -2543,6 +2624,10 @@ REGISTRY = {
         doc_dup_ngram_fraction, DOC_DUP_NGRAM_FRACTION_SQL,
     ),
     "doc_corpus_card": (doc_corpus_card, DOC_CORPUS_CARD_SQL),
+    "doc_leakage_safe_split": (
+        doc_leakage_safe_split,
+        _leakage_split_sql().format(jac=DOC_JACCARD_PAIRS_SQL),
+    ),
     "doc_interleaved_order": (
         doc_interleaved_order, DOC_INTERLEAVED_ORDER_SQL,
     ),
