@@ -2082,6 +2082,113 @@ group by rollup (lang, source)
 """
 
 
+def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    boilerplate/repetition detector (highly compressible text is
+    template-like; near-incompressible text is noise/binary junk).
+    Row-local; DuckDB has no zlib, so this is rows-only with the
+    invariant tests in tests/test_queries.py (repetitive text
+    compresses far better than varied text; ratio bounds hold)."""
+    import zlib
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ratios = []
+        for t in batch["text"].fillna(""):
+            raw = t.encode()
+            ratios.append(
+                round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 1.0
+            )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64"),
+             "compress_ratio": pd.Series(ratios, dtype="float64")}
+        )
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "compress_ratio": "float64"})
+
+
+def doc_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary drift per source: KL(P_source ‖ P_corpus) over the
+    unigram distributions — which slices of the corpus are
+    distributionally unusual (drifted scrape, foreign boilerplate).
+    One bucketed combine builds (source, token) and global counts
+    together (the model is vocabulary × sources sized — the same
+    collecting-the-model contract as the LM scorers); the KL sum per
+    source is a driver fold over that model table."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+    n_buckets = 16
+
+    def cnt_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, doc_idx = _flat_tokens(batch["text"])
+        if not len(flat):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_hb": pd.Series([], dtype="int64")})
+        src = batch["source"].to_numpy(dtype=object)[doc_idx]
+        g = (
+            pd.DataFrame({"source": src, "token": flat})
+            .groupby(["source", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["_hb"] = (
+            pd.util.hash_array(g["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["source", "token"], as_index=False)["n"].sum()
+
+    model = (
+        ds.map_batches(cnt_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if model.empty or "token" not in model.columns:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "kl": pd.Series([], dtype="float64")})
+    tot = float(model["n"].sum())
+    corpus = model.groupby("token")["n"].sum() / tot
+    out_rows = []
+    for src, g in model.groupby("source"):
+        ps = g.set_index("token")["n"] / float(g["n"].sum())
+        pc = corpus.loc[ps.index]
+        out_rows.append(
+            {"source": src,
+             "kl": round(float((ps * np.log(ps / pc)).sum()), 6)}
+        )
+    out = pd.DataFrame(out_rows).sort_values("source").reset_index(drop=True)
+    return out
+
+
+DOC_SOURCE_KL_SQL = r"""
+with tok as (
+  select source, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+), st as (
+  select source, token, count(*) as n from tok group by source, token
+), s_tot as (
+  select source, sum(n) as sn from st group by source
+), c as (
+  select token, sum(n) as cn from st group by token
+), tot as (
+  select sum(n) as t from st
+)
+select st.source,
+       round(sum((st.n / s_tot.sn) *
+                 ln((st.n / s_tot.sn) / (c.cn / (select t from tot)))), 6)
+         as kl
+from st
+join s_tot using (source)
+join c using (token)
+group by st.source
+"""
+
+
 def doc_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
     """Train/val/test split that keeps every near-duplicate CLUSTER in
     one split — the train/test contamination guard a plain per-doc
@@ -2631,4 +2738,6 @@ REGISTRY = {
     "doc_interleaved_order": (
         doc_interleaved_order, DOC_INTERLEAVED_ORDER_SQL,
     ),
+    "doc_compress_ratio": (doc_compress_ratio, None),
+    "doc_source_kl": (doc_source_kl, DOC_SOURCE_KL_SQL),
 }

@@ -91,6 +91,7 @@ FAST_ORACLE = [
     "doc_dup_ngram_fraction",
     "doc_corpus_card",
     "doc_interleaved_order",
+    "doc_source_kl",
 ]
 
 
@@ -165,3 +166,25 @@ def test_unigram_logprob_capped_vocab(ray_session):
     # below every real in-vocab probability)
     assert (merged["avg_logprob_c"] <= merged["avg_logprob_f"] + 1e-9).all()
     assert (capped["avg_logprob"] > -100).all()
+
+
+def test_compress_ratio_invariants(ray_session):
+    """Repetitive text compresses much better than varied text, and
+    ratios live in (0, ~1.1] (zlib header overhead on tiny docs)."""
+    from ocr_poc_ray.queries.documents import doc_compress_ratio
+
+    out = doc_compress_ratio(SF_DIR)
+    assert len(out) > 0
+    assert (out["compress_ratio"] > 0).all()
+    assert (out["compress_ratio"] <= 1.2).all()
+    import hashlib
+    import zlib
+    rep = ("spam " * 200).encode()
+    # deterministic pseudo-random bytes (sha256 chain) — incompressible
+    var = b""
+    h = b"seed"
+    for _ in range(32):
+        h = hashlib.sha256(h).digest()
+        var += h
+    assert len(zlib.compress(rep, 6)) / len(rep) < 0.1
+    assert len(zlib.compress(var, 6)) / len(var) > 0.9
