@@ -377,6 +377,74 @@ def vec_kmeans(sf_dir: str) -> pd.DataFrame:
     return summary.sort_values("cluster", kind="mergesort").reset_index(drop=True)
 
 
+
+NORM_OUTLIER_MULT = 1.5  # flag norms > p90 * 1.5 or < p10 / 1.5
+
+
+def vec_norm_outliers(sf_dir: str) -> pd.DataFrame:
+    """Embedding-norm outlier detection: vectors whose L2 norm falls
+    outside [p10/1.5, p90*1.5] — the degenerate-embedding screen
+    (all-zeros, exploding activations, truncated rows) a vector corpus
+    needs before indexing.  Norms are row-local; the exact p10/p90 of
+    the CONTINUOUS norm distribution come from the iterative
+    range-refinement selection (functions.selection — no sort of the
+    corpus, bounded combines); flagging is a second row-local pass."""
+    from ocr_poc_ray.functions.selection import exact_group_quantiles_disc
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def norms(b: pd.DataFrame) -> pd.DataFrame:
+        from ocr_poc_ray.functions.similarity import _to_matrix
+
+        X = _to_matrix(b["embedding"])
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "norm": np.sqrt((X * X).sum(axis=1)),
+                "_g": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    with_norms = ds.map_batches(norms, batch_format="pandas").materialize()
+    qs = exact_group_quantiles_disc(
+        with_norms, key_col="_g", value_col="norm", qs=[0.1, 0.9]
+    )
+    p10 = float(qs.loc[qs["q"] == 0.1, "value"].iloc[0])
+    p90 = float(qs.loc[qs["q"] == 0.9, "value"].iloc[0])
+    lo, hi = p10 / NORM_OUTLIER_MULT, p90 * NORM_OUTLIER_MULT
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["norm"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "norm": np.round(n, 6),
+                "is_outlier": (n < lo) | (n > hi),
+            }
+        )
+
+    out = with_norms.map_batches(flag, batch_format="pandas").to_pandas()
+    return out[["vec_id", "norm", "is_outlier"]].astype(
+        {"vec_id": "int64", "norm": "float64", "is_outlier": "bool"}
+    )
+
+
+VEC_NORM_OUTLIERS_SQL = f"""
+with n as (
+  select vec_id,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           as norm
+  from embeddings
+), q as (
+  select quantile_disc(norm, 0.1) as p10, quantile_disc(norm, 0.9) as p90
+  from n
+)
+select vec_id, round(norm, 6) as norm,
+       (norm < q.p10 / {NORM_OUTLIER_MULT}
+        or norm > q.p90 * {NORM_OUTLIER_MULT}) as is_outlier
+from n, q
+"""
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
@@ -387,4 +455,5 @@ REGISTRY = {
     "vec_knn_lsh": (vec_knn_lsh, None),
     "vec_knn_ivf": (vec_knn_ivf, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
+    "vec_norm_outliers": (vec_norm_outliers, VEC_NORM_OUTLIERS_SQL),
 }

@@ -92,6 +92,7 @@ FAST_ORACLE = [
     "doc_corpus_card",
     "doc_interleaved_order",
     "doc_source_kl",
+    "vec_norm_outliers",
 ]
 
 
