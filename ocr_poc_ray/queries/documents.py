@@ -1847,6 +1847,87 @@ group by doc_id
 """
 
 
+WEIGHTED_STRATUM_K = 10
+
+
+def doc_weighted_sample_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Weighted reservoir PER STRATUM: the top-k Efraimidis–Spirakis
+    priorities within each language — weighted × stratified, the
+    combination a mixture-building pipeline actually draws with
+    (longer docs more likely, every language represented).  Per-batch
+    local top-k per language (the combiner) → one bounded-bucket final
+    top-k per language; language count never becomes a Ray group
+    count."""
+    import hashlib as _hl
+
+    k = WEIGHTED_STRATUM_K
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        w = np.maximum(b["n_chars"].to_numpy(np.float64), 1.0)
+        u = np.asarray(
+            [
+                (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) + 1)
+                / 4294967296.0
+                for i in ids
+            ]
+        )
+        out = pd.DataFrame(
+            {"lang": b["lang"], "doc_id": ids, "priority": np.log(u) / w}
+        )
+        out = out.sort_values(
+            ["lang", "priority", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return out.groupby("lang", sort=False).head(k)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _hb=(pd.util.hash_array(b["lang"].to_numpy(dtype=object)) % 8
+                 ).astype("int64")
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["lang", "priority", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        w = g.groupby("lang", sort=False).head(k)
+        return pd.DataFrame(
+            {
+                "lang": w["lang"],
+                "doc_id": w["doc_id"].astype("int64"),
+                "priority": w["priority"].round(6),
+            }
+        )
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype({"doc_id": "int64", "priority": "float64"})
+
+
+DOC_WEIGHTED_SAMPLE_PER_LANG_SQL = f"""
+with p as (
+  select lang, doc_id,
+         ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) / greatest(n_chars, 1) as pri
+  from documents
+)
+select lang, doc_id, round(pri, 6) as priority
+from p
+qualify row_number() over (partition by lang order by pri desc, doc_id)
+        <= {WEIGHTED_STRATUM_K}
+"""
+
+
 def doc_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Conditional bigram LM scoring: per-doc mean ln p(w2 | w1) with
     p = c(w1 w2) / c(w1) estimated from the corpus itself — one step up
@@ -2740,4 +2821,7 @@ REGISTRY = {
     ),
     "doc_compress_ratio": (doc_compress_ratio, None),
     "doc_source_kl": (doc_source_kl, DOC_SOURCE_KL_SQL),
+    "doc_weighted_sample_per_lang": (
+        doc_weighted_sample_per_lang, DOC_WEIGHTED_SAMPLE_PER_LANG_SQL,
+    ),
 }

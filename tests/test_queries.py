@@ -93,6 +93,7 @@ FAST_ORACLE = [
     "doc_interleaved_order",
     "doc_source_kl",
     "vec_norm_outliers",
+    "doc_weighted_sample_per_lang",
 ]
 
 
