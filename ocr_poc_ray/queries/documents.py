@@ -2163,6 +2163,100 @@ group by rollup (lang, source)
 """
 
 
+def doc_quality_blend(sf_dir: str) -> pd.DataFrame:
+    """Percentile-normalized score ensembling: blend two quality
+    signals on incommensurable scales (length, token entropy) by
+    converting each to its exact global percent-rank and averaging —
+    the standard way curation pipelines combine heuristic scores.
+    Shape: signals are row-local; each rank is one prefix-scan
+    range-sort; the two ranked datasets meet in a distributed hash
+    join on doc_id (repartitioned per the 0-row-block pitfall)."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "n_chars"]
+    )
+    n = ds.count()
+
+    def signals(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, doc_idx = _flat_tokens(b["text"])
+        ent = np.zeros(len(b), dtype=np.float64)
+        if len(flat):
+            cnt = (
+                pd.DataFrame({"d": doc_idx, "w": flat})
+                .groupby(["d", "w"], sort=False)
+                .size()
+            )
+            d = cnt.index.get_level_values(0).to_numpy()
+            p = cnt.to_numpy(np.float64) / lens[d]
+            ent = -np.bincount(d, weights=p * np.log(p), minlength=len(b))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "m1": b["n_chars"].to_numpy(np.float64),
+                "m2": np.round(ent, 9),
+            }
+        )
+
+    sigs = ds.map_batches(signals, batch_format="pandas").materialize()
+    r1 = ordered_prefix_sum(
+        sigs.select_columns(["doc_id", "m1"]),
+        sort_cols=["m1", "doc_id"], value_col=None, out_col="rk1",
+        unique_col="doc_id",
+    ).map_batches(
+        lambda b: b[["doc_id", "rk1"]], batch_format="pandas"
+    ).repartition(8)
+    r2 = ordered_prefix_sum(
+        sigs.select_columns(["doc_id", "m2"]),
+        sort_cols=["m2", "doc_id"], value_col=None, out_col="rk2",
+        unique_col="doc_id",
+    ).map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_id2"})[["doc_id2", "rk2"]],
+        batch_format="pandas",
+    ).repartition(8)
+    joined = r1.join(
+        r2, "inner", num_partitions=8, on=("doc_id",), right_on=("doc_id2",)
+    )
+
+    def blend(b: pd.DataFrame) -> pd.DataFrame:
+        pr1 = (b["rk1"].to_numpy(np.int64) - 1) / max(n - 1, 1)
+        pr2 = (b["rk2"].to_numpy(np.int64) - 1) / max(n - 1, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "blend": np.round((pr1 + pr2) / 2.0, 6),
+            }
+        )
+
+    out = joined.map_batches(blend, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "blend": "float64"})
+
+
+# (metric, doc_id) is unique → rank == row_number on both sides; the
+# entropy signal is rounded to 9 dp BEFORE ranking on both engines so
+# float-summation-order ties cannot reorder neighbors.
+DOC_QUALITY_BLEND_SQL = r"""
+with tok as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as w
+  from documents
+), c as (
+  select doc_id, w, count(*) as n from tok group by doc_id, w
+), t as (
+  select doc_id, count(*) as tot from tok group by doc_id
+), ent as (
+  select c.doc_id, round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 9) as m2
+  from c join t using (doc_id) group by c.doc_id
+), sig as (
+  select d.doc_id, d.n_chars as m1, coalesce(ent.m2, 0) as m2
+  from documents d left join ent using (doc_id)
+)
+select doc_id,
+       round((percent_rank() over (order by m1, doc_id)
+              + percent_rank() over (order by m2, doc_id)) / 2, 6) as blend
+from sig
+"""
+
+
 def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
     """zlib compression ratio per document — the classic cheap
     boilerplate/repetition detector (highly compressible text is
@@ -2824,4 +2918,5 @@ REGISTRY = {
     "doc_weighted_sample_per_lang": (
         doc_weighted_sample_per_lang, DOC_WEIGHTED_SAMPLE_PER_LANG_SQL,
     ),
+    "doc_quality_blend": (doc_quality_blend, DOC_QUALITY_BLEND_SQL),
 }

@@ -94,6 +94,7 @@ FAST_ORACLE = [
     "doc_source_kl",
     "vec_norm_outliers",
     "doc_weighted_sample_per_lang",
+    "doc_quality_blend",
 ]
 
 
