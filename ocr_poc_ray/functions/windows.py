@@ -563,3 +563,64 @@ def keyed_streaks(
         },
         sort_num_blocks=sort_num_blocks,
     )
+
+
+def session_spans(
+    ds: Dataset,
+    *,
+    gap_s: float = 1800.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """One row PER SESSION (not per key): (key, session_idx, start_us,
+    end_us, n_events) where a session breaks when the inter-event gap
+    exceeds ``gap_s`` — the span-emitting sibling of ``sessionize``'s
+    per-key rollup, in the same one-sort edge pattern.  session_idx is
+    0-based in (ts, order) order; timestamps are integer microseconds
+    (hash-stable, no float seconds)."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        us = g[ts_col].astype("datetime64[us]").astype("int64")
+        prev = us.groupby(g[key_col], sort=False).shift()
+        brk = prev.isna() | ((us - prev) > gap_us)
+        sess = brk.cumsum()  # globally increasing; unique per (key, session)
+        spans = (
+            pd.DataFrame(
+                {"key": g[key_col].to_numpy(), "sess": sess.to_numpy(),
+                 "us": us.to_numpy()}
+            )
+            .groupby(["key", "sess"], sort=False)
+            .agg(start_us=("us", "min"), end_us=("us", "max"),
+                 n_events=("us", "size"))
+            .reset_index()
+        )
+        spans["session_idx"] = spans.groupby("key", sort=False).cumcount()
+        return pd.DataFrame(
+            {
+                key_col: spans["key"].to_numpy(),
+                "session_idx": spans["session_idx"].to_numpy(np.int64),
+                "start_us": spans["start_us"].to_numpy(np.int64),
+                "end_us": spans["end_us"].to_numpy(np.int64),
+                "n_events": spans["n_events"].to_numpy(np.int64),
+            }
+        )
+
+    return keyed_sorted_match(
+        ds.select_columns([key_col, ts_col, order_col]),
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col],
+        match_fn=_match,
+        out_meta={
+            key_col: "int64",
+            "session_idx": "int64",
+            "start_us": "int64",
+            "end_us": "int64",
+            "n_events": "int64",
+        },
+        sort_num_blocks=sort_num_blocks,
+    )

@@ -1825,6 +1825,47 @@ group by c.c_custkey
 """
 
 
+def rel_session_spans(sf_dir: str) -> pd.DataFrame:
+    """Per-session span rows (start/end/µs duration/event count) — the
+    windowed-OUTPUT shape the per-user sessionize rollup cannot give a
+    downstream consumer (session-duration distributions, session-level
+    sampling).  Same one-sort edge pattern
+    (functions.windows.session_spans)."""
+    from ocr_poc_ray.functions.windows import session_spans
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+    out = session_spans(ds, gap_s=1800.0).to_pandas()
+    out["duration_us"] = out["end_us"] - out["start_us"]
+    return out.astype(
+        {"user_id": "int64", "session_idx": "int64", "start_us": "int64",
+         "end_us": "int64", "n_events": "int64", "duration_us": "int64"}
+    )
+
+
+REL_SESSION_SPANS_SQL = """
+with o as (
+  select user_id, ts, event_id,
+         case when lag(ts) over w is null
+                   or date_diff('microsecond', lag(ts) over w, ts) > 1800000000
+              then 1 else 0 end as brk
+  from events window w as (partition by user_id order by ts, event_id)
+), g as (
+  select user_id, ts,
+         sum(brk) over (partition by user_id order by ts, event_id
+                        rows unbounded preceding) as sess
+  from o
+)
+select user_id, (sess - 1)::BIGINT as session_idx,
+       epoch_us(min(ts))::BIGINT as start_us,
+       epoch_us(max(ts))::BIGINT as end_us,
+       count(*)::BIGINT as n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT as duration_us
+from g group by user_id, sess
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1842,6 +1883,7 @@ REGISTRY = {
     "rel_event_streaks": (rel_event_streaks, REL_EVENT_STREAKS_SQL),
     "rel_cm_user_counts": (rel_cm_user_counts, None),
     "rel_customer_order_counts": (rel_customer_order_counts, REL_CUSTOMER_ORDER_COUNTS_SQL),
+    "rel_session_spans": (rel_session_spans, REL_SESSION_SPANS_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

@@ -95,6 +95,7 @@ FAST_ORACLE = [
     "vec_norm_outliers",
     "doc_weighted_sample_per_lang",
     "doc_quality_blend",
+    "rel_session_spans",
 ]
 
 

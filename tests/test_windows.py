@@ -357,3 +357,41 @@ def test_streaks_single_long_run(ray_session):
     assert got.to_dict("records") == [
         {"user_id": 1, "n_runs": 1, "max_run": 30, "top_type": "view"}
     ]
+
+
+def _oracle_spans(df: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    rows = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        start = 0
+        idx = 0
+        for i in range(1, len(us) + 1):
+            if i == len(us) or us[i] - us[i - 1] > gap_s * 1e6:
+                rows.append(
+                    {"user_id": u, "session_idx": idx,
+                     "start_us": int(us[start]), "end_us": int(us[i - 1]),
+                     "n_events": i - start}
+                )
+                start, idx = i, idx + 1
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_session_spans_split_boundaries(ray_session, events_df, nblocks):
+    """A session straddling a block boundary must merge into ONE span
+    with a correct 0-based session_idx."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import session_spans
+
+    got = (
+        session_spans(rd.from_pandas(events_df), gap_s=1800.0,
+                      sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "session_idx": "int64",
+                 "start_us": "int64", "end_us": "int64", "n_events": "int64"})
+    )
+    exp = _oracle_spans(events_df, 1800.0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
