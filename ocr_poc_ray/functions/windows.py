@@ -624,3 +624,83 @@ def session_spans(
         },
         sort_num_blocks=sort_num_blocks,
     )
+
+
+def attribution_first_touch(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    filter_col: str = "event_type",
+    touch_value: str = "click",
+    conversion_value: str = "purchase",
+    window_s: float = 21600.0,
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """Marketing-style FIRST-TOUCH attribution: each conversion is
+    credited to the EARLIEST touch event of the same key within the
+    preceding ``window_s`` — the windowed-argmin sibling of the as-of
+    join's last-prior match.  Same one-sort edge pattern; integer-µs
+    gap (float seconds and SQL µs disagree at boundaries).
+
+    Output: (order_col, key_col, first_touch_<order_col>, gap_us)."""
+    touch_col = "first_touch_" + order_col
+    win_us = int(window_s * 1_000_000)
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        conv = group[group[filter_col] == conversion_value]
+        touch = group[group[filter_col] == touch_value]
+        if conv.empty or touch.empty:
+            return pd.DataFrame(
+                {order_col: pd.Series([], dtype="int64"),
+                 key_col: pd.Series([], dtype="int64"),
+                 touch_col: pd.Series([], dtype="int64"),
+                 "gap_us": pd.Series([], dtype="int64")}
+            )
+        c = conv[[order_col, key_col, ts_col]].copy()
+        t = touch[[order_col, key_col, ts_col]].rename(
+            columns={order_col: touch_col, ts_col: "_tts"}
+        )
+        m = c.merge(t, on=key_col)
+        gap = (
+            m[ts_col].astype("datetime64[us]").astype("int64")
+            - m["_tts"].astype("datetime64[us]").astype("int64")
+        )
+        m = m.assign(gap_us=gap)
+        m = m[(m["gap_us"] >= 0) & (m["gap_us"] <= win_us)]
+        if m.empty:
+            return pd.DataFrame(
+                {order_col: pd.Series([], dtype="int64"),
+                 key_col: pd.Series([], dtype="int64"),
+                 touch_col: pd.Series([], dtype="int64"),
+                 "gap_us": pd.Series([], dtype="int64")}
+            )
+        m = m.sort_values(["_tts", touch_col], kind="mergesort")
+        w = m.groupby(order_col, sort=False).head(1)
+        return pd.DataFrame(
+            {
+                order_col: w[order_col].to_numpy(np.int64),
+                key_col: w[key_col].to_numpy(np.int64),
+                touch_col: w[touch_col].to_numpy(np.int64),
+                "gap_us": w["gap_us"].to_numpy(np.int64),
+            }
+        )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[filter_col].isin((touch_value, conversion_value))]
+
+    filtered = ds.select_columns(
+        [key_col, ts_col, order_col, filter_col]
+    ).map_batches(keep, batch_format="pandas")
+
+    return keyed_sorted_match(
+        filtered,
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, filter_col],
+        match_fn=_match,
+        out_meta={order_col: "int64", key_col: "int64",
+                  touch_col: "int64", "gap_us": "int64"},
+        sort_num_blocks=sort_num_blocks,
+    )

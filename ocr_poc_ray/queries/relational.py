@@ -1866,6 +1866,52 @@ from g group by user_id, sess
 """
 
 
+ATTRIBUTION_WINDOW_S = 21600  # 6 h touch window
+
+
+def rel_first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST click within the preceding 6 h — the windowed-argmin
+    sibling of rel_asof_purchase_click's last-prior match
+    (functions.windows.attribution_first_touch)."""
+    from ocr_poc_ray.functions.windows import attribution_first_touch
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = attribution_first_touch(
+        ds, window_s=float(ATTRIBUTION_WINDOW_S)
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            columns=["event_id", "user_id", "first_touch_event_id", "gap_us"]
+        )
+    return out.astype(
+        {"event_id": "int64", "user_id": "int64",
+         "first_touch_event_id": "int64", "gap_us": "int64"}
+    )
+
+
+REL_FIRST_TOUCH_SQL = f"""
+with p as (
+  select event_id, user_id, ts from events where event_type = 'purchase'
+), c as (
+  select event_id as cid, user_id, ts as cts from events
+  where event_type = 'click'
+), j as (
+  select p.event_id, p.user_id, c.cid, c.cts,
+         date_diff('microsecond', c.cts, p.ts) as gap_us
+  from p join c on c.user_id = p.user_id
+  where c.cts <= p.ts
+    and date_diff('microsecond', c.cts, p.ts) <= {ATTRIBUTION_WINDOW_S}::BIGINT * 1000000
+)
+select event_id, user_id, cid as first_touch_event_id, gap_us
+from j
+qualify row_number() over (partition by event_id order by cts, cid) = 1
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1884,6 +1930,7 @@ REGISTRY = {
     "rel_cm_user_counts": (rel_cm_user_counts, None),
     "rel_customer_order_counts": (rel_customer_order_counts, REL_CUSTOMER_ORDER_COUNTS_SQL),
     "rel_session_spans": (rel_session_spans, REL_SESSION_SPANS_SQL),
+    "rel_first_touch_attribution": (rel_first_touch_attribution, REL_FIRST_TOUCH_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

@@ -96,6 +96,7 @@ FAST_ORACLE = [
     "doc_weighted_sample_per_lang",
     "doc_quality_blend",
     "rel_session_spans",
+    "rel_first_touch_attribution",
 ]
 
 
@@ -192,3 +193,16 @@ def test_compress_ratio_invariants(ray_session):
         var += h
     assert len(zlib.compress(rep, 6)) / len(rep) < 0.1
     assert len(zlib.compress(var, 6)) / len(var) > 0.9
+
+
+def test_corpus_is_ascii(ray_session):
+    """Guard for the CLAUDE.md tokenization-parity assumption: Python
+    str.split()/strip() and RE2 \\s agree because the corpus is ASCII.
+    If the driver's testdata ever grows unicode whitespace, this fails
+    FIRST, before some subtle oracle hash mismatch does."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    for chunk in t["text"].chunks:
+        for s in chunk.to_pylist():
+            assert s is None or s.isascii()
