@@ -1912,6 +1912,68 @@ qualify row_number() over (partition by event_id order by cts, cid) = 1
 """
 
 
+def rel_winsorized_stats(sf_dir: str) -> pd.DataFrame:
+    """Robust (winsorized) statistics of the continuous event value:
+    exact p01/p99 bounds from the iterative range-refinement selection,
+    then one partial-agg pass over the trimmed rows — outlier-proof
+    count/mean/stddev without ever sorting or collecting the fact
+    table."""
+    from ocr_poc_ray.functions.selection import exact_group_quantiles_disc
+
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["value"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_g=np.zeros(len(b), dtype=np.int64))
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+    qs = exact_group_quantiles_disc(
+        tagged, key_col="_g", value_col="value", qs=[0.01, 0.99]
+    )
+    lo = float(qs.loc[qs["q"] == 0.01, "value"].iloc[0])
+    hi = float(qs.loc[qs["q"] == 0.99, "value"].iloc[0])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        v = v[(v >= lo) & (v <= hi)]
+        return pd.DataFrame(
+            {"n": [len(v)], "s": [float(v.sum())], "ss": [float((v * v).sum())]}
+        )
+
+    m = tagged.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(m["n"].sum())
+    sm, ss = float(m["s"].sum()), float(m["ss"].sum())
+    mean = sm / n
+    var = ss / n - mean * mean
+    return pd.DataFrame(
+        {
+            "n_kept": pd.Series([n], dtype="int64"),
+            "lo": pd.Series([round(lo, 6)], dtype="float64"),
+            "hi": pd.Series([round(hi, 6)], dtype="float64"),
+            "mean_value": pd.Series([round(mean, 6)], dtype="float64"),
+            "stddev_value": pd.Series(
+                [round(float(np.sqrt(max(var, 0.0))), 6)], dtype="float64"
+            ),
+        }
+    )
+
+
+# stddev_pop (not sample): mirrors the engine's n-denominator moments.
+REL_WINSORIZED_STATS_SQL = """
+with q as (
+  select quantile_disc(value, 0.01) as lo, quantile_disc(value, 0.99) as hi
+  from events
+), t as (
+  select value from events, q where value between q.lo and q.hi
+)
+select count(*)::BIGINT as n_kept,
+       round((select lo from q), 6) as lo,
+       round((select hi from q), 6) as hi,
+       round(avg(value), 6) as mean_value,
+       round(stddev_pop(value), 6) as stddev_value
+from t
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1931,6 +1993,7 @@ REGISTRY = {
     "rel_customer_order_counts": (rel_customer_order_counts, REL_CUSTOMER_ORDER_COUNTS_SQL),
     "rel_session_spans": (rel_session_spans, REL_SESSION_SPANS_SQL),
     "rel_first_touch_attribution": (rel_first_touch_attribution, REL_FIRST_TOUCH_SQL),
+    "rel_winsorized_stats": (rel_winsorized_stats, REL_WINSORIZED_STATS_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

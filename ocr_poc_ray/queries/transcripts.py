@@ -511,6 +511,56 @@ group by d.lang
 """
 
 
+def xs_role_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-role extraction rollup (turn counts, success, extracted
+    characters) — transcripts' role balance is a first-order
+    training-data measure.  The role dimension is deterministic from
+    turn_idx (doc_id % 3 → user/assistant/tool), recomputed row-locally
+    after extraction; partial-agg per batch, tiny combine (three
+    roles)."""
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    roles = np.asarray(["user", "assistant", "tool"], dtype=object)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(
+            role=roles[batch["turn_idx"].to_numpy(np.int64) % 3],
+            n_chars=batch["extracted_text"].str.len(),
+        )
+        return b.groupby("role", as_index=False).agg(
+            n_turns=("turn_idx", "size"),
+            n_success=("success", "sum"),
+            total_chars=("n_chars", "sum"),
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("role", as_index=False).agg(
+        n_turns=("n_turns", "sum"),
+        n_success=("n_success", "sum"),
+        total_chars=("total_chars", "sum"),
+    )
+    return out.astype(
+        {"n_turns": "int64", "n_success": "int64", "total_chars": "int64"}
+    )
+
+
+XS_ROLE_STATS_SQL = rf"""
+with e as (
+  select doc_id,
+         case doc_id % 3 when 0 then 'user' when 1 then 'assistant'
+              else 'tool' end as role,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+)
+select role, count(*)::BIGINT as n_turns,
+       sum(case when extracted_text <> '' then 1 else 0 end)::BIGINT
+         as n_success,
+       sum(length(extracted_text))::BIGINT as total_chars
+from e
+group by role
+"""
+
+
 def mm_resize(sf_dir: str) -> pd.DataFrame:
     """Image-resize leg of the multimodal plumbing: aspect-preserving
     fit into a 64-px box with integer-exact dimension math (the resize
@@ -700,4 +750,5 @@ REGISTRY = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
+    "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
 }

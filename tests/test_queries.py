@@ -97,6 +97,8 @@ FAST_ORACLE = [
     "doc_quality_blend",
     "rel_session_spans",
     "rel_first_touch_attribution",
+    "xs_role_stats",
+    "rel_winsorized_stats",
 ]
 
 
