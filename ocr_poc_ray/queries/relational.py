@@ -1974,6 +1974,38 @@ from t
 """
 
 
+def rel_hourly_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day seasonality profile: event count and mean value per
+    hour — the time-dimension rollup next to rel_daily_events.
+    Row-local hour extraction, 24-group partial-agg combine."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].dt.hour.astype("int64")
+        g = b.assign(hour=h).groupby("hour", as_index=False).agg(
+            n=("value", "size"), s=("value", "sum")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("hour", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    return pd.DataFrame(
+        {
+            "hour": agg["hour"].astype("int64"),
+            "n_events": agg["n"].astype("int64"),
+            "mean_value": (agg["s"] / agg["n"]).round(6).astype("float64"),
+        }
+    )
+
+
+REL_HOURLY_PROFILE_SQL = """
+select date_part('hour', ts)::BIGINT as hour,
+       count(*)::BIGINT as n_events,
+       round(avg(value), 6) as mean_value
+from events group by hour
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_priority_returned_orders": (
@@ -1994,6 +2026,7 @@ REGISTRY = {
     "rel_session_spans": (rel_session_spans, REL_SESSION_SPANS_SQL),
     "rel_first_touch_attribution": (rel_first_touch_attribution, REL_FIRST_TOUCH_SQL),
     "rel_winsorized_stats": (rel_winsorized_stats, REL_WINSORIZED_STATS_SQL),
+    "rel_hourly_profile": (rel_hourly_profile, REL_HOURLY_PROFILE_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

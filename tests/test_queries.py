@@ -99,6 +99,7 @@ FAST_ORACLE = [
     "rel_first_touch_attribution",
     "xs_role_stats",
     "rel_winsorized_stats",
+    "rel_hourly_profile",
 ]
 
 
