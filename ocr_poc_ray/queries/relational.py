@@ -1943,6 +1943,9 @@ def rel_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     n = int(m["n"].sum())
     sm, ss = float(m["s"].sum()), float(m["ss"].sum())
     mean = sm / n
+    # naive E[x²]−E[x]² is fine for this well-conditioned measure
+    # (measured 2e-14 off the two-pass value at sf0.1); data with
+    # |mean| ≫ std needs per-batch Welford partials instead
     var = ss / n - mean * mean
     return pd.DataFrame(
         {
