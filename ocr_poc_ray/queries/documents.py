@@ -2644,6 +2644,12 @@ def doc_dup_ngram_fraction(sf_dir: str) -> pd.DataFrame:
         .map_groups(combine, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty or "doc_id" not in out.columns:
+        # 0-row to_pandas drops columns (CLAUDE.md pitfall): a corpus
+        # with no ≥3-token docs still needs the typed empty frame
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_shingles": pd.Series([], dtype="int64"),
+                             "dup_frac": pd.Series([], dtype="float64")})
     return out.astype(
         {"doc_id": "int64", "n_shingles": "int64", "dup_frac": "float64"}
     )
