@@ -1992,11 +1992,15 @@ def rel_hourly_profile(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     agg = parts.groupby("hour", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    # report the 2-dp TOTAL, not a 6-dp mean: a mean can land exactly on
+    # a rounding boundary (hit at sf0.001: 40.1940625) where a 1-ulp
+    # summation-order difference flips the digit; the total's 2-dp
+    # boundary is ~1e13 ulps away from any float-order noise
     return pd.DataFrame(
         {
             "hour": agg["hour"].astype("int64"),
             "n_events": agg["n"].astype("int64"),
-            "mean_value": (agg["s"] / agg["n"]).round(6).astype("float64"),
+            "total_value": agg["s"].round(2).astype("float64"),
         }
     )
 
@@ -2004,7 +2008,7 @@ def rel_hourly_profile(sf_dir: str) -> pd.DataFrame:
 REL_HOURLY_PROFILE_SQL = """
 select date_part('hour', ts)::BIGINT as hour,
        count(*)::BIGINT as n_events,
-       round(avg(value), 6) as mean_value
+       round(sum(value), 2) as total_value
 from events group by hour
 """
 
