@@ -2163,6 +2163,101 @@ group by rollup (lang, source)
 """
 
 
+FILTER_MIN_CHARS = 50
+FILTER_MIN_ENTROPY = 2.7  # ~p10 of the corpus entropy distribution
+
+
+def doc_filter_report(sf_dir: str) -> pd.DataFrame:
+    """EXPLAINABLE multi-rule filtering: per document, WHICH rules
+    failed (too_short / low_entropy / repetitive, comma-joined in
+    fixed order) and the final keep decision — the reject-reason
+    report a curation run ships alongside the kept corpus, so rule
+    tuning sees per-rule hit rates instead of one opaque drop count.
+    All three signals are row-local (the repetition kernel is the
+    oracle-proven one from doc_repetition); comparisons use UNROUNDED
+    values on both engines."""
+    from ocr_poc_ray.functions.textstats import add_repetition
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "n_chars"]
+    )
+    ds = add_repetition(ds)
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, doc_idx = _flat_tokens(b["text"])
+        ent = np.zeros(len(b), dtype=np.float64)
+        if len(flat):
+            cnt = (
+                pd.DataFrame({"d": doc_idx, "w": flat})
+                .groupby(["d", "w"], sort=False)
+                .size()
+            )
+            d = cnt.index.get_level_values(0).to_numpy()
+            p = cnt.to_numpy(np.float64) / lens[d]
+            ent = -np.bincount(d, weights=p * np.log(p), minlength=len(b))
+        short = b["n_chars"].to_numpy(np.int64) < FILTER_MIN_CHARS
+        lowent = ent < FILTER_MIN_ENTROPY
+        rep = b["is_repetitive"].to_numpy(bool)
+        reasons = []
+        for s_, e_, r_ in zip(short, lowent, rep):
+            rs = []
+            if s_:
+                rs.append("too_short")
+            if e_:
+                rs.append("low_entropy")
+            if r_:
+                rs.append("repetitive")
+            reasons.append(",".join(rs))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "reasons": pd.Series(reasons, dtype=object),
+                "is_kept": ~(short | lowent | rep),
+            }
+        )
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "is_kept": "bool"})
+
+
+DOC_FILTER_REPORT_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as toks from documents
+), tok as (
+  select doc_id, unnest(toks) as w from t
+), c as (
+  select doc_id, w, count(*) as n from tok group by doc_id, w
+), tt as (
+  select doc_id, count(*) as tot from tok group by doc_id
+), ent as (
+  select c.doc_id, -sum((c.n / tt.tot) * ln(c.n / tt.tot)) as e
+  from c join tt using (doc_id) group by c.doc_id
+), b as (
+  select doc_id, len(toks) as nt,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) as bg
+  from t where len(toks) >= 2
+), bc as (
+  select doc_id, nt, bg, count(*) as cnt from b group by doc_id, nt, bg
+), rep as (
+  select doc_id, max(cnt) / (any_value(nt) - 1) as frac from bc group by doc_id
+), sig as (
+  select d.doc_id, d.n_chars,
+         coalesce(ent.e, 0) as e, coalesce(rep.frac, 0) as frac
+  from documents d
+  left join ent using (doc_id) left join rep using (doc_id)
+)
+select doc_id,
+       concat_ws(',',
+         case when n_chars < {FILTER_MIN_CHARS} then 'too_short' end,
+         case when e < {FILTER_MIN_ENTROPY} then 'low_entropy' end,
+         case when frac > {_REP_T} then 'repetitive' end) as reasons,
+       (n_chars >= {FILTER_MIN_CHARS} and e >= {FILTER_MIN_ENTROPY}
+        and frac <= {_REP_T}) as is_kept
+from sig
+"""
+
+
 def doc_quality_blend(sf_dir: str) -> pd.DataFrame:
     """Percentile-normalized score ensembling: blend two quality
     signals on incommensurable scales (length, token entropy) by
@@ -2925,4 +3020,5 @@ REGISTRY = {
         doc_weighted_sample_per_lang, DOC_WEIGHTED_SAMPLE_PER_LANG_SQL,
     ),
     "doc_quality_blend": (doc_quality_blend, DOC_QUALITY_BLEND_SQL),
+    "doc_filter_report": (doc_filter_report, DOC_FILTER_REPORT_SQL),
 }

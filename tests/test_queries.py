@@ -100,6 +100,7 @@ FAST_ORACLE = [
     "xs_role_stats",
     "rel_winsorized_stats",
     "rel_hourly_profile",
+    "doc_filter_report",
 ]
 
 
