@@ -445,6 +445,71 @@ select vec_id, round(norm, 6) as norm,
 from n, q
 """
 
+
+EXEMPLARS_PER_CLUSTER = 3
+
+
+def vec_cluster_exemplars(sf_dir: str) -> pd.DataFrame:
+    """Cluster representative selection: the 3 vectors closest to their
+    k-means centroid per cluster — the diverse-exemplar pick a
+    semantic-dedup or visualization step consumes after clustering.
+    Centroids broadcast once; per-batch local bottom-k per cluster (the
+    combiner) → bounded-bucket final; cluster count never becomes a Ray
+    group count.  Rows-only like vec_kmeans (float iteration order)."""
+    import ray as _ray
+
+    from ocr_poc_ray.functions.clustering import kmeans_fit
+    from ocr_poc_ray.functions.similarity import _to_matrix
+
+    k = EXEMPLARS_PER_CLUSTER
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    centroids, _summary = kmeans_fit(ds, k=8, n_iters=6, seed=7)
+    cref = _ray.put(centroids)
+
+    def local_bottomk(b: pd.DataFrame) -> pd.DataFrame:
+        C = _ray.get(cref)
+        X = _to_matrix(b["embedding"])
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        out = pd.DataFrame(
+            {
+                "cluster": a.astype("int64"),
+                "vec_id": b["vec_id"].to_numpy(np.int64),
+                "dist2": d2[np.arange(len(b)), a],
+            }
+        )
+        out = out.sort_values(["cluster", "dist2", "vec_id"], kind="mergesort")
+        return out.groupby("cluster", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", "dist2", "vec_id"], kind="mergesort")
+        w = g.groupby("cluster", sort=False).head(k).copy()
+        w["rank"] = w.groupby("cluster", sort=False).cumcount()
+        return pd.DataFrame(
+            {
+                "cluster": w["cluster"].astype("int64"),
+                "rank": w["rank"].astype("int64"),
+                "vec_id": w["vec_id"].astype("int64"),
+                "dist": np.round(np.sqrt(w["dist2"].to_numpy(np.float64)), 6),
+            }
+        )
+
+    out = (
+        ds.map_batches(local_bottomk, batch_format="pandas")
+        .map_batches(
+            lambda b: b.assign(_hb=(b["cluster"] % 4).astype("int64")),
+            batch_format="pandas",
+        )
+        .groupby("_hb")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["cluster", "rank"]).reset_index(drop=True)
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
@@ -456,4 +521,5 @@ REGISTRY = {
     "vec_knn_ivf": (vec_knn_ivf, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_norm_outliers": (vec_norm_outliers, VEC_NORM_OUTLIERS_SQL),
+    "vec_cluster_exemplars": (vec_cluster_exemplars, None),
 }

@@ -869,3 +869,51 @@ def test_count_min_sketch_bounds(ray_session):
     half_a = cm_build(ray.data.from_pandas(df.iloc[:4000]), "k", width=2048, depth=4)
     half_b = cm_build(ray.data.from_pandas(df.iloc[4000:]), "k", width=2048, depth=4)
     np.testing.assert_array_equal(half_a + half_b, sk)
+
+
+def test_cluster_exemplars_on_blobs(ray_session):
+    """On well-separated blobs, every cluster's exemplars are genuine
+    members of one blob and the rank-0 exemplar is the in-blob point
+    nearest the blob mean."""
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    blobs = [(0.0, 0.0), (50.0, 0.0), (0.0, 50.0), (50.0, 50.0),
+             (25.0, 0.0), (0.0, 25.0), (25.0, 50.0), (50.0, 25.0)]
+    rows = []
+    for bi, (cx, cy) in enumerate(blobs):
+        pts = rng.normal(0, 0.3, size=(60, 2)) + np.array([cx, cy])
+        for i, p in enumerate(pts):
+            rows.append({"vec_id": bi * 1000 + i,
+                         "embedding": [float(p[0]), float(p[1])],
+                         "label": bi})
+    df = pd.DataFrame(rows)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "embeddings.parquet"))
+        from ocr_poc_ray.queries.vectors import vec_cluster_exemplars
+        out = vec_cluster_exemplars(d)
+        # numpy oracle: same deterministic kmeans on the same data,
+        # then per-cluster top-3 by (distance, vec_id)
+        import ray.data as rd
+
+        from ocr_poc_ray.functions.clustering import kmeans_fit
+
+        ds2 = rd.read_parquet(os.path.join(d, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        C, _ = kmeans_fit(ds2, k=8, n_iters=6, seed=7)
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy(np.int64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    exp_rows = []
+    for c in range(len(C)):
+        m = a == c
+        order = sorted(zip(np.sqrt(d2[m, c]), ids[m]))[:3]
+        for r, (dist, vid) in enumerate(order):
+            exp_rows.append({"cluster": c, "rank": r, "vec_id": int(vid),
+                             "dist": round(float(dist), 6)})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False, atol=1e-6
+    )
