@@ -181,7 +181,9 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
 # --------------------------------------------------------------------------
 
 
-def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | None:
+def _filter_hot_buckets(
+    exploded: Dataset, key_cols: list[str]
+) -> tuple[Dataset | None, pd.DataFrame]:
     """Keep only rows whose bucket key appears more than once.
 
     Most LSH buckets are singletons; a per-group Python call for each
@@ -191,7 +193,10 @@ def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | Non
     summed inside a BOUNDED hash-bucket groupby (32 groups — never one
     per LSH bucket), with only the colliding keys — the near-duplicate
     signal itself, small by construction — reaching the driver for the
-    broadcast filter.  Returns None when no bucket collides at all.
+    broadcast filter.  Returns ``(filtered, hot_sizes)`` where
+    ``hot_sizes`` has ``key_cols + ["size"]`` for every colliding key
+    (callers use the sizes to sub-salt oversized buckets), or
+    ``(None, empty)`` when no bucket collides at all.
     """
     import ray
 
@@ -207,7 +212,7 @@ def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | Non
 
     def find_hot(group: pd.DataFrame) -> pd.DataFrame:
         t = group.groupby(key_cols, as_index=False)["size"].sum()
-        return t.loc[t["size"] > 1, key_cols]
+        return t.loc[t["size"] > 1, key_cols + ["size"]]
 
     hot_df = (
         exploded.select_columns(key_cols)
@@ -217,7 +222,7 @@ def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | Non
         .to_pandas()
     )
     if hot_df.empty or key_cols[0] not in hot_df.columns:
-        return None
+        return None, pd.DataFrame(columns=key_cols + ["size"])
     hot = set(map(tuple, hot_df[key_cols].itertuples(index=False, name=None)))
     hot_ref = ray.put(hot)
 
@@ -226,7 +231,75 @@ def _filter_hot_buckets(exploded: Dataset, key_cols: list[str]) -> Dataset | Non
         mask = [key in h for key in zip(*(batch[c] for c in key_cols))]
         return batch[pd.Series(mask, index=batch.index)]
 
-    return exploded.map_batches(only_hot, batch_format="pandas")
+    return exploded.map_batches(only_hot, batch_format="pandas"), hot_df
+
+
+#: per-task side bound for the grid cells a hot LSH bucket is salted into
+_BUCKET_CHUNK = 512
+
+
+def _salt_oversized(
+    exploded: Dataset,
+    key_cols: list[str],
+    hot_sizes: pd.DataFrame,
+    chunk_target: int = _BUCKET_CHUNK,
+) -> Dataset:
+    """Spread every oversized LSH bucket over a k×k chunk grid so ALL
+    its pairs are found with bounded per-task memory (no silent cap).
+
+    Each doc in a bucket of size s > ``chunk_target`` gets a
+    deterministic chunk ``hash(doc_id) % k`` (k = ceil(s/chunk_target))
+    and is replicated into the k grid cells its chunk participates in,
+    adding ``(_ci, _cj, _chunk)`` columns; the pair kernel then runs per
+    ``key_cols + (_ci, _cj)`` group — within-chunk pairs on the diagonal
+    cells, cross-chunk pairs off-diagonal — so each unordered doc pair
+    appears in exactly ONE cell.  A giant duplicate cluster costs
+    k(k+1)/2 bounded tasks instead of dropping pairs (pair output is
+    inherently quadratic in cluster size; the grid distributes it).
+    Docs in normal-size buckets pass through with a single (0, 0) cell.
+    """
+    import logging
+
+    import ray
+
+    big = hot_sizes[hot_sizes["size"] > chunk_target] if len(hot_sizes) else hot_sizes
+    if big is None or big.empty:
+        return exploded.map_batches(
+            lambda b: b.assign(_ci=np.int64(0), _cj=np.int64(0), _chunk=np.int64(0)),
+            batch_format="pandas",
+        )
+
+    logging.getLogger(__name__).info(
+        "salting %d oversized LSH buckets (max size %d) into chunk grids",
+        len(big), int(big["size"].max()),
+    )
+    kmap = {
+        tuple(key): int(np.ceil(size / chunk_target))
+        for *key, size in big[key_cols + ["size"]].itertuples(index=False, name=None)
+    }
+    kref = ray.put(kmap)
+
+    def add_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        km = ray.get(kref)
+        keys = zip(*(batch[c] for c in key_cols))
+        ks = np.fromiter((km.get(k, 1) for k in keys), dtype=np.int64, count=len(batch))
+        if (ks == 1).all():
+            return batch.assign(
+                _ci=np.int64(0), _cj=np.int64(0), _chunk=np.int64(0)
+            )
+        chunk = (
+            pd.util.hash_array(batch["doc_id"].to_numpy()) % ks.astype(np.uint64)
+        ).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch)), ks)
+        out = batch.iloc[idx].reset_index(drop=True)
+        c_rep = np.repeat(chunk, ks)
+        other = np.concatenate([np.arange(k, dtype=np.int64) for k in ks])
+        out["_ci"] = np.minimum(c_rep, other)
+        out["_cj"] = np.maximum(c_rep, other)
+        out["_chunk"] = c_rep
+        return out
+
+    return exploded.map_batches(add_cells, batch_format="pandas")
 
 
 def _distinct_pairs(pairs: Dataset, cols: list[str]) -> Dataset:
@@ -346,7 +419,7 @@ def minhash_lsh_pairs(
         concurrency=None,
     ).materialize()  # pinned: the count branch and the pair branch both read it
 
-    exploded_hot = _filter_hot_buckets(exploded, ["band_id", "band_hash"])
+    exploded_hot, hot_sizes = _filter_hot_buckets(exploded, ["band_id", "band_hash"])
     if exploded_hot is None:
         import ray
 
@@ -355,30 +428,46 @@ def minhash_lsh_pairs(
                       "doc_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
         )
+    # oversized buckets → k×k chunk grid: every pair found, per-task
+    # memory bounded by _BUCKET_CHUNK² signature comparisons
+    exploded_hot = _salt_oversized(exploded_hot, ["band_id", "band_hash"], hot_sizes)
 
     num_perm_ = num_perm
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        # bound worst-case hot buckets (salting guidance: SURVEY.md §7.4.3)
-        g = group.sort_values("doc_id").head(256)
+        g = group.sort_values("doc_id")
+        ci, cj = int(g["_ci"].iloc[0]), int(g["_cj"].iloc[0])
         sigs = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
-        ids = list(g["doc_id"])
-        # vectorized all-pairs signature overlap: (n, n) fraction matrix
-        eq = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2) / num_perm_
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = eq[iu, ju] >= threshold
-        ids_arr = np.asarray(ids)
+        ids = g["doc_id"].to_numpy()
+        if ci == cj:
+            # diagonal cell: all pairs within one chunk (n, n) overlap
+            eq = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2) / num_perm_
+            iu, ju = np.triu_indices(len(ids), k=1)
+            est = eq[iu, ju]
+            a_ids, b_ids = ids[iu], ids[ju]
+        else:
+            # off-diagonal: cross pairs between the two chunks only
+            ma = g["_chunk"].to_numpy() == ci
+            A, B = sigs[ma], sigs[~ma]
+            if len(A) == 0 or len(B) == 0:
+                return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+            eq = (A[:, None, :] == B[None, :, :]).sum(axis=2) / num_perm_
+            est = eq.reshape(-1)
+            a_ids = np.repeat(ids[ma], len(B))
+            b_ids = np.tile(ids[~ma], len(A))
+        keep = est >= threshold
+        a, b = a_ids[keep], b_ids[keep]
         return pd.DataFrame(
             {
-                "doc_a": ids_arr[iu[keep]],
-                "doc_b": ids_arr[ju[keep]],
-                "est_jaccard": eq[iu[keep], ju[keep]],
+                "doc_a": np.minimum(a, b),
+                "doc_b": np.maximum(a, b),
+                "est_jaccard": est[keep],
             }
         )
 
-    pairs = exploded_hot.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = exploded_hot.groupby(["band_id", "band_hash", "_ci", "_cj"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # distinct across bands: a pair's estimate is computed from the full
@@ -454,7 +543,7 @@ def simhash_pairs(
     exploded = ds.map_batches(
         _SimHasher(id_col, text_col), batch_format="pandas"
     ).materialize()  # pinned: count branch + pair branch
-    exploded = _filter_hot_buckets(exploded, ["band_id", "band_key"])
+    exploded, hot_sizes = _filter_hot_buckets(exploded, ["band_id", "band_key"])
     if exploded is None:
         import ray
 
@@ -463,28 +552,47 @@ def simhash_pairs(
                       "doc_b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
         )
+    # oversized buckets → chunk grid (all pairs, bounded per-task memory)
+    exploded = _salt_oversized(exploded, ["band_id", "band_key"], hot_sizes)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = group.sort_values("doc_id").head(256)
+        g = group.sort_values("doc_id")
+        ci, cj = int(g["_ci"].iloc[0]), int(g["_cj"].iloc[0])
         ids = g["doc_id"].to_numpy()
         # stored value is sig - 2^63; XOR of the top bit restores sig bits
         u = g["simhash"].to_numpy().astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
-        n = len(ids)
-        xor = u[:, None] ^ u[None, :]  # (n, n) uint64
-        ham = np.unpackbits(xor.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
-        iu, ju = np.triu_indices(n, k=1)
-        keep = ham[iu, ju] <= max_hamming
+        if ci == cj:
+            n = len(ids)
+            xor = u[:, None] ^ u[None, :]  # (n, n) uint64
+            ham = np.unpackbits(xor.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+            iu, ju = np.triu_indices(n, k=1)
+            hvals = ham[iu, ju]
+            a_ids, b_ids = ids[iu], ids[ju]
+        else:
+            ma = g["_chunk"].to_numpy() == ci
+            ua, ub = u[ma], u[~ma]
+            if len(ua) == 0 or len(ub) == 0:
+                return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            xor = ua[:, None] ^ ub[None, :]
+            ham = np.unpackbits(
+                xor.view(np.uint8).reshape(len(ua), len(ub), 8), axis=2
+            ).sum(axis=2)
+            hvals = ham.reshape(-1)
+            a_ids = np.repeat(ids[ma], len(ub))
+            b_ids = np.tile(ids[~ma], len(ua))
+        keep = hvals <= max_hamming
+        a, b = a_ids[keep], b_ids[keep]
         return pd.DataFrame(
             {
-                "doc_a": ids[iu[keep]],
-                "doc_b": ids[ju[keep]],
-                "hamming": ham[iu[keep], ju[keep]].astype(np.int64),
+                "doc_a": np.minimum(a, b),
+                "doc_b": np.maximum(a, b),
+                "hamming": hvals[keep].astype(np.int64),
             }
         )
 
-    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
+    pairs = exploded.groupby(["band_id", "band_key", "_ci", "_cj"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # Hamming distance is a property of the pair, identical in every
@@ -799,7 +907,7 @@ def ngram_jaccard_pairs_prefix(
          "jaccard": pa.array([], pa.float64())}
     )
     exploded = ds.map_batches(explode_prefix, batch_format="pandas").materialize()
-    hot = _filter_hot_buckets(exploded, ["ps"])
+    hot, _ps_sizes = _filter_hot_buckets(exploded, ["ps"])
     if hot is None:
         return rd.from_arrow(empty)
 

@@ -112,26 +112,47 @@ def keyed_sorted_match(
     finals = passed.map_batches(
         lambda b: b.loc[~b["_is_raw"], list(out_meta)], batch_format="pandas"
     )
-    edges_raw = passed.map_batches(
-        lambda b: b[b["_is_raw"]], batch_format="pandas"
-    ).to_pandas()
-    if edges_raw.empty:
-        return finals
 
-    edges = pd.DataFrame({c: edges_raw[f"_raw_{c}"] for c in in_cols})
-    # narrow the nullable widened dtypes back (no NAs on raw rows)
+    # Distributed edge combine: the raw edge rows go through a BOUNDED
+    # hash-bucket groupby (all rows of a key land in one bucket; 32
+    # buckets, never one Ray group per key) and match_fn runs inside
+    # each bucket task — a hot key spanning every block costs one task
+    # its rows, and NOTHING is collected to the driver.
     _narrow = {"Int64": "int64", "UInt64": "uint64", "boolean": "bool"}
-    for c in in_cols:
-        dt = str(edges[c].dtype)
-        if dt in _narrow:
-            edges[c] = edges[c].astype(_narrow[dt])
-    edges = edges.sort_values([key_col, *sort_cols], kind="mergesort")
-    merged = match_fn(edges)
-    if merged is None or merged.empty:
-        return finals
-    import ray.data as rd
+    _EB = 32
 
-    return finals.union(rd.from_pandas(merged.reset_index(drop=True)))
+    def _renarrow(col: pd.Series) -> pd.Series:
+        dt = str(col.dtype)
+        return col.astype(_narrow[dt]) if dt in _narrow else col
+
+    def edge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["_is_raw"]]
+        keys_arr = _renarrow(b[f"_raw_{key_col}"]).to_numpy()
+        return b.assign(
+            _eb=(pd.util.hash_array(keys_arr) % _EB).astype("int64")
+        )
+
+    def edge_match(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {name: pd.Series([], dtype=dt) for name, dt in out_meta.items()}
+        )
+        if group.empty:
+            return empty
+        edges = pd.DataFrame(
+            {c: _renarrow(group[f"_raw_{c}"]) for c in in_cols}
+        )
+        edges = edges.sort_values([key_col, *sort_cols], kind="mergesort")
+        merged = match_fn(edges)
+        if merged is None or merged.empty:
+            return empty
+        return merged[list(out_meta)].reset_index(drop=True)
+
+    merged = (
+        passed.map_batches(edge_bucket, batch_format="pandas")
+        .groupby("_eb")
+        .map_groups(edge_match, batch_format="pandas")
+    )
+    return finals.union(merged)
 
 
 # ---------------------------------------------------------------------------
@@ -192,34 +213,55 @@ def sessionize(
         lambda b: b.loc[~b["edge"], [key_col, "n_events", "n_sessions"]],
         batch_format="pandas",
     )
-    edges = partials.map_batches(
-        lambda b: b[b["edge"]], batch_format="pandas"
-    ).to_pandas()
 
-    merged_rows = []
-    # Partial order: block A precedes B iff A.last_ts ≤ B.first_ts (the
-    # input is ts-sorted), which implies (first_ts, last_ts) lexicographic
-    # order — the last_ts tie-break makes the merge deterministic when two
-    # partials of one key share first_ts (a block split between equal
-    # timestamps); remaining full ties are symmetric under the gap test.
-    for key, grp in edges.sort_values(
-        [key_col, "first_ts", "last_ts"], kind="mergesort"
-    ).groupby(key_col, sort=False):
-        n_events = int(grp["n_events"].sum())
-        n_sessions = int(grp["n_sessions"].sum())
-        last = None
-        for _, row in grp.iterrows():
-            if last is not None and (row["first_ts"] - last).total_seconds() <= gap_s:
-                n_sessions -= 1  # run continues across the block boundary
-            last = row["last_ts"]
-        merged_rows.append({key_col: key, "n_events": n_events, "n_sessions": n_sessions})
+    # Distributed edge merge over the O(blocks) edge partials: bounded
+    # hash-bucket groupby (all partials of a key share a bucket), then a
+    # vectorized in-bucket merge — no driver collect, no iterrows.
+    _EB = 32
 
-    if not merged_rows:
-        return finals
-    import ray.data as rd
+    def edge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["edge"]]
+        return b.assign(
+            _eb=(pd.util.hash_array(b[key_col].to_numpy()) % _EB).astype("int64")
+        )
 
-    merged = rd.from_pandas(
-        pd.DataFrame(merged_rows, columns=[key_col, "n_events", "n_sessions"])
+    def merge_edges(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "n_sessions": pd.Series([], dtype="int64")}
+            )
+        # Partial order: block A precedes B iff A.last_ts ≤ B.first_ts
+        # (the input is ts-sorted), which implies (first_ts, last_ts)
+        # lexicographic order — the last_ts tie-break makes the merge
+        # deterministic when two partials of one key share first_ts (a
+        # block split between equal timestamps); remaining full ties are
+        # symmetric under the gap test.  A session run continuing across
+        # a block boundary (gap ≤ gap_s) cancels one counted start.
+        g = group.sort_values([key_col, "first_ts", "last_ts"], kind="mergesort")
+        prev_last = g.groupby(key_col, sort=False)["last_ts"].shift()
+        cont = (
+            (g["first_ts"] - prev_last).dt.total_seconds() <= gap_s
+        ).fillna(False)
+        agg = (
+            g.assign(_cont=cont)
+            .groupby(key_col, sort=False)
+            .agg(n_events=("n_events", "sum"),
+                 n_sessions=("n_sessions", "sum"),
+                 _c=("_cont", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {key_col: agg[key_col],
+             "n_events": agg["n_events"].astype("int64"),
+             "n_sessions": (agg["n_sessions"] - agg["_c"]).astype("int64")}
+        )
+
+    merged = (
+        partials.map_batches(edge_bucket, batch_format="pandas")
+        .groupby("_eb")
+        .map_groups(merge_edges, batch_format="pandas")
     )
     return finals.union(merged)
 

@@ -2698,7 +2698,7 @@ def doc_dup_ngram_fraction(sf_dir: str) -> pd.DataFrame:
         )
 
     exploded = ds.map_batches(explode, batch_format="pandas").materialize()
-    hot = _filter_hot_buckets(exploded, ["ps"])
+    hot, _sizes = _filter_hot_buckets(exploded, ["ps"])
 
     def count_all(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("doc_id", as_index=False).size()

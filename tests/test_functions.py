@@ -104,6 +104,26 @@ def test_simhash_finds_near_dup():
     assert (100, 101) in got
 
 
+def test_giant_cluster_yields_all_pairs():
+    # a 1000-doc duplicate cluster overflows the per-task chunk bound
+    # (_BUCKET_CHUNK=512 → k=2 grid); EVERY C(1000,2) pair must survive —
+    # regression guard for the old silent head(256) bucket cap
+    from ocr_poc_ray.functions import minhash_lsh_pairs, simhash_pairs
+
+    n = 1000
+    text = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = ray.data.from_items([{"doc_id": i, "text": text} for i in range(n)])
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    assert len(pairs) == n * (n - 1) // 2
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    assert (pairs["est_jaccard"] == 1.0).all()
+
+    sh = simhash_pairs(docs, max_hamming=3).to_pandas()
+    assert len(sh) == n * (n - 1) // 2
+    assert (sh["hamming"] == 0).all()
+
+
 def test_ngram_jaccard_verify():
     from ocr_poc_ray.functions import minhash_lsh_pairs, ngram_jaccard_verify
 

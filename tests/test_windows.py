@@ -395,3 +395,40 @@ def test_session_spans_split_boundaries(ray_session, events_df, nblocks):
     )
     exp = _oracle_spans(events_df, 1800.0)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hot_key_spanning_every_block(ray_session):
+    """One Zipf-hot key whose rows span EVERY sorted block: the edge
+    combine must stay exact (it now runs as a distributed bucketed
+    groupby — a hot key costs one task, not a driver collect)."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import keyed_running_sum
+
+    n = 120_000
+    rng = np.random.RandomState(11)
+    # user 0 owns ~95% of rows → guaranteed to touch all 16 blocks
+    users = np.where(rng.rand(n) < 0.95, 0, rng.randint(1, 8, size=n))
+    df = pd.DataFrame(
+        {
+            "user_id": users.astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.rand(n).round(3),
+        }
+    )
+    got = (
+        keyed_running_sum(rd.from_pandas(df), sort_num_blocks=16)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    exp["running_value"] = exp.groupby("user_id")["value"].cumsum().round(6)
+    exp = exp.sort_values("event_id")[
+        ["event_id", "user_id", "running_value"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "running_value"]], exp, check_dtype=False
+    )
