@@ -136,26 +136,43 @@ def conversation_docs(
         ),
         batch_format="pandas",
     )
-    edges = partials.map_batches(
-        lambda b: b[b["edge"]], batch_format="pandas"
-    ).to_pandas()
+    # Distributed edge merge: edge partials (each carrying up to one
+    # block's concatenated run text) go through a BOUNDED hash-bucket
+    # groupby — all partials of a conversation share a bucket — and the
+    # ordered concat runs inside each bucket TASK.  The driver never
+    # holds any text; a conversation spanning k blocks costs one task
+    # its k partials (its output document is that size by definition).
+    _EB = 32
 
-    merged_rows = []
-    for conv, grp in edges.sort_values(["conv_id", "first_turn"]).groupby(
-        "conv_id", sort=False
-    ):
-        merged_rows.append(
-            {
-                "conv_id": conv,
-                "n_turns": int(grp["n_turns"].sum()),
-                "doc_text": " ".join(t for t in grp["text"] if t),
-            }
+    def edge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["edge"]]
+        return b.assign(
+            _eb=(pd.util.hash_array(b["conv_id"].to_numpy()) % _EB).astype("int64")
         )
-    docs = finals
-    if merged_rows:
-        import ray.data as rd
 
-        docs = finals.union(rd.from_pandas(pd.DataFrame(merged_rows)))
+    def merge_edges(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype="object"),
+                 "n_turns": pd.Series([], dtype="int64"),
+                 "doc_text": pd.Series([], dtype="object")}
+            )
+        g = group.sort_values(["conv_id", "first_turn"], kind="mergesort")
+        agg = (
+            g.groupby("conv_id", sort=False)
+            .agg(n_turns=("n_turns", "sum"),
+                 doc_text=("text", lambda s: " ".join(t for t in s if t)))
+            .reset_index()
+        )
+        agg["n_turns"] = agg["n_turns"].astype("int64")
+        return agg[["conv_id", "n_turns", "doc_text"]]
+
+    merged = (
+        partials.map_batches(edge_bucket, batch_format="pandas")
+        .groupby("_eb")
+        .map_groups(merge_edges, batch_format="pandas")
+    )
+    docs = finals.union(merged)
     return docs.map_batches(
         lambda t: t.select(CONVERSATION_DOC_SCHEMA.names).cast(CONVERSATION_DOC_SCHEMA),
         batch_format="pyarrow",

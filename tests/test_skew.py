@@ -67,3 +67,26 @@ def test_conversation_docs_under_skew(ray_session, skewed_corpus):
     # conv-0 really is giant (the test is vacuous otherwise)
     share = oracle.set_index("conv_id")["n_turns"].max() / oracle["n_turns"].sum()
     assert share > 0.5
+
+
+def test_one_conversation_spans_every_block(ray_session):
+    """The degenerate skew: ONE conversation owns the whole corpus, so
+    every sorted block is an edge partial of the same key.  The
+    distributed edge merge (bucketed groupby, no driver text collect)
+    must reassemble the document exactly."""
+    import ray.data as rd
+
+    from ocr_poc_ray.pipelines.extraction import extract_transcripts
+    from ocr_poc_ray.stages.ordering import conversation_docs
+    from ocr_poc_ray.synth import generate_transcripts
+
+    transcripts, expected = generate_transcripts(n_turns=12_000, n_convs=1, seed=5)
+    exp = expected.to_pandas()
+    ds = rd.from_arrow(transcripts).repartition(16)
+    ext = extract_transcripts(ds, ordered=False)
+    docs = conversation_docs(ext, sort_num_blocks=8).to_pandas()
+
+    exp_ok = exp[exp["success"]].sort_values(["conv_id", "turn_idx"])
+    assert len(docs) == 1
+    assert docs["n_turns"].iloc[0] == len(exp_ok)
+    assert docs["doc_text"].iloc[0] == " ".join(exp_ok["extracted_text"])
