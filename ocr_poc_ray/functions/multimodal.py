@@ -3,15 +3,19 @@
 The reference's ingress is an opaque image blob per request
 (``api_server.py:26,48,240``).  At corpus scale that becomes a
 ``binary`` column with typed metadata, processed by actor-pool
-``map_batches`` stages.  The image/audio codec libraries are not in
-this container, so the DECODE KERNELS ARE STUBBED — a clearly-marked
-deterministic fake (or ``NotImplementedError`` when strictness is
-requested) — while everything Ray-side is real and tested: schema,
-batch sizing for large payloads, actor signature, output layout.
+``map_batches`` stages.
 
-Real-codec slot: replace ``_fake_decode`` with PIL/ffmpeg in
-``MediaDecoder.__init__`` (import once per actor) and the pipeline
-shape is unchanged.
+The IMAGE leg is genuinely end-to-end on real encoded bytes: payloads
+are real PNG/BMP/PPM files and decode/feature/resize run the
+pure-stdlib codecs in ``functions/imagecodec.py`` (real header parse,
+real pixel decode, real nearest-neighbor resample) — the analog of the
+reference's stage-one running a real model over real bytes
+(``ocr/paddle_extractor.py:21-34``).  AUDIO/VIDEO decode kernels stay
+STUBBED (no ffmpeg/soundfile in this container) behind the
+``FAKEMEDIA`` header — clearly marked, with the Ray-side schema /
+actor / batch plumbing real and tested.  Replace the stub with
+ffmpeg in ``MediaDecoder.__init__`` (import once per actor) and the
+pipeline shape is unchanged.
 """
 
 from __future__ import annotations
@@ -45,48 +49,101 @@ _MAGIC = b"FAKEMEDIA"
 
 
 def make_fake_payload(media_id: str, kind: str, w: int = 64, h: int = 48, dur: int = 0) -> bytes:
-    """Deterministic fake media blob with a parseable header (for tests)."""
+    """Deterministic fake media blob with a parseable header (the
+    audio/video stub format; images should use make_image_payload)."""
     body = hashlib.blake2b(media_id.encode(), digest_size=32).digest() * 4
     return _MAGIC + struct.pack("<III", w, h, dur) + kind.encode()[:1] + body
 
 
+def make_image_payload(media_id: str, w: int, h: int, fmt: str = "png") -> bytes:
+    """REAL encoded image payload: a deterministic RGB gradient seeded
+    by ``media_id``, encoded with the stdlib codecs (PNG/BMP/PPM)."""
+    from ocr_poc_ray.functions import imagecodec as ic
+
+    seed = int.from_bytes(
+        hashlib.blake2b(media_id.encode(), digest_size=4).digest(), "little"
+    )
+    x = np.arange(w, dtype=np.int64)[None, :] + np.zeros((h, 1), dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None] + np.zeros((1, w), dtype=np.int64)
+    arr = np.stack(
+        [
+            ((x * 3 + seed) % 256).astype(np.uint8),
+            ((y * 5 + seed // 7) % 256).astype(np.uint8),
+            ((x + y + seed // 13) % 256).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    enc = {"png": ic.encode_png, "bmp": ic.encode_bmp, "ppm": ic.encode_ppm}[fmt]
+    return enc(arr)
+
+
 def _fake_decode(payload: bytes) -> dict:
-    """STUB decode: parses the fake header; a real build uses PIL/ffmpeg."""
+    """STUB decode for the audio/video fake-header format."""
     if not payload.startswith(_MAGIC):
         raise ValueError("undecodable payload")
     w, h, dur = struct.unpack("<III", payload[len(_MAGIC) : len(_MAGIC) + 12])
     return {"width": w, "height": h, "duration_ms": dur, "n_bytes": len(payload)}
 
 
+def _decode_meta(payload: bytes) -> dict:
+    """Metadata decode: REAL header parse for PNG/BMP/PPM payloads,
+    fake-header parse for the audio/video stub format."""
+    from ocr_poc_ray.functions import imagecodec as ic
+
+    if ic.sniff(payload) is not None:
+        w, h = ic.image_size(payload)
+        return {"width": w, "height": h, "duration_ms": 0, "n_bytes": len(payload)}
+    return _fake_decode(payload)
+
+
 class MediaDecoder:
     """Actor-pool decode/feature stage over a binary media column.
 
-    ``strict=False`` (default): failures become ``decode_ok=False``
-    rows — per-row failure containment, as everywhere in this engine.
-    ``use_real_codecs=True``: raises NotImplementedError — the slot
-    where PIL/ffmpeg would load (once per actor, in ``__init__``).
+    Images (PNG/BMP/PPM) decode for REAL — stdlib codecs, loaded once
+    per actor here in ``__init__`` exactly like a model would be — and
+    the feature vector is computed from the decoded PIXELS.  Audio and
+    video parse the ``FAKEMEDIA`` stub header (no ffmpeg in this
+    container); their feature vector is byte-histogram moments.
+    Failures become ``decode_ok=False`` rows — per-row failure
+    containment, as everywhere in this engine.  ``use_real_codecs=True``
+    requires real codecs for EVERY kind and raises until an
+    audio/video codec is wired in.
     """
 
     def __init__(self, *, use_real_codecs: bool = False):
         if use_real_codecs:
             raise NotImplementedError(
-                "real image/audio codecs are not available in this environment; "
-                "install PIL/ffmpeg and wire them here"
+                "real audio/video codecs are not available in this environment; "
+                "install ffmpeg/soundfile and wire them here (images already "
+                "decode for real via functions/imagecodec.py)"
             )
-        self._decode = _fake_decode
+        # codec dispatch set up once per actor (the model-load slot)
+        from ocr_poc_ray.functions import imagecodec as ic
+
+        self._ic = ic
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ic = self._ic
         ok, widths, heights, durs, feats = [], [], [], [], []
         for payload in batch["payload"]:
             try:
-                meta = self._decode(bytes(payload))
+                payload = bytes(payload)
+                if ic.sniff(payload) is not None:
+                    # real image decode: pixel-level features
+                    px = ic.decode_image(payload)
+                    h, w = px.shape[:2]
+                    meta = {"width": w, "height": h, "duration_ms": 0}
+                    pf = px.astype(np.float64)
+                    feat = [float(pf.mean()), float(pf.std()), float(px.size)]
+                else:
+                    meta = _fake_decode(payload)
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    feat = [float(arr.mean()), float(arr.std()), float(len(arr))]
                 ok.append(True)
                 widths.append(meta["width"])
                 heights.append(meta["height"])
                 durs.append(meta["duration_ms"])
-                # STUB feature vector: byte-histogram moments (deterministic)
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                feats.append([float(arr.mean()), float(arr.std()), float(len(arr))])
+                feats.append(feat)
             except Exception:
                 ok.append(False)
                 widths.append(-1)
@@ -128,7 +185,7 @@ def _decoded_rows(batch: pd.DataFrame, kind: str):
         if k != kind:
             continue
         try:
-            meta = _fake_decode(bytes(payload))
+            meta = _decode_meta(bytes(payload))
         except Exception:
             continue
         yield media_id, meta["duration_ms"]
@@ -206,34 +263,49 @@ def window_audio(ds: Dataset, *, window_ms: int = 1000, hop_ms: int = 500) -> Da
 
 
 class ImageResizer:
-    """STUB image-resize stage for image rows: computes the
-    aspect-preserving target dimensions with INTEGER math (exact on any
-    engine) and re-emits a deterministic fake payload at the new size
-    (real build: PIL/cv2 decode-resize-encode per row — loaded once per
-    actor, the MediaDecoder codec-slot pattern).  Corrupt payloads are
-    skipped (failure rows belong to the decode stage's envelope)."""
+    """REAL image-resize stage for image rows: decodes the payload with
+    the stdlib codecs (loaded once per actor — the MediaDecoder
+    codec-slot pattern), computes the aspect-preserving target
+    dimensions with INTEGER math (exact on any engine), resamples the
+    pixels nearest-neighbor, and re-encodes as PNG.  FAKEMEDIA image
+    payloads (legacy stub fixtures) keep the header-math fallback.
+    Corrupt payloads are skipped (failure rows belong to the decode
+    stage's envelope)."""
 
     def __init__(self, box: int = 64):
+        from ocr_poc_ray.functions import imagecodec as ic
+
+        self._ic = ic
         self.box = box
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ic = self._ic
         out_id, out_w, out_h, out_p = [], [], [], []
         for media_id, kind, payload in zip(
             batch["media_id"], batch["kind"], batch["payload"]
         ):
             if kind != "image":
                 continue
+            payload = bytes(payload)
             try:
-                meta = _fake_decode(bytes(payload))
+                real = ic.sniff(payload) is not None
+                if real:
+                    px = ic.decode_image(payload)
+                    h, w = px.shape[:2]
+                else:
+                    meta = _fake_decode(payload)
+                    w, h = meta["width"], meta["height"]
             except Exception:
                 continue
-            w, h = meta["width"], meta["height"]
             m = max(w, h, 1)
             nw, nh = max(w * self.box // m, 1), max(h * self.box // m, 1)
             out_id.append(media_id)
             out_w.append(nw)
             out_h.append(nh)
-            out_p.append(make_fake_payload(media_id, "image", w=nw, h=nh))
+            if real:
+                out_p.append(ic.encode_png(ic.resize_nn(px, nw, nh)))
+            else:
+                out_p.append(make_fake_payload(media_id, "image", w=nw, h=nh))
         return pd.DataFrame(
             {
                 "media_id": out_id,

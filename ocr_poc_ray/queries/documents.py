@@ -630,19 +630,10 @@ def doc_curation_pipeline(sf_dir: str) -> pd.DataFrame:
         winners = dups.groupby("h")["doc_id"].transform("min")
         return dups.loc[dups["doc_id"] != winners, ["doc_id"]]
 
-    losers_df = (
+    losers_ds = (
         hashed.groupby("_hb").map_groups(losers_in_bucket, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    losers = set(losers_df["doc_id"]) if "doc_id" in losers_df.columns else set()
-    losers_ref = _ray.put(np.sort(np.fromiter(losers, dtype=np.int64, count=len(losers))))
-
-    def survivors(batch: pd.DataFrame) -> pd.DataFrame:
-        lose = _ray.get(losers_ref)
-        ids = batch["doc_id"].to_numpy()
-        pos = np.minimum(np.searchsorted(lose, ids), max(len(lose) - 1, 0))
-        hit = (lose[pos] == ids) if len(lose) else np.zeros(len(ids), dtype=bool)
-        return batch.loc[~hit, ["lang_pred", "doc_id"]]
 
     def local_heads(batch: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -651,8 +642,16 @@ def doc_curation_pipeline(sf_dir: str) -> pd.DataFrame:
             .head(CURATION_SAMPLE_PER_LANG)
         )
 
+    # loser membership: broadcast when small, bloom semi-join at
+    # web-crawl duplicate volume (functions/dedup.py::membership_flag)
+    from ocr_poc_ray.functions.dedup import membership_flag
+
+    flagged = membership_flag(annotated, "doc_id", losers_ds, "doc_id")
     cands = (
-        annotated.map_batches(survivors, batch_format="pandas")
+        flagged.map_batches(
+            lambda b: b.loc[~b["_in_set"], ["lang_pred", "doc_id"]],
+            batch_format="pandas",
+        )
         .map_batches(local_heads, batch_format="pandas")
         .to_pandas()
     )

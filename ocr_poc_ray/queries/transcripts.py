@@ -161,10 +161,11 @@ def _media_ds(sf_dir: str) -> ray.data.Dataset:
     """Deterministic media table derived from document ids."""
     import pyarrow.parquet as pq
 
-    from ocr_poc_ray.functions.multimodal import make_fake_payload
+    from ocr_poc_ray.functions.multimodal import make_fake_payload, make_image_payload
 
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     kinds = ("image", "audio", "video")
+    img_fmts = ("png", "bmp", "ppm")
     rows = {"media_id": [], "kind": [], "payload": [],
             "content_type": [], "width": [], "height": [], "duration_ms": []}
     for doc_id in t["doc_id"].to_pylist():
@@ -179,11 +180,21 @@ def _media_ds(sf_dir: str) -> ray.data.Dataset:
             dur = 0
         rows["media_id"].append(mid)
         rows["kind"].append(kind)
-        # every 37th payload is corrupt → decode_ok=False path
-        rows["payload"].append(
-            b"corrupt" if doc_id % 37 == 0 else make_fake_payload(mid, kind, w, h, dur)
-        )
-        rows["content_type"].append(f"{kind}/fake")
+        # every 37th payload is corrupt → decode_ok=False path; images
+        # are REAL encoded files (PNG/BMP/PPM rotating by doc_id),
+        # audio/video keep the stub header (no ffmpeg in container)
+        if doc_id % 37 == 0:
+            payload = b"corrupt"
+            ctype = f"{kind}/fake"
+        elif kind == "image":
+            fmt = img_fmts[(doc_id // 3) % 3]
+            payload = make_image_payload(mid, w, h, fmt=fmt)
+            ctype = f"image/{fmt}"
+        else:
+            payload = make_fake_payload(mid, kind, w, h, dur)
+            ctype = f"{kind}/fake"
+        rows["payload"].append(payload)
+        rows["content_type"].append(ctype)
         rows["width"].append(w)
         rows["height"].append(h)
         rows["duration_ms"].append(dur)

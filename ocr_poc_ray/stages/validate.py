@@ -40,8 +40,6 @@ def dedup_turns(ds):
     import hashlib
 
     import pandas as pd
-    import ray
-    import ray.data as rd
 
     def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.copy()
@@ -67,39 +65,56 @@ def dedup_turns(ds):
         t = group.groupby("_turn_key", as_index=False)["size"].sum()
         return t.loc[t["size"] > 1, ["_turn_key"]]
 
-    dup_df = (
+    dup_ds = (
         keyed.map_batches(partial_counts, batch_format="pandas")
         .groupby("_kb")
         .map_groups(find_dups, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    dup_keys = (
-        set(dup_df["_turn_key"]) if "_turn_key" in dup_df.columns else set()
-    )
-
-    if not dup_keys:
+    if dup_ds.count() == 0:
         return keyed.drop_columns(["_turn_key"])
 
-    dup_ref = ray.put(dup_keys)
+    # dup-key membership: broadcast when small, bloom semi-join at
+    # scale (functions/dedup.py::membership_flag — the driver never
+    # holds a crawl-sized dup set); pinned so both branches read one
+    # flag pass.
+    from ocr_poc_ray.functions.dedup import membership_flag
 
-    def keep_unique(batch: pd.DataFrame) -> pd.DataFrame:
-        dup = ray.get(dup_ref)
-        return batch[~batch["_turn_key"].isin(dup)].drop(columns=["_turn_key"])
-
-    def dup_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        dup = ray.get(dup_ref)
-        return batch[batch["_turn_key"].isin(dup)]
-
-    uniques = keyed.map_batches(keep_unique, batch_format="pandas")
-    dups = keyed.map_batches(dup_rows, batch_format="pandas").to_pandas()
-    dups["_rank"] = [
-        hashlib.md5((t or "").encode("utf-8", "ignore")).hexdigest() for t in dups["text"]
-    ]
-    winners = (
-        dups.sort_values(["_turn_key", "_rank", "ts"], kind="mergesort")
-        .groupby("_turn_key", as_index=False)
-        .head(1)
-        .drop(columns=["_turn_key", "_rank"])
-        .reset_index(drop=True)
+    flagged = membership_flag(keyed, "_turn_key", dup_ds, "_turn_key").materialize()
+    uniques = flagged.map_batches(
+        lambda b: b[~b["_in_set"]].drop(columns=["_turn_key", "_in_set"]),
+        batch_format="pandas",
     )
-    return uniques.union(rd.from_pandas(winners))
+
+    # winner per duplicated key — smallest (md5(text), ts) — selected
+    # INSIDE a bounded hash-bucket groupby (all rows of a key share a
+    # bucket): the duplicate rows never collect to the driver.
+    _WB = 32
+
+    def dup_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["_in_set"]].drop(columns=["_in_set"])
+        b = b.assign(
+            _rank=[
+                hashlib.md5((t or "").encode("utf-8", "ignore")).hexdigest()
+                for t in b["text"]
+            ],
+            _wb=(pd.util.hash_array(b["_turn_key"].to_numpy(dtype=object)) % _WB
+                 ).astype("int64"),
+        )
+        return b
+
+    def pick_winners(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values(["_turn_key", "_rank", "ts"], kind="mergesort")
+            .groupby("_turn_key", as_index=False)
+            .head(1)
+            .drop(columns=["_turn_key", "_rank", "_wb"])
+            .reset_index(drop=True)
+        )
+
+    winners = (
+        flagged.map_batches(dup_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(pick_winners, batch_format="pandas")
+    )
+    return uniques.union(winners)

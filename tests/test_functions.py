@@ -104,6 +104,66 @@ def test_simhash_finds_near_dup():
     assert (100, 101) in got
 
 
+def test_exact_dedup_bloom_path_on_half_duplicate_corpus(monkeypatch):
+    """A 50%-duplicate corpus with the broadcast limit forced to 0 must
+    take the bloom-semi-join path (driver never holds the dup-hash set)
+    and keep exactly the min-id winner per text."""
+    import ray.data as rd
+
+    import ocr_poc_ray.functions.dedup as dd
+
+    texts = [f"document body {i % 200} words here" for i in range(400)]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+    )
+    base = dd.exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    bloom = dd.exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, bloom)
+    assert set(base["doc_id"]) == set(range(200))
+
+
+def test_chunk_dedup_bloom_path(monkeypatch):
+    """chunk_dedup's bloom path (per-doc hit blobs through joins, no
+    loser-key broadcast) must reproduce the broadcast path exactly."""
+    import ray.data as rd
+
+    import ocr_poc_ray.functions.dedup as dd
+
+    texts = [
+        ("alpha beta gamma delta epsilon zeta eta theta " * 3) + f"tail {i}"
+        for i in range(50)
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64), "text": texts})
+    )
+    base = dd.chunk_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    bloom = dd.chunk_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, bloom)
+    assert (base["n_removed"] > 0).any()
+
+
+def test_membership_flag_paths():
+    """Broadcast and bloom paths agree for int and string keys."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.dedup import membership_flag
+
+    ds = rd.from_pandas(pd.DataFrame({"k": np.arange(1000, dtype=np.int64)}))
+    keys = rd.from_pandas(pd.DataFrame({"k": np.arange(0, 1000, 3, dtype=np.int64)}))
+    for lim in (10**6, 0):
+        out = membership_flag(ds, "k", keys, "k", limit=lim).to_pandas()
+        assert len(out) == 1000
+        assert (out["_in_set"] == (out["k"] % 3 == 0)).all()
+
+    ds2 = rd.from_pandas(pd.DataFrame({"h": [f"k{i}" for i in range(500)]}))
+    keys2 = rd.from_pandas(pd.DataFrame({"h": [f"k{i}" for i in range(0, 500, 5)]}))
+    for lim in (10**6, 0):
+        out = membership_flag(ds2, "h", keys2, "h", limit=lim).to_pandas()
+        assert (out["_in_set"] == (out["h"].str[1:].astype(int) % 5 == 0)).all()
+
+
 def test_giant_cluster_yields_all_pairs():
     # a 1000-doc duplicate cluster overflows the per-task chunk bound
     # (_BUCKET_CHUNK=512 → k=2 grid); EVERY C(1000,2) pair must survive —

@@ -8,6 +8,7 @@ sizes — equality must hold at any parallelism.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -113,6 +114,34 @@ def test_dedup_turns_idempotence(fixture_dir):
     assert len(out) == t.num_rows
     key = out["conv_id"] + "\x1f" + out["turn_idx"].astype(str)
     assert not key.duplicated().any()
+
+
+def test_dedup_turns_bloom_path(fixture_dir, monkeypatch):
+    """With the broadcast limit forced to 0, dedup_turns must take the
+    bloom-semi-join path (the driver never holds the dup-key set) and
+    produce the identical winner set."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import ocr_poc_ray.functions.dedup as dd
+    from ocr_poc_ray.stages.validate import dedup_turns
+
+    t = pq.read_table(fixture_dir["transcripts"])
+    clean = rd.from_arrow(t)
+    dup = rd.from_arrow(t.slice(0, t.num_rows // 10))
+    noisy = clean.union(dup)
+
+    base = dedup_turns(noisy).to_pandas()
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    bloom = dedup_turns(noisy).to_pandas()
+
+    key_cols = ["conv_id", "turn_idx"]
+    b = base.sort_values(key_cols).reset_index(drop=True)
+    g = bloom.sort_values(key_cols).reset_index(drop=True)
+    assert len(g) == t.num_rows
+    pd.testing.assert_frame_equal(
+        b[sorted(b.columns)], g[sorted(g.columns)], check_dtype=False
+    )
 
 
 def test_jsonl_source_matches_parquet(fixture_dir):
