@@ -156,11 +156,48 @@ class FieldLayout:
     drop_country_codes: bool = False
     #: 25B MRZ drop (cni_extractor_25_b.py:121-124): I< / <<< lines
     drop_mrz: bool = False
+    #: N3 template-matching fallback (main.ipynb cell 2,
+    #: CNIExtractorTemplateMatching.template_zones): relative-coordinate
+    #: zones tried for fields STILL EMPTY after the P8 proximity pass —
+    #: ((field, x, y, width, height, (anchor_words, ...)), ...).  Empty
+    #: tuple disables the strategy for the layout.
+    template_zones: tuple = ()
+    #: alignment anchors with their canonical relative centroids
+    #: ((text, rel_x, rel_y), ...) — cell 2's alignment_anchors, plus
+    #: the template position each anchor is expected at (the reference
+    #: assumes a horizontal anchor pair; carrying the expected position
+    #: generalizes its arctan2 rotation estimate to any pair)
+    alignment_anchors: tuple = ()
 
     @property
     def anchor_strings(self) -> tuple[str, ...]:
         return tuple(s for syns in self.anchor_vocab.values() for s in syns)
 
+
+#: N3 template for the canonical front document (main.ipynb cell 2's
+#: ``template_zones`` — relative (x, y, w, h) of each VALUE zone in the
+#: golden layout, with the anchor words excluded from extraction).
+#: Like the reference's zones are tuned to the CNI card geometry, these
+#: are tuned to the canonical golden-fixture layout (synth.py
+#: _FIELD_ROWS / _ANCHOR_LABELS); zones sit to the right of each label
+#: row, so fallback-variant documents (values at the left margin) never
+#: produce zone candidates.
+FRONT_TEMPLATE_ZONES = (
+    ("nom", 0.16, 0.00, 0.17, 0.06, ("NOM", "NAME")),
+    ("prenom", 0.31, 0.12, 0.17, 0.06, ("PRENOM", "GIVEN")),
+    ("lieu_naissance", 0.55, 0.26, 0.17, 0.07, ("LIEU", "NAISSANCE", "PLACE", "BIRTH")),
+    ("profession", 0.37, 0.41, 0.17, 0.06, ("PROFESSION", "OCCUPATION")),
+)
+
+#: alignment anchors = the label lines, with their canonical relative
+#: centroids (cell 2's ``alignment_anchors``, plus expected positions —
+#: see _estimate_template_transform)
+FRONT_ALIGNMENT_ANCHORS = (
+    ("NOM / NAME", 0.075, 0.009),
+    ("PRENOM / GIVEN NAME", 0.143, 0.151),
+    ("LIEU DE NAISSANCE / PLACE OF BIRTH", 0.257, 0.294),
+    ("PROFESSION / OCCUPATION", 0.174, 0.437),
+)
 
 FRONT_LAYOUT = FieldLayout(
     name="front_18",
@@ -174,6 +211,8 @@ FRONT_LAYOUT = FieldLayout(
     fallback_fields=FALLBACK_FIELDS,
     repair_fields=("nom", "prenom"),
     config=GATE_18F,
+    template_zones=FRONT_TEMPLATE_ZONES,
+    alignment_anchors=FRONT_ALIGNMENT_ANCHORS,
 )
 
 BACK_LAYOUT = FieldLayout(
@@ -288,6 +327,186 @@ def deskew_polys(polys, *, cx: float = 306.0, cy: float = 396.0):
             q.append([cx + dx * cos_a - dy * sin_a, cy + dx * sin_a + dy * cos_a])
         out.append(q)
     return out, angle
+
+
+# ---------------------------------------------------------------------------
+# N3 (full): template-matching fallback strategy — the port of
+# main.ipynb cell 2 (CNIExtractorTemplateMatching):
+#   find_document_bounds  → min/max over every polygon point
+#   detect_anchor_points  → substring / word-set-Jaccard(>0.8) match of
+#                           alignment anchors, centroid recorded
+#   estimate_transformation → rotation from the FIRST TWO detected
+#                           anchor centroids via arctan2, folded into
+#                           (-π/4, π/4] (cell 2 normalizes "proche de 0
+#                           ou 90 degrés"); the reference assumes a
+#                           horizontal anchor pair — carrying each
+#                           anchor's expected template position
+#                           generalizes the estimate to any pair
+#   transform_point(inverse) → denormalize zone corners by the document
+#                           bounds, rotate about the bounds center
+#   extract_from_zone     → candidates whose centroid falls in the
+#                           20%-margin-expanded zone, scored
+#                           ocr_score × proximity-to-zone-center,
+#                           anchor words excluded
+#   validate_extraction   → typed per-field validation
+# Runs for fields STILL EMPTY after P8 — the recovery path when the
+# baseline deskew is blind (e.g. axis-aligned OCR boxes on a rotated
+# document: every baseline reads horizontal, yet positions are rotated).
+# ---------------------------------------------------------------------------
+
+
+def _word_jaccard(a: str, b: str) -> float:
+    """cell 2 ``similarity``: word-set Jaccard."""
+    s1, s2 = set(a.split()), set(b.split())
+    union = s1 | s2
+    return len(s1 & s2) / len(union) if union else 0.0
+
+
+def _document_bounds(polys) -> tuple[float, float, float, float]:
+    """cell 2 ``find_document_bounds`` (same 2000×1600 fallback)."""
+    pts = [pt for poly in polys for pt in poly]
+    if not pts:
+        return 0.0, 0.0, 2000.0, 1600.0
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _estimate_template_transform(lines, polys, layout: "FieldLayout") -> dict:
+    """cell 2 ``estimate_transformation``, generalized: an affine fit
+    (template unit square → image) from the detected alignment anchors.
+
+    - ≥3 anchors: least-squares 2×3 affine — rotation, anisotropic
+      scale, and translation all from the anchors themselves (the
+      rotation-distorted document bounds drop out entirely).
+    - 2 anchors: the reference's own shape — bounds denormalization
+      composed with the arctan2 pair rotation about the bounds center
+      (cell 2's ``if len(anchors) >= 2`` branch).
+    - <2 anchors: pure bounds denormalization (cell 2's defaults).
+    ``rotation`` (the image angle of the template x-axis) is reported
+    for the deskew-blindness trigger in ``extract_fields``.
+    """
+    import numpy as np
+
+    min_x, min_y, max_x, max_y = _document_bounds(polys)
+    W = max(max_x - min_x, 1e-6)
+    H = max(max_y - min_y, 1e-6)
+
+    detected = []
+    for text, rx, ry in layout.alignment_anchors:
+        up_a = text.upper()
+        for ln in lines:
+            up = ln.text.strip().upper()
+            if up_a in up or _word_jaccard(up, up_a) > 0.8:
+                detected.append((rx, ry, ln.cx, ln.cy))
+                break
+
+    if len(detected) >= 3:
+        src = np.array([[rx, ry, 1.0] for rx, ry, _, _ in detected])
+        dst = np.array([[ox, oy] for _, _, ox, oy in detected])
+        A, *_ = np.linalg.lstsq(src, dst, rcond=None)  # (3, 2)
+        mat = A.T  # (2, 3): (rx, ry, 1) → (x, y)
+        rotation = math.atan2(mat[1, 0] / H, mat[0, 0] / W)
+        return {"matrix": mat, "rotation": rotation}
+
+    rotation = 0.0
+    if len(detected) == 2:
+        rx1, ry1, x1, y1 = detected[0]
+        rx2, ry2, x2, y2 = detected[1]
+        ang_obs = math.atan2(y2 - y1, x2 - x1)
+        ang_exp = math.atan2((ry2 - ry1) * H, (rx2 - rx1) * W)
+        rot = ang_obs - ang_exp
+        while rot > math.pi:
+            rot -= 2 * math.pi
+        while rot <= -math.pi:
+            rot += 2 * math.pi
+        # cell 2 normalization: accept near-0 rotations, fold near-90°
+        if abs(rot) < math.pi / 4:
+            rotation = rot
+        elif abs(rot - math.pi / 2) < math.pi / 4:
+            rotation = rot - math.pi / 2
+        elif abs(rot + math.pi / 2) < math.pi / 4:
+            rotation = rot + math.pi / 2
+
+    # bounds denormalization + rotation about the bounds center, as one
+    # affine matrix (cell 2 transform_point(inverse=True))
+    cx, cy = min_x + W / 2, min_y + H / 2
+    cos_r, sin_r = math.cos(rotation), math.sin(rotation)
+    # (rx, ry) → abs → rotate about (cx, cy)
+    mat = np.array(
+        [
+            [cos_r * W, -sin_r * H,
+             cos_r * (min_x - cx) - sin_r * (min_y - cy) + cx],
+            [sin_r * W, cos_r * H,
+             sin_r * (min_x - cx) + cos_r * (min_y - cy) + cy],
+        ]
+    )
+    return {"matrix": mat, "rotation": rotation}
+
+
+def _zone_to_image(x: float, y: float, tr: dict) -> tuple[float, float]:
+    """Template (relative) point → image point through the fitted affine."""
+    m = tr["matrix"]
+    return (
+        m[0, 0] * x + m[0, 1] * y + m[0, 2],
+        m[1, 0] * x + m[1, 1] * y + m[1, 2],
+    )
+
+
+def _validate_template_value(field: str, value: str) -> bool:
+    """cell 2 ``validate_extraction`` (typed per-field checks)."""
+    if not value:
+        return False
+    if field in ("date_naissance", "date_delivrance", "date_expiration"):
+        return bool(re.match(r"^\d{1,2}[./]\d{1,2}[./]\d{4}", value))
+    if field == "sexe":
+        return value.upper() in ("M", "F")
+    if field == "taille":
+        return bool(re.match(r"^[12][,.]?\d{2}", value))
+    return len(value) >= 2 and any(c.isalpha() for c in value)
+
+
+def _apply_template_fallback(
+    fields: dict, lines, polys, layout: "FieldLayout", tr: dict | None = None
+):
+    """Fill still-empty fields from their template zones (cell 2
+    ``extract_from_zone`` + ``extract``); assigned lines are consumed so
+    P8/P9 never reuse them."""
+    if tr is None:
+        tr = _estimate_template_transform(lines, polys, layout)
+    for fname, zx, zy, zw, zh, anchor_words in layout.template_zones:
+        if fields.get(fname) is not None:
+            continue
+        x1, y1 = _zone_to_image(zx, zy, tr)
+        x2, y2 = _zone_to_image(zx + zw, zy + zh, tr)
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
+        mx, my = (x2 - x1) * 0.2, (y2 - y1) * 0.2  # cell 2's 20% margin
+        x1, x2, y1, y2 = x1 - mx, x2 + mx, y1 - my, y2 + my
+        zcx, zcy = (x1 + x2) / 2, (y1 + y2) / 2
+        max_dist = math.hypot(x2 - x1, y2 - y1)
+        best_score, best_line = 0.0, None
+        for ln in lines:
+            if ln.consumed or ln.is_label or not ln.text.strip():
+                continue
+            if not (x1 <= ln.cx <= x2 and y1 <= ln.cy <= y2):
+                continue
+            up = ln.text.upper()
+            if any(a in up for a in anchor_words):
+                continue  # cell 2: anchor words never extract as values
+            proximity = (
+                1.0 - math.hypot(ln.cx - zcx, ln.cy - zcy) / max_dist
+                if max_dist > 0
+                else 1.0
+            )
+            score = ln.score * proximity
+            if score > best_score:
+                best_score, best_line = score, ln
+        if best_line is not None and _validate_template_value(
+            fname, best_line.text.strip()
+        ):
+            fields[fname] = best_line.text.strip()
+            best_line.consumed = True
 
 
 # ---------------------------------------------------------------------------
@@ -474,6 +693,20 @@ def extract_fields(
         if best:
             anchors[fname] = best[1]
 
+    # ---- N3 template-matching strategy (main.ipynb cell 2) ----------
+    # The anchor-pair rotation estimate doubles as the DETECTOR for
+    # rotation the baseline deskew is blind to (axis-aligned OCR boxes
+    # on a rotated document: every baseline reads horizontal, so
+    # deskew_polys is an identity while positions are rotated).  When
+    # the residual rotation is significant, P8's right/below proximity
+    # thresholds are geometrically wrong — the template zones (mapped
+    # through the estimated transform) take precedence for their
+    # fields; a straight document estimates ~0 and skips this path.
+    if layout.template_zones:
+        tpl_tr = _estimate_template_transform(lines, polys, layout)
+        if abs(tpl_tr["rotation"]) >= 0.05:
+            _apply_template_fallback(fields, lines, polys, layout, tr=tpl_tr)
+
     # ---- P8 spatial proximity lookup ---------------------------------
     for fname, anchor in anchors.items():
         if fields.get(fname) is not None:
@@ -495,6 +728,14 @@ def extract_fields(
         if best_line is not None:
             fields[fname] = best_line.text
             best_line.consumed = True
+
+    # ---- N3 template-matching fallback (main.ipynb cell 2) ----------
+    # Only fields P8 could not fill; recovers geometry the baseline
+    # deskew cannot see (axis-aligned boxes on a rotated document).
+    if layout.template_zones and any(
+        fields[f] is None for f, *_ in layout.template_zones
+    ):
+        _apply_template_fallback(fields, lines, polys, layout)
 
     # ---- P9 positional fallback (y-sorted, used-value dedup) ---------
     used = {v for v in fields.values() if v}

@@ -263,3 +263,81 @@ def test_layout_registry_is_two_by_two():
     # aliases keep the synth corpus's layout keys working
     assert FIELD_LAYOUTS["front"] is FIELD_LAYOUTS["front_18"]
     assert FIELD_LAYOUTS["back"] is FIELD_LAYOUTS["back_18"]
+
+
+# -- N3 template-matching fallback (main.ipynb cell 2 port) ------------------
+
+
+def _rotated_front_doc(angle: float):
+    """Anchored front doc whose span POSITIONS are rotated while the
+    boxes stay axis-aligned — the deskew-blind case (every baseline
+    reads horizontal, so deskew_polys is an identity)."""
+    import math
+
+    def span(text, x, y, score=0.95):
+        w = 8.0 * len(text)
+        return text, score, [[x, y], [x + w, y], [x + w, y + 12.0], [x, y + 12.0]]
+
+    rows = {"nom": 80.0, "prenom": 180.0, "lieu_naissance": 280.0,
+            "profession": 380.0}
+    labels = {"nom": "Nom / Name", "prenom": "Prenom / Given name",
+              "lieu_naissance": "Lieu de naissance / Place of birth",
+              "profession": "Profession / Occupation"}
+    vals = {"nom": "MAPLEWOOD", "prenom": "KESTREL",
+            "lieu_naissance": "RIVERDALE", "profession": "ENGINEER"}
+    spans = []
+    for f, y in rows.items():
+        lab = labels[f]
+        spans.append(span(lab, 60.0, y))
+        spans.append(span(vals[f], 60.0 + 8.0 * len(lab) + 25.0, y))
+    spans.append(span("M", 60.0, 560.0))
+    spans.append(span("1.75", 60.0, 520.0))
+    spans.append(span("14.03.1988", 60.0, 480.0))
+    spans.append(span("pad0", 550.0, 760.0))
+    spans.append(span("pad1", 300.0, 700.0))
+    cx, cy = 306.0, 396.0
+    cos_a, sin_a = math.cos(angle), math.sin(angle)
+    out = []
+    for t, sc, p in spans:
+        x0, y0 = p[0]
+        w = 8.0 * len(t)
+        ncx = cx + (x0 + w / 2 - cx) * cos_a - (y0 + 6 - cy) * sin_a
+        ncy = cy + (x0 + w / 2 - cx) * sin_a + (y0 + 6 - cy) * cos_a
+        out.append(span(t, ncx - w / 2, ncy - 6, sc))
+    return out, vals
+
+
+@pytest.mark.parametrize("angle", [0.0, 0.12, 0.2, -0.15])
+def test_template_matching_recovers_position_rotation(angle):
+    """Deskew-only misassigns fields on position-rotated docs (axis-
+    aligned boxes); the template-zone strategy must recover them all."""
+    from ocr_poc_ray.extractors.fields import FRONT_LAYOUT, extract_fields
+
+    spans, vals = _rotated_front_doc(angle)
+    texts = [s[0] for s in spans]
+    scores = [s[1] for s in spans]
+    polys = [s[2] for s in spans]
+    r = extract_fields(texts, scores, polys, layout=FRONT_LAYOUT)
+    assert r.success
+    for f, v in vals.items():
+        assert r.fields[f] == v, (angle, f, r.fields[f])
+    assert r.fields["sexe"] == "M"
+    assert r.fields["taille"] == "1,75"
+    assert r.fields["date_naissance"] == "14.03.1988"
+
+
+def test_template_strategy_inert_when_straight():
+    """A straight document estimates ~0 rotation and must not take the
+    template path at all (P8 output byte-identical with zones removed)."""
+    from dataclasses import replace
+
+    from ocr_poc_ray.extractors.fields import FRONT_LAYOUT, extract_fields
+
+    spans, _ = _rotated_front_doc(0.0)
+    texts = [s[0] for s in spans]
+    scores = [s[1] for s in spans]
+    polys = [s[2] for s in spans]
+    with_tpl = extract_fields(texts, scores, polys, layout=FRONT_LAYOUT)
+    bare = replace(FRONT_LAYOUT, template_zones=(), alignment_anchors=())
+    without = extract_fields(texts, scores, polys, layout=bare)
+    assert with_tpl.fields == without.fields
