@@ -195,12 +195,13 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
 SCALING_TURNS_MULT = "3"
 
 
-def run_scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
+def run_scaling(sf_dir: str, low: int, high: int, repeats: int = 3) -> dict:
     """Same input, fresh sessions per CPU level → throughput + scaling
-    efficiency.  Each level runs `repeats` times and reports the BEST
-    throughput (steady-state capacity is the metric; single runs on
-    this shared box vary ~2-3× with unrelated load — measured r1+r2),
-    over a 3× corpus so fixed overheads don't dominate the fast leg."""
+    efficiency.  Runs `repeats` paired low/high rounds and reports the
+    MEDIAN round's efficiency as the headline (r2 reported best-of,
+    which overstates host luck — VERDICT r2; every round is still in
+    `all_round_efficiencies`), over a 3× corpus so fixed overheads
+    don't dominate the fast leg."""
     os.environ["GRAFT_TURNS_MULT"] = SCALING_TURNS_MULT
     # pre-build the fixture so no child pays generation cost
     _fixture(_sf_of(sf_dir))
@@ -223,8 +224,8 @@ def run_scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
     # noise here is host-level (the guest shares a hypervisor — same
     # code measured 6k–45k turns/s across a day), so the meaningful
     # unit is a low/high pair run back-to-back under the same host
-    # conditions; report the round with the best efficiency as the
-    # steady-state capacity estimate (all rounds are in `rounds`).
+    # conditions; the MEDIAN round is the headline (best-of hides host
+    # luck; all rounds are in `all_round_efficiencies`).
     rounds = []
     for _ in range(repeats):
         r_low, r_high = child(low), child(high)
@@ -235,21 +236,23 @@ def run_scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
                 "high": r_high,
             }
         )
-    best = max(rounds, key=lambda r: r["eff"])
+    by_eff = sorted(rounds, key=lambda r: r["eff"])
+    median = by_eff[len(by_eff) // 2] if len(by_eff) % 2 else by_eff[len(by_eff) // 2 - 1]
     return {
-        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
-        "value": best["eff"],
+        "metric": "scaling efficiency (throughput ratio / cpu ratio, median round)",
+        "value": median["eff"],
         "unit": "efficiency",
-        "sf": best["low"]["sf"],
+        "sf": median["low"]["sf"],
         "cpus_low": low,
         "cpus_high": high,
         "repeats": repeats,
         "all_round_efficiencies": [r["eff"] for r in rounds],
-        "turns_per_sec_low": best["low"]["turns_per_sec"],
-        "turns_per_sec_high": best["high"]["turns_per_sec"],
+        "best_round_efficiency": by_eff[-1]["eff"],
+        "turns_per_sec_low": median["low"]["turns_per_sec"],
+        "turns_per_sec_high": median["high"]["turns_per_sec"],
         "queries": {
-            f"extract_ordered_cpus{low}": best["low"]["queries"]["extract_ordered"],
-            f"extract_ordered_cpus{high}": best["high"]["queries"]["extract_ordered"],
+            f"extract_ordered_cpus{low}": median["low"]["queries"]["extract_ordered"],
+            f"extract_ordered_cpus{high}": median["high"]["queries"]["extract_ordered"],
         },
     }
 

@@ -978,6 +978,82 @@ def ngram_jaccard_pairs(
 # Prefix-filtered exact similarity join (PPJoin-style candidates)
 # --------------------------------------------------------------------------
 
+#: common-shingle set bounds: a shingle enters the demoted set when its
+#: (batch-pruned) document frequency reaches _PREFIX_MIN_DF; the set is
+#: capped at _PREFIX_CAP highest-DF entries (≈16 MB broadcast worst case)
+_PREFIX_MIN_DF = 4
+_PREFIX_CAP = 1 << 20
+
+
+def _common_shingle_ranks(
+    ds: Dataset,
+    *,
+    text_col: str,
+    ngram: int,
+    min_df: int = _PREFIX_MIN_DF,
+    cap: int = _PREFIX_CAP,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hash_sorted_common, df_rank) for the high-document-frequency
+    shingles — the bounded-vocabulary combine of the ``top_tokens``
+    machinery: per-batch partial DFs (per-doc-distinct shingles, so
+    counts are document frequencies) pruned to the batch's REPEATED
+    shingles (batch-df ≥ 2 — singletons can never make a hot bucket),
+    summed inside 32 hash buckets, kept at global df ≥ ``min_df`` and
+    capped per bucket.  The pruning makes the set approximate on its
+    low-DF fringe; the truly hot shingles — the only ones demotion
+    needs — are repeated in every batch and always surface.
+    Correctness never depends on WHICH shingles are in the set, only on
+    the order being fixed for the whole run, which the single broadcast
+    guarantees.  ``df_rank`` is ascending (rank 0 = least frequent of
+    the common set), aligned with ``hash_sorted_common``.
+    """
+    _B = 32
+    per_bucket = max(1, cap // _B)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch[text_col])
+        hs = [
+            _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram)
+            for d in range(len(batch))
+        ]
+        hs = [h for h in hs if len(h)]
+        if not hs:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "df": pd.Series([], dtype="int64"),
+                 "_b": pd.Series([], dtype="int64")}
+            )
+        flat = np.concatenate(hs)  # per-doc distinct → counts are DFs
+        u, c = np.unique(flat, return_counts=True)
+        rep = c >= 2  # batch-repeated only: bounds every later stage
+        u, c = u[rep], c[rep]
+        return pd.DataFrame(
+            {"h": u.view(np.int64), "df": c.astype(np.int64),
+             "_b": (u % np.uint64(_B)).astype(np.int64)}
+        )
+
+    def hot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("h", as_index=False)["df"].sum()
+        t = t[t["df"] >= min_df]
+        if len(t) > per_bucket:
+            t = t.nlargest(per_bucket, "df")
+        return t[["h", "df"]]
+
+    df = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(hot_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty or "h" not in df.columns:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    # ascending-DF rank (hash tiebreak keeps the order total)
+    top = df.sort_values(["df", "h"], kind="mergesort").reset_index(drop=True)
+    hashes = top["h"].to_numpy(np.int64).view(np.uint64)
+    ranks = np.arange(len(top), dtype=np.int64)
+    order = np.argsort(hashes)
+    return hashes[order], ranks[order]
+
 
 def ngram_jaccard_pairs_prefix(
     ds: Dataset,
@@ -1002,39 +1078,61 @@ def ngram_jaccard_pairs_prefix(
     prefixes are the overwhelming majority); per-bucket all-pairs emit
     candidates; a bounded-bucket distinct dedups across shingles; the
     exact Jaccard is attached by ``ngram_jaccard_verify``'s distributed
-    text joins.  The global order here is the shingle hash itself — a
-    production run orders by ascending document frequency instead
-    (computable with the top_tokens bucketed-vocabulary machinery) and
-    salts any still-hot shingle, which shrinks prefix buckets further;
-    correctness needs only SOME fixed total order.
+    text joins.
+
+    The global shingle order is ASCENDING DOCUMENT FREQUENCY (the
+    PPJoin/SSJoin production order): shingles outside the broadcast
+    top-64k common set sort first by raw hash, the common set sorts
+    after them by ascending DF rank — one fixed total order shared by
+    every doc, so correctness is unchanged, while prefixes now consist
+    of each doc's RAREST shingles and the corpus-hot shingles (the
+    quadratic prefix buckets) only enter a prefix when a doc has
+    nothing rarer.
     """
+    import ray
     import ray.data as rd
 
     t = float(threshold)
 
+    common_h, common_rank = _common_shingle_ranks(ds, text_col=text_col, ngram=ngram)
+    common_ref = ray.put((common_h, common_rank))
+
     def explode_prefix(batch: pd.DataFrame) -> pd.DataFrame:
+        ch, cr = ray.get(common_ref)
         th, offsets = _batch_token_hashes(batch[text_col])
         ids = batch[id_col].to_numpy()
-        out_ps, out_id, out_m = [], [], []
+        out_ps, out_id, out_m, out_pos = [], [], [], []
         for d in range(len(batch)):
-            sh = _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram)  # sorted (np.unique contract)
+            sh = _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram)
             m = len(sh)
             if m == 0:
                 continue
             plen = m - int(np.ceil(t * m)) + 1
-            out_ps.append(sh[:plen])
+            # total order: rare (primary 0, hash tiebreak) before common
+            # (primary 1 + ascending DF rank; ranks unique → no ties)
+            if len(ch):
+                pos = np.minimum(np.searchsorted(ch, sh), len(ch) - 1)
+                is_common = ch[pos] == sh
+                primary = np.where(is_common, 1 + cr[pos], 0)
+            else:
+                primary = np.zeros(m, dtype=np.int64)
+            order = np.lexsort((sh, primary))
+            out_ps.append(sh[order[:plen]])
             out_id.append(np.full(plen, ids[d], dtype=np.int64))
             out_m.append(np.full(plen, m, dtype=np.int64))
+            out_pos.append(np.arange(plen, dtype=np.int64))
         if not out_ps:
             return pd.DataFrame(
                 {"ps": pd.Series([], dtype="int64"),
                  "doc_id": pd.Series([], dtype="int64"),
-                 "m": pd.Series([], dtype="int64")}
+                 "m": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64")}
             )
         return pd.DataFrame(
             {"ps": np.concatenate(out_ps).view(np.int64),
              "doc_id": np.concatenate(out_id),
-             "m": np.concatenate(out_m)}
+             "m": np.concatenate(out_m),
+             "pos": np.concatenate(out_pos)}
         )
 
     empty = pa.table(
@@ -1056,7 +1154,7 @@ def ngram_jaccard_pairs_prefix(
         return b.assign(_mb=(b["ps"].to_numpy() % _MB).astype("int64"))
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["ps", "doc_id"])[["ps", "doc_id", "m"]]
+        g = group.drop_duplicates(["ps", "doc_id"])[["ps", "doc_id", "m", "pos"]]
         mm = g.merge(g, on="ps", suffixes=("_a", "_b"))
         mm = mm[mm["doc_id_a"] < mm["doc_id_b"]]
         # PPJoin length filter (exact, no false negatives): Jaccard ≥ t
@@ -1065,6 +1163,16 @@ def ngram_jaccard_pairs_prefix(
         ma = mm["m_a"].to_numpy(np.float64)
         mb = mm["m_b"].to_numpy(np.float64)
         ok = np.minimum(ma, mb) >= t * np.maximum(ma, mb)
+        # PPJoin positional filter (exact): Jaccard ≥ t needs overlap
+        # ≥ t·(ma+mb)/(1+t), and a pair sharing a prefix shingle at
+        # (DF-order) positions pa/pb can still reach at most
+        # min(ma-pa, mb-pb) overlap; per-occurrence pruning is safe —
+        # the earliest shared occurrence carries the loosest bound, so
+        # a qualifying pair always survives through it
+        pa = mm["pos_a"].to_numpy(np.float64)
+        pb = mm["pos_b"].to_numpy(np.float64)
+        ubound = np.minimum(ma - pa, mb - pb)
+        ok &= ubound + 1e-9 >= t * (ma + mb) / (1.0 + t)
         mm = mm[ok]
         return pd.DataFrame(
             {"doc_a": mm["doc_id_a"].to_numpy(),
