@@ -762,50 +762,68 @@ def ngram_jaccard_verify(
     """Exact Jaccard for (doc_a, doc_b) candidate pairs — distributed.
 
     The candidate ID set (pair-output-sized, ids only — never texts)
-    is broadcast once to pre-filter the corpus down to candidate rows,
-    which are shingled ONCE each; the packed sorted shingle hashes are
-    then attached to the pair rows with two partitioned hash joins on
-    doc id, and the per-pair kernel is a vectorized sorted-array
-    intersection.  No driver-side text materialization at any point;
-    size ``num_partitions`` to the verified-pair volume at scale.
+    pre-filters the corpus down to candidate rows through
+    ``membership_flag`` (broadcast when small, bloom semi-join + exact
+    verify join at scale — the driver never holds the candidate set);
+    candidate rows are shingled ONCE each, and the packed sorted
+    shingle hashes are attached to the pair rows with two partitioned
+    hash joins on doc id, the per-pair kernel being a vectorized
+    sorted-array intersection.  No driver-side text materialization at
+    any point; size ``num_partitions`` to the verified-pair volume at
+    scale.
     """
-    import ray
-
     pairs_mat = pairs.materialize()
-    need_ids: set = set()
-    for batch in pairs_mat.select_columns(["doc_a", "doc_b"]).iter_batches(
-        batch_format="pandas"
-    ):
-        need_ids.update(batch["doc_a"])
-        need_ids.update(batch["doc_b"])
-    if not need_ids:
+    if pairs_mat.count() == 0:
         return pairs_mat.map_batches(
             lambda b: b.assign(jaccard=pd.Series([], dtype="float64")),
             batch_format="pandas",
         )
-    need_ids_ref = ray.put(pa.array(sorted(need_ids)))
 
-    def collect(batch: pa.Table) -> pa.Table:
-        # Arrow filter, not pandas: an empty pandas block would type
-        # its columns as null and break the hash join's schema unify.
-        import pyarrow.compute as pc
+    # distinct candidate ids as a DATASET (bounded-bucket distinct —
+    # duplicate keys would multiply rows through the semi-join's mark
+    # join and the two shingle joins)
+    _KB = 32
 
-        need = ray.get(need_ids_ref)
-        mask = pc.is_in(batch[id_col], value_set=need)
-        sub = batch.filter(mask)
-        # shingle ONCE per candidate doc, ship packed sorted uint64
-        # hashes through the joins — a doc appears in ~pairs/doc joined
-        # rows, and re-shingling its text per PAIR was the verify hot
-        # spot (measured ~55 µs/pair string sets vs ~5 µs/pair packed
-        # intersections at sf0.1)
-        texts = sub[text_col].to_pandas().fillna("")
+    def local_ids(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(
+            np.concatenate(
+                [b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)]
+            )
+        )
+        return pd.DataFrame({"_cid": u, "_kb": (u % _KB).astype(np.int64)})
+
+    def finish_ids(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_cid": pd.unique(g["_cid"].to_numpy(np.int64))})
+
+    ids_ds = (
+        pairs_mat.select_columns(["doc_a", "doc_b"])
+        .map_batches(local_ids, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(finish_ids, batch_format="pandas")
+    )
+
+    flagged = membership_flag(
+        docs.select_columns([id_col, text_col]), id_col, ids_ds, "_cid",
+        num_partitions=num_partitions,
+    )
+
+    def pack(batch: pd.DataFrame) -> pa.Table:
+        # Arrow output with explicit types: an empty pandas block would
+        # type its columns as null and break the hash join's schema
+        # unify.  Shingle ONCE per candidate doc, ship packed sorted
+        # uint64 hashes through the joins — a doc appears in ~pairs/doc
+        # joined rows, and re-shingling its text per PAIR was the
+        # verify hot spot (measured ~55 µs/pair string sets vs
+        # ~5 µs/pair packed intersections at sf0.1)
+        sub = batch[batch["_in_set"]]
+        texts = sub[text_col].fillna("")
         th, offsets = _batch_token_hashes(texts)
         packed = [
             _doc_shingle_hashes(th[offsets[d] : offsets[d + 1]], ngram).tobytes()
             for d in range(len(texts))
         ]
         return pa.table(
-            {"_jid": sub[id_col].cast(pa.int64()),
+            {"_jid": pa.array(sub[id_col].to_numpy(np.int64), pa.int64()),
              "_jsh": pa.array(packed, pa.binary())}
         )
 
@@ -813,7 +831,7 @@ def ngram_jaccard_verify(
     # raises FieldRef errors when an input block is empty.  materialize:
     # this dataset feeds BOTH joins, and a lazy branch would re-run the
     # corpus scan + per-doc shingling once per side (CLAUDE.md pitfall).
-    cand_texts = docs.map_batches(collect, batch_format="pyarrow").repartition(
+    cand_texts = flagged.map_batches(pack, batch_format="pandas").repartition(
         num_partitions
     ).materialize()
 
