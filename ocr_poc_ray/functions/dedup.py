@@ -193,8 +193,12 @@ def membership_flag(
         w = ray.get(wref)
         return b.assign(_maybe=bloom_contains(w, _key64(b[col])))
 
-    # pinned: the clean and maybe branches must read ONE execution
-    flagged = ds.map_batches(bloom_flag, batch_format="pandas").materialize()
+    # NOT materialized: the clean/maybe branches re-execute the flag
+    # pass, but it is value-based (deterministic per row — immune to
+    # the batch-slicing branch hazard, CLAUDE.md) and recomputing a
+    # cheap bloom probe twice beats pinning a corpus-sized input in
+    # the object store; callers pin their own expensive upstreams.
+    flagged = ds.map_batches(bloom_flag, batch_format="pandas")
     clean = flagged.map_batches(
         lambda b: b[~b["_maybe"]].drop(columns=["_maybe"]).assign(
             _in_set=np.zeros(int((~b["_maybe"]).sum()), dtype=bool)
