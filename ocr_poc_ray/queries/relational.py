@@ -2013,8 +2013,175 @@ from events group by hour
 """
 
 
+def rel_region_supplier_balance(sf_dir: str) -> pd.DataFrame:
+    """Region rollup of the supplier dimension — two chained broadcast
+    lookups (s_nationkey → n_regionkey → r_name; the dim tables are
+    tiny at any TPC-H scale, so this is a broadcast join, never a
+    shuffle) + per-batch partial agg and a ≤5-group combine."""
+    reg_ref = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    name_ref = _broadcast_lookup(sf_dir, "region", "r_regionkey", "r_name")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rk, hit1 = _lookup(ray.get(reg_ref), batch["s_nationkey"].to_numpy())
+        rn, hit2 = _lookup(ray.get(name_ref), rk[hit1])
+        b = pd.DataFrame(
+            {"r_name": rn[hit2],
+             "s_acctbal": batch["s_acctbal"].to_numpy()[hit1][hit2]}
+        )
+        return b.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"r_name": [group["r_name"].iloc[0]],
+             "n_suppliers": [int(group["n_suppliers"].sum())],
+             "total_acctbal": [round(group["total_acctbal"].sum(), 2)]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_suppliers": "int64", "total_acctbal": "float64"})
+
+
+REL_REGION_SUPPLIER_SQL = """
+select r_name,
+       count(*)::BIGINT as n_suppliers,
+       round(sum(s_acctbal), 2) as total_acctbal
+from supplier
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+"""
+
+
+def rel_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Fact ⋈ dimension revenue rollup over the part table: p_brand via
+    a broadcast partkey lookup inside the lineitem scan (part is the
+    ~1/30-of-fact dimension side; at 100 TB it would flip to the
+    partitioned hash join of rel_mktsegment_revenue_hashjoin), then
+    the partial-agg + bounded-combine shape of rel_agg_lineitem."""
+    brand_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_brand")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        brand, hit = _lookup(ray.get(brand_ref), batch["l_partkey"].to_numpy())
+        b = pd.DataFrame(
+            {
+                "p_brand": brand[hit],
+                "qty": batch["l_quantity"].to_numpy()[hit],
+                "rev": (
+                    batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy())
+                )[hit],
+            }
+        )
+        return b.groupby("p_brand", as_index=False).agg(
+            sum_qty=("qty", "sum"), revenue=("rev", "sum"), n_lines=("rev", "size")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"p_brand": [group["p_brand"].iloc[0]],
+             "sum_qty": [round(group["sum_qty"].sum(), 2)],
+             "revenue": [round(group["revenue"].sum(), 2)],
+             "n_lines": [int(group["n_lines"].sum())]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_lines": "int64"})
+
+
+REL_BRAND_REVENUE_SQL = """
+select p_brand,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*)::BIGINT as n_lines
+from lineitem
+join part on l_partkey = p_partkey
+group by p_brand
+"""
+
+
+def rel_supplier_nation_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 suppliers per nation by (acctbal desc, suppkey asc — the
+    deterministic tie-break both engines share): the local-heads
+    combiner (each batch keeps its own per-nation top-3) followed by a
+    per-nation final head; nation names via broadcast lookup.  The
+    nation dimension is bounded (25), so per-key groups are safe here."""
+    name_ref = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_name")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+    def local_heads(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(
+            ["s_nationkey", "s_acctbal", "s_suppkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return b.groupby("s_nationkey", as_index=False).head(3)
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["s_acctbal", "s_suppkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        name, _hit = _lookup(ray.get(name_ref), g["s_nationkey"].to_numpy())
+        return pd.DataFrame(
+            {
+                "n_name": name,
+                "rk": np.arange(1, len(g) + 1, dtype=np.int64),
+                "s_suppkey": g["s_suppkey"].to_numpy(np.int64),
+                "s_name": g["s_name"].to_numpy(dtype=object),
+                "s_acctbal": np.round(g["s_acctbal"].to_numpy(np.float64), 2),
+            }
+        )
+
+    out = (
+        ds.map_batches(local_heads, batch_format="pandas")
+        .groupby("s_nationkey")
+        .map_groups(finish, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"rk": "int64", "s_suppkey": "int64"})
+
+
+REL_SUPPLIER_NATION_TOPK_SQL = """
+select n_name,
+       row_number() over (
+           partition by s_nationkey order by s_acctbal desc, s_suppkey
+       )::BIGINT as rk,
+       s_suppkey, s_name,
+       round(s_acctbal, 2) as s_acctbal
+from supplier
+join nation on s_nationkey = n_nationkey
+qualify rk <= 3
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_region_supplier_balance": (
+        rel_region_supplier_balance,
+        REL_REGION_SUPPLIER_SQL,
+    ),
+    "rel_brand_revenue": (rel_brand_revenue, REL_BRAND_REVENUE_SQL),
+    "rel_supplier_nation_topk": (
+        rel_supplier_nation_topk,
+        REL_SUPPLIER_NATION_TOPK_SQL,
+    ),
     "rel_priority_returned_orders": (
         rel_priority_returned_orders,
         REL_PRIORITY_RETURNED_SQL,
