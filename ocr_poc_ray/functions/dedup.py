@@ -776,40 +776,67 @@ def ngram_jaccard_verify(
     any point; size ``num_partitions`` to the verified-pair volume at
     scale.
     """
+    import ray
+
     pairs_mat = pairs.materialize()
-    if pairs_mat.count() == 0:
+    n_pairs = pairs_mat.count()
+    if n_pairs == 0:
         return pairs_mat.map_batches(
             lambda b: b.assign(jaccard=pd.Series([], dtype="float64")),
             batch_format="pandas",
         )
 
-    # distinct candidate ids as a DATASET (bounded-bucket distinct —
-    # duplicate keys would multiply rows through the semi-join's mark
-    # join and the two shingle joins)
-    _KB = 32
+    if n_pairs <= BROADCAST_KEY_LIMIT:
+        # small candidate volume: one driver pass over the (ids-only)
+        # pair projection + a broadcast sorted array — pair-output-
+        # sized driver state, cheaper than a distinct shuffle here
+        need: set = set()
+        for b in pairs_mat.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_format="pandas"
+        ):
+            need.update(b["doc_a"])
+            need.update(b["doc_b"])
+        ids_arr = np.sort(np.fromiter(need, dtype=np.int64, count=len(need)))
+        ids_ref = ray.put(ids_arr)
 
-    def local_ids(b: pd.DataFrame) -> pd.DataFrame:
-        u = pd.unique(
-            np.concatenate(
-                [b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)]
-            )
+        def flag_small(b: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(ids_ref)
+            ids = b[id_col].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            return b.assign(_in_set=(k[pos] == ids))
+
+        flagged = docs.select_columns([id_col, text_col]).map_batches(
+            flag_small, batch_format="pandas"
         )
-        return pd.DataFrame({"_cid": u, "_kb": (u % _KB).astype(np.int64)})
+    else:
+        # web-scale pair volume: distinct candidate ids as a DATASET
+        # (bounded-bucket distinct — duplicate keys would multiply rows
+        # through the semi-join's mark join and the two shingle joins),
+        # then the bloom semi-join; the driver never holds the set
+        _KB = 32
 
-    def finish_ids(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"_cid": pd.unique(g["_cid"].to_numpy(np.int64))})
+        def local_ids(b: pd.DataFrame) -> pd.DataFrame:
+            u = pd.unique(
+                np.concatenate(
+                    [b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)]
+                )
+            )
+            return pd.DataFrame({"_cid": u, "_kb": (u % _KB).astype(np.int64)})
 
-    ids_ds = (
-        pairs_mat.select_columns(["doc_a", "doc_b"])
-        .map_batches(local_ids, batch_format="pandas")
-        .groupby("_kb")
-        .map_groups(finish_ids, batch_format="pandas")
-    )
+        def finish_ids(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"_cid": pd.unique(g["_cid"].to_numpy(np.int64))})
 
-    flagged = membership_flag(
-        docs.select_columns([id_col, text_col]), id_col, ids_ds, "_cid",
-        num_partitions=num_partitions,
-    )
+        ids_ds = (
+            pairs_mat.select_columns(["doc_a", "doc_b"])
+            .map_batches(local_ids, batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(finish_ids, batch_format="pandas")
+        )
+
+        flagged = membership_flag(
+            docs.select_columns([id_col, text_col]), id_col, ids_ds, "_cid",
+            num_partitions=num_partitions,
+        )
 
     def pack(batch: pd.DataFrame) -> pa.Table:
         # Arrow output with explicit types: an empty pandas block would

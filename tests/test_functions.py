@@ -194,6 +194,25 @@ def test_ngram_jaccard_verify():
     assert len(exact) == 1 and exact["jaccard"].iloc[0] == 1.0
 
 
+def test_ngram_jaccard_verify_distributed_path(monkeypatch):
+    """With the broadcast limit forced to 0 the verify must take the
+    distinct-ids + bloom-semi-join branch and produce identical rows."""
+    import ocr_poc_ray.functions.dedup as dd
+
+    docs = _dup_docs()
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).materialize()
+    base = (
+        dd.ngram_jaccard_verify(pairs, docs).to_pandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    dist = (
+        dd.ngram_jaccard_verify(pairs, docs).to_pandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, dist)
+
+
 def test_connected_components():
     from ocr_poc_ray.functions.dedup import connected_components
 
