@@ -23,6 +23,7 @@ from ocr_poc_ray.functions.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_verify,
     simhash_pairs,
+    substring_dedup,
 )
 from ocr_poc_ray.functions.similarity import (
     embedding_near_dup_pairs,
@@ -52,6 +53,7 @@ __all__ = [
     "add_quality",
     "add_token_counts",
     "exact_dedup",
+    "substring_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_verify",

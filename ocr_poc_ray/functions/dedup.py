@@ -1390,7 +1390,208 @@ def connected_components_distributed(
 
 
 # ---------------------------------------------------------------------------
-# Chunk-level exact dedup + document reassembly (the "paragraph dedup"
+# Exact repeated-substring removal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): any `window`-token
+# sequence occurring ≥2 times anywhere in the corpus (across OR within
+# documents) is a duplicated substring; every occurrence except the
+# global first — min (doc_id, pos) — is masked, masked windows' token
+# ranges union per doc, and each document is rebuilt from its unmasked
+# tokens.  The suffix-array of the paper becomes, in Ray Data terms, a
+# linear overlapping-window hash projection (stride 1): corpus-token-
+# volume rows of (window_hash, packed doc/pos key), the hot-window
+# filter (df ≥ 2, the same bounded-bucket discovery every dedup op
+# here uses), a bounded-bucket loser selection, and a row-local rebuild
+# keyed by (doc, pos) ranges — broadcast when the loser volume is
+# small, per-doc blobs through partitioned joins at crawl scale.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_POS_BITS = 32  # packed key = doc_id << 32 | window pos: exact for
+# docs up to 2^32 tokens and ids below 2^31 (beyond that, use a
+# (doc_id, pos) struct key instead of the packed int64)
+
+
+def _doc_window_hashes(th: np.ndarray, window: int) -> np.ndarray:
+    """uint64 polynomial hash of EVERY `window`-token window (stride 1)
+    in positional order — the pre-unique sibling of _doc_shingle_hashes."""
+    m = len(th) - window + 1
+    if m <= 0:
+        return np.array([], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, dtype=np.uint64)
+        for i in range(window):
+            acc = acc * _SHINGLE_MULT + th[i : i + m]
+    return acc
+
+
+def substring_dedup(
+    ds: Dataset,
+    *,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> Dataset:
+    """(id, kept_text, n_tokens, n_windows, n_lost, n_masked): documents
+    with every non-first occurrence of a repeated `window`-token
+    substring removed (whitespace tokens, lowercased for matching,
+    original case kept in the rebuilt text)."""
+    narrow = ds.select_columns([id_col, text_col])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch[text_col])
+        ids = batch[id_col].to_numpy(np.int64)
+        out_h, out_k = [], []
+        for d in range(len(batch)):
+            wh = _doc_window_hashes(th[offsets[d] : offsets[d + 1]], window)
+            if len(wh) == 0:
+                continue
+            out_h.append(wh)
+            out_k.append(
+                (ids[d] << _SUBSTR_POS_BITS) + np.arange(len(wh), dtype=np.int64)
+            )
+        if not out_h:
+            return pd.DataFrame(
+                {"wh": pd.Series([], dtype="int64"),
+                 "key": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"wh": np.concatenate(out_h).view(np.int64),
+             "key": np.concatenate(out_k)}
+        )
+
+    exploded = narrow.map_batches(explode, batch_format="pandas").materialize()
+    hot, _sizes = _filter_hot_buckets(exploded, ["wh"])
+
+    def rebuild_with(loser_pos_of_doc):
+        """Shared rebuild kernel factory: ``loser_pos_of_doc(doc_id,
+        n_windows, blob) -> int64 positions`` supplies each doc's masked
+        window starts (``blob`` is the joined per-doc loser bytes on the
+        crawl-scale path, None otherwise).  The loop is per DOCUMENT —
+        each iteration is numpy range-union + one join over the doc's
+        tokens, the same work a vectorized kernel would do per row."""
+
+        def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+            ids_arr = batch[id_col].to_numpy(np.int64)
+            token_lists = batch[text_col].fillna("").str.split().tolist()
+            blobs = (
+                batch["_lose"].tolist()
+                if "_lose" in batch.columns
+                else [None] * len(batch)
+            )
+            ids, kept, n_tok, n_win, n_lost, n_masked = [], [], [], [], [], []
+            for doc_id, toks, blob in zip(ids_arr, token_lists, blobs):
+                doc_id = int(doc_id)
+                nt = len(toks)
+                nw = max(nt - window + 1, 0)
+                pos = loser_pos_of_doc(doc_id, nw, blob)
+                if len(pos):
+                    delta = np.zeros(nt + 1, dtype=np.int64)
+                    np.add.at(delta, pos, 1)
+                    np.add.at(delta, np.minimum(pos + window, nt), -1)
+                    cover = np.cumsum(delta[:-1]) > 0
+                    kept_toks = [t for t, c in zip(toks, cover) if not c]
+                    masked = int(cover.sum())
+                else:
+                    kept_toks, masked = toks, 0
+                ids.append(doc_id)
+                kept.append(" ".join(kept_toks))
+                n_tok.append(nt)
+                n_win.append(nw)
+                n_lost.append(len(pos))
+                n_masked.append(masked)
+            return pd.DataFrame(
+                {
+                    id_col: np.asarray(ids, dtype=np.int64),
+                    "kept_text": pd.Series(kept, dtype=object),
+                    "n_tokens": np.asarray(n_tok, dtype=np.int64),
+                    "n_windows": np.asarray(n_win, dtype=np.int64),
+                    "n_lost": np.asarray(n_lost, dtype=np.int64),
+                    "n_masked": np.asarray(n_masked, dtype=np.int64),
+                }
+            )
+
+        return rebuild
+
+    _empty_pos = np.array([], dtype=np.int64)
+    if hot is None:  # fully-unique corpus: pure passthrough stats
+        return narrow.map_batches(
+            rebuild_with(lambda _d, _n, _r: _empty_pos), batch_format="pandas"
+        )
+
+    def add_wb(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _wb=(b["wh"].to_numpy().view(np.uint64) % np.uint64(n_buckets)).astype(
+                np.int64
+            )
+        )
+
+    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("wh")["key"].transform("min")
+        return g.loc[g["key"] != win, ["key"]]
+
+    losers_ds = (
+        hot.map_batches(add_wb, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(losers_in_bucket, batch_format="pandas")
+        .materialize()
+    )
+    n_losers = losers_ds.count()
+    import ray as _ray
+
+    if n_losers <= BROADCAST_KEY_LIMIT:
+        losers_df = losers_ds.to_pandas()
+        keys = (
+            np.sort(losers_df["key"].to_numpy(np.int64))
+            if len(losers_df)
+            else np.empty(0, np.int64)
+        )
+        ref = _ray.put(keys)
+
+        def pos_small(doc_id: int, _nw: int, _blob) -> np.ndarray:
+            lose = _ray.get(ref)
+            lo = np.searchsorted(lose, doc_id << _SUBSTR_POS_BITS)
+            hi = np.searchsorted(lose, (doc_id + 1) << _SUBSTR_POS_BITS)
+            return (lose[lo:hi] - (doc_id << _SUBSTR_POS_BITS)).astype(np.int64)
+
+        return narrow.map_batches(rebuild_with(pos_small), batch_format="pandas")
+
+    # crawl-scale loser volume: pack per-doc loser positions into blobs
+    # and LEFT-join them to the docs (the chunk_dedup bloom-path shape;
+    # the loser set here is exact already, so no bloom round is needed)
+    jp = _join_parallelism(n_buckets)
+
+    def pack_partial(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["key"].to_numpy(np.int64)
+        doc = key >> _SUBSTR_POS_BITS
+        return pd.DataFrame(
+            {"_doc": doc, "key": key, "_pb": (doc % n_buckets).astype(np.int64)}
+        )
+
+    def pack_docs(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("_doc", sort=False)["key"].apply(
+            lambda s: np.sort(s.to_numpy(np.int64)).tobytes()
+        )
+        return pd.DataFrame(
+            {id_col: gg.index.to_numpy(np.int64),
+             "_lose": gg.to_numpy(dtype=object)}
+        )
+
+    packed = (
+        losers_ds.map_batches(pack_partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(pack_docs, batch_format="pandas")
+    )
+    joined = narrow.repartition(jp).join(
+        packed.repartition(jp), "left_outer", num_partitions=jp, on=(id_col,)
+    )
+
+    def pos_blob(doc_id: int, _nw: int, blob) -> np.ndarray:
+        if not isinstance(blob, (bytes, bytearray)):
+            return _empty_pos
+        keys = np.frombuffer(blob, dtype=np.int64)
+        return (keys - (doc_id << _SUBSTR_POS_BITS)).astype(np.int64)
+
+    return joined.map_batches(rebuild_with(pos_blob), batch_format="pandas")
 # of C4-style curation, expressed over fixed token windows because the
 # corpus is single-line).  Every later occurrence of an already-seen
 # chunk is dropped; the first occurrence — min (doc_id, chunk_idx) —

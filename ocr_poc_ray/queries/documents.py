@@ -2953,7 +2953,76 @@ limit {WEIGHTED_SAMPLE_K}
 """
 
 
+def doc_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact repeated-substring removal (Lee et al. 2022) over 8-token
+    overlapping windows: every non-first occurrence of a repeated
+    window is masked and the document rebuilt from unmasked tokens —
+    the suffix-array dedup of the paper as a linear window-hash
+    projection + hot-window discovery + bounded loser selection
+    (functions/dedup.py::substring_dedup).  The oracle re-derives the
+    windows, the global first-occurrence rule, the per-doc coverage
+    union AND the rebuilt text relationally (window hashing matches
+    window text: 64-bit collisions negligible — the jaccard-oracle
+    contract)."""
+    from ocr_poc_ray.functions.dedup import substring_dedup
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = substring_dedup(ds, window=8).to_pandas()
+    out = out[["doc_id", "n_tokens", "n_windows", "n_lost", "n_masked", "kept_text"]]
+    return out.astype(
+        {"doc_id": "int64", "n_tokens": "int64", "n_windows": "int64",
+         "n_lost": "int64", "n_masked": "int64"}
+    )
+
+
+DOC_SUBSTRING_DEDUP_SQL = r"""
+with toks as (
+  select doc_id,
+         regexp_extract_all(text, '\S+') as t_orig,
+         regexp_extract_all(lower(text), '\S+') as t_low
+  from documents
+),
+w as (
+  select doc_id, unnest(generate_series(1, greatest(len(t_low) - 7, 0))) as i
+  from toks
+),
+wins as (
+  select w.doc_id, i, array_to_string(t.t_low[i:i+7], ' ') as win
+  from w join toks t using (doc_id)
+),
+marked as (
+  select doc_id, i,
+         count(*) over (partition by win) as c,
+         row_number() over (partition by win order by doc_id, i) as rn
+  from wins
+),
+losers as (select doc_id, i from marked where c >= 2 and rn > 1),
+cov as (
+  select doc_id,
+         list_sort(list_distinct(flatten(list(generate_series(i, i + 7))))) as cix
+  from losers group by doc_id
+)
+select t.doc_id,
+       len(t.t_orig)::BIGINT as n_tokens,
+       greatest(len(t.t_orig) - 7, 0)::BIGINT as n_windows,
+       coalesce(l.n_lost, 0)::BIGINT as n_lost,
+       coalesce(len(c.cix), 0)::BIGINT as n_masked,
+       coalesce(
+           case when c.cix is null then array_to_string(t.t_orig, ' ')
+                else array_to_string(
+                    [t.t_orig[j] for j in generate_series(1, len(t.t_orig))
+                     if not list_contains(c.cix, j)], ' ')
+           end, '') as kept_text
+from toks t
+left join (
+  select doc_id, count(*)::BIGINT as n_lost from losers group by doc_id
+) l using (doc_id)
+left join cov c using (doc_id)
+"""
+
+
 REGISTRY = {
+    "doc_substring_dedup": (doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
     "doc_top_tfidf_per_lang": (doc_top_tfidf_per_lang, DOC_TOP_TFIDF_SQL),

@@ -164,6 +164,75 @@ def test_membership_flag_paths():
         assert (out["_in_set"] == (out["h"].str[1:].astype(int) % 5 == 0)).all()
 
 
+def test_substring_dedup_planted_passages():
+    """Cross-doc repeated passage: the later copy is masked, the first
+    kept verbatim; unique docs pass through untouched; a within-doc
+    repetition masks its second occurrence."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions import substring_dedup
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    refrain = "red orange yellow green blue indigo violet umber ochre teal"
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": f"{passage} tail zero marker"},
+            {"doc_id": 1, "text": f"head one marker {passage}"},
+            {"doc_id": 2, "text": "totally unique words without any repeats here ok"},
+            # within-doc: the same 10-token run twice (its own passage)
+            {"doc_id": 3, "text": f"{refrain} {refrain}"},
+        ]
+    )
+    out = (
+        substring_dedup(docs, window=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0 is the global first occurrence → untouched
+    assert out.loc[0, "kept_text"] == f"{passage} tail zero marker"
+    assert out.loc[0, "n_lost"] == 0 and out.loc[0, "n_masked"] == 0
+    # doc 1's copy of the passage is masked (its own head survives)
+    assert out.loc[1, "kept_text"] == "head one marker"
+    assert out.loc[1, "n_masked"] == 10
+    # unique doc untouched
+    assert out.loc[2, "n_lost"] == 0
+    assert out.loc[2, "kept_text"].startswith("totally unique")
+    # within-doc: second occurrence masked, first kept — and the
+    # bridging windows mask nothing extra beyond the repeat
+    assert out.loc[3, "kept_text"] == refrain
+    assert out.loc[3, "n_masked"] == 10
+
+
+def test_substring_dedup_blob_path_equality(monkeypatch):
+    """The crawl-scale per-doc-blob join path must equal the broadcast
+    path exactly."""
+    import ray.data as rd
+
+    import ocr_poc_ray.functions.dedup as dd
+
+    rng = np.random.RandomState(3)
+    words = np.array([f"w{i}" for i in range(300)])
+    passage = " ".join(words[rng.choice(300, size=12, replace=False)])
+    rows = []
+    for i in range(60):
+        body = " ".join(words[rng.choice(300, size=25)])
+        text = f"{body} {passage}" if i % 4 == 0 else body
+        rows.append({"doc_id": i, "text": text})
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    base = (
+        dd.substring_dedup(docs, window=8).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    blob = (
+        dd.substring_dedup(docs, window=8).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, blob)
+    assert (base["n_lost"] > 0).any()
+
+
 def test_giant_cluster_yields_all_pairs():
     # a 1000-doc duplicate cluster overflows the per-task chunk bound
     # (_BUCKET_CHUNK=512 → k=2 grid); EVERY C(1000,2) pair must survive —
