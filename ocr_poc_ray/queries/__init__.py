@@ -86,7 +86,7 @@ _PRIORITY: list[str] = [
     "doc_curation_pipeline",
     "doc_near_dup_components",
     "doc_chunk_dedup",
-    "doc_train_split",
+    "doc_substring_dedup",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {}
