@@ -279,3 +279,61 @@ def test_dup_ngram_fraction_matches_pure_python(ray_session, seed, n_docs):
             exp_df.astype({"doc_id": "int64", "n_shingles": "int64"}),
             check_dtype=False,
         )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000), n_docs=st.integers(4, 20))
+def test_substring_dedup_matches_bruteforce(ray_session, seed, n_docs):
+    """substring_dedup over random tiny-alphabet corpora (forcing
+    repeated windows) equals a pure-Python first-occurrence oracle."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_poc_ray.functions import substring_dedup
+
+    W = 4  # small window so repeats actually occur
+    rng = np.random.RandomState(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+        for _ in range(n_docs)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+
+    # brute-force oracle: global first occurrence per window tuple
+    first: dict = {}
+    for d, t in enumerate(texts):
+        toks = t.lower().split()
+        for p in range(max(len(toks) - W + 1, 0)):
+            first.setdefault(tuple(toks[p : p + W]), (d, p))
+    expected = {}
+    for d, t in enumerate(texts):
+        toks = t.split()
+        low = t.lower().split()
+        losers = [
+            p
+            for p in range(max(len(low) - W + 1, 0))
+            if first[tuple(low[p : p + W])] != (d, p)
+        ]
+        cover = np.zeros(len(toks), dtype=bool)
+        for p in losers:
+            cover[p : p + W] = True
+        expected[d] = (
+            " ".join(tok for tok, c in zip(toks, cover) if not c),
+            len(losers),
+            int(cover.sum()),
+        )
+
+    out = (
+        substring_dedup(rd.from_pandas(df), window=W)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == n_docs
+    for d in range(n_docs):
+        kept, n_lost, n_masked = expected[d]
+        assert out.loc[d, "kept_text"] == kept, (seed, d)
+        assert out.loc[d, "n_lost"] == n_lost, (seed, d)
+        assert out.loc[d, "n_masked"] == n_masked, (seed, d)
