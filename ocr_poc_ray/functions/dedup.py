@@ -96,6 +96,22 @@ def _doc_shingle_hashes(th: np.ndarray, n: int = 3) -> np.ndarray:
 # Scale-safe membership filter (broadcast ↔ bloom semi-join switch)
 # --------------------------------------------------------------------------
 
+def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> int:
+    """Bucket count for the bounded-bucket combine pattern, scaled to
+    DATA bytes (~64 MB of rows per bucket task, `floor` when the size
+    is unknown).  Group-per-bucket overhead is trivial up to thousands
+    of buckets, while a FIXED count hands each combine task size/32 of
+    a corpus-volume projection at 100 TB.  Works on materialized
+    datasets (metadata) and parquet reads (file-meta estimate)."""
+    try:
+        n = ds.size_bytes()
+        if n is None:
+            return floor
+        return max(floor, int(n // bytes_per_bucket))
+    except Exception:
+        return floor
+
+
 def _join_parallelism(requested: int) -> int:
     """Hash-join partition count capped at cluster CPUs: the join's
     aggregator pool reserves a slot per partition, and asking for more
@@ -270,10 +286,10 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
     # duplicate hashes + their min-id winners in ONE bounded pass: per
     # batch, (hash → count, min id) partials (corpus-sized for a mostly-
     # unique corpus, so NEVER collected raw to the driver); a bounded
-    # bucket groupby (32 groups — never one per hash) combines them and
-    # emits only the TRUE duplicates with their winners — the quantity
-    # dedup exists to remove, small by construction — for broadcast.
-    _N_BUCKETS = 32
+    # bucket groupby (data-scaled count — never one per hash) combines
+    # them and emits only the TRUE duplicates with their winners — the
+    # quantity dedup exists to remove, small by construction.
+    _N_BUCKETS = _scaled_buckets(hashed)
 
     def partial_stats(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("content_hash", as_index=False).agg(
@@ -340,7 +356,11 @@ def _filter_hot_buckets(
     """
     import ray
 
-    _N_META_BUCKETS = 32
+    # meta-bucket count scales with DATA (64 MB of partial rows per
+    # bucket, floor 32): a fixed 32 would hand each combine task 1/32
+    # of a token-volume projection at 100 TB.  Callers pass `exploded`
+    # materialized, so size_bytes() is metadata.
+    _N_META_BUCKETS = _scaled_buckets(exploded)
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(key_cols, as_index=False).size()
@@ -442,15 +462,20 @@ def _salt_oversized(
     return exploded.map_batches(add_cells, batch_format="pandas")
 
 
-def _distinct_pairs(pairs: Dataset, cols: list[str]) -> Dataset:
+def _distinct_pairs(
+    pairs: Dataset, cols: list[str], *, n_buckets: int = 256
+) -> Dataset:
     """Exact distinct over candidate-pair rows whose values are
     identical for every duplicate occurrence: local drop_duplicates per
     batch (the combiner), then a BOUNDED hash-bucket groupby finishes
     the distinct — never one Ray group per pair (many-singleton
     groupbys dominate wall time, measured) and never a driver-side
     collect (a web-scale dup set can be billions of pairs; the result
-    stays a streamable Dataset)."""
-    _B = 32
+    stays a streamable Dataset).  ``n_buckets`` bounds per-task group
+    size (pairs/n_buckets rows each); callers that can bound the pair
+    volume upstream should scale it (group-per-bucket overhead is
+    trivial up to thousands of buckets)."""
+    _B = n_buckets
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         g = b.drop_duplicates(cols)
@@ -1518,9 +1543,11 @@ def substring_dedup(
             rebuild_with(lambda _d, _n, _r: _empty_pos), batch_format="pandas"
         )
 
+    wb = _scaled_buckets(exploded, floor=n_buckets)
+
     def add_wb(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(
-            _wb=(b["wh"].to_numpy().view(np.uint64) % np.uint64(n_buckets)).astype(
+            _wb=(b["wh"].to_numpy().view(np.uint64) % np.uint64(wb)).astype(
                 np.int64
             )
         )
@@ -1626,6 +1653,9 @@ def chunk_dedup(
     from ocr_poc_ray.functions.textstats import _chunk_kernel, chunk_tokens
 
     narrow = ds.select_columns([id_col, text_col])
+    # discovery-bucket count tracks the text volume (parquet reads
+    # estimate size_bytes from file metadata without executing)
+    n_buckets = _scaled_buckets(narrow, floor=n_buckets)
     chunks = chunk_tokens(
         narrow, chunk_size=chunk_size, text_col=text_col, id_col=id_col
     )

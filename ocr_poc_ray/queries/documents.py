@@ -613,7 +613,9 @@ def doc_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     import hashlib as _hl
 
-    _B = 32
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    _B = _scaled_buckets(annotated)
 
     def hash_ids(batch: pd.DataFrame) -> pd.DataFrame:
         h = [_hl.md5(t.encode("utf-8", "ignore")).hexdigest() for t in batch["text"]]

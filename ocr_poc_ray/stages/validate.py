@@ -49,10 +49,12 @@ def dedup_turns(ds):
     keyed = ds.map_batches(key_batch, batch_format="pandas").materialize()
 
     # duplicate keys via per-batch partial counts summed in a BOUNDED
-    # bucket groupby (32 groups, never one per key): only the true
-    # duplicates — retry noise, small by construction — reach the
-    # driver for broadcast (same shape as functions.dedup.exact_dedup).
-    _B = 32
+    # bucket groupby (data-scaled count, never one per key): only the
+    # true duplicates — retry noise, small by construction — go to the
+    # membership switch (same shape as functions.dedup.exact_dedup).
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    _B = _scaled_buckets(keyed)
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch[["_turn_key"]].groupby("_turn_key", as_index=False).size()
