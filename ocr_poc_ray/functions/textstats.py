@@ -287,6 +287,9 @@ def top_tokens(
     bucket count bounds the combine's group cardinality (vocabulary /
     n_buckets per group), never the corpus size."""
 
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    n_buckets = _scaled_buckets(ds, floor=n_buckets)
     partial = _vocab_partial(text_col, n_buckets)
 
     def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -324,7 +327,9 @@ def token_freq_spectrum(
     count-of-counts partial → one tiny combine over distinct frequency
     values (≪ vocabulary; bounded by the largest token count)."""
 
-    partial = _vocab_partial(text_col, n_buckets)
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    partial = _vocab_partial(text_col, _scaled_buckets(ds, floor=n_buckets))
     return _freq_spectrum_finish(ds.map_batches(partial, batch_format="pyarrow"))
 
 
