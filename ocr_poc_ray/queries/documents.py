@@ -3023,7 +3023,40 @@ left join cov c using (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrub: redact emails / IPv4 / long digit runs, count per category
+# (standard C4/RefinedWeb-style curation stage; row-local Arrow RE2
+# projection, zero exchange).  The word-salad corpus contains no PII, so
+# the oracle here is a full-text byte-equality identity check; the
+# non-vacuous legs run over customer.c_name and events.props
+# (queries/relational.py) and the synthetic-PII unit fixture.
+# ---------------------------------------------------------------------------
+
+def doc_pii_redact(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.pii import pii_scrub
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = pii_scrub(ds, "text", keep_cols=["doc_id"]).to_pandas()
+    return out.astype(
+        {"n_email": "int64", "n_ipv4": "int64", "n_id_digits": "int64"}
+    )
+
+
+def _doc_pii_redact_sql() -> str:
+    from ocr_poc_ray.functions.pii import sql_count_exprs, sql_scrub_expr
+
+    return f"""
+select doc_id, {sql_scrub_expr('text')} as clean_text,
+       {sql_count_exprs('text')}
+from documents
+"""
+
+
+DOC_PII_REDACT_SQL = _doc_pii_redact_sql()
+
+
 REGISTRY = {
+    "doc_pii_redact": (doc_pii_redact, DOC_PII_REDACT_SQL),
     "doc_substring_dedup": (doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),

@@ -2171,8 +2171,80 @@ qualify rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrub legs that actually FIRE on the testdata (see functions/pii.py):
+# every c_name carries a 9-digit id run; every events.props carries a
+# short numeric value.  Pure row-local Arrow RE2 projections.
+# ---------------------------------------------------------------------------
+
+def rel_scrub_customer_names(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.pii import pii_scrub
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+    out = pii_scrub(
+        ds, "c_name", keep_cols=["c_custkey"], out_text_col="clean_name"
+    ).to_pandas()
+    return out.astype(
+        {"n_email": "int64", "n_ipv4": "int64", "n_id_digits": "int64"}
+    )
+
+
+def _rel_scrub_customer_names_sql() -> str:
+    from ocr_poc_ray.functions.pii import sql_count_exprs, sql_scrub_expr
+
+    return f"""
+select c_custkey, {sql_scrub_expr('c_name')} as clean_name,
+       {sql_count_exprs('c_name')}
+from customer
+"""
+
+
+REL_SCRUB_CUSTOMER_NAMES_SQL = _rel_scrub_customer_names_sql()
+
+
+#: numeric literals inside the props JSON blobs (any digit run)
+_PROPS_PATTERNS = (("num", r"\d+", "[N]"),)
+
+
+def rel_event_props_scrub(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.pii import pii_scrub
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "props"]
+    )
+    out = pii_scrub(
+        ds,
+        "props",
+        keep_cols=["event_id"],
+        out_text_col="clean_props",
+        patterns=_PROPS_PATTERNS,
+    ).to_pandas()
+    return out.astype({"n_num": "int64"})
+
+
+def _rel_event_props_scrub_sql() -> str:
+    from ocr_poc_ray.functions.pii import sql_count_exprs, sql_scrub_expr
+
+    return f"""
+select event_id,
+       {sql_scrub_expr('props', _PROPS_PATTERNS)} as clean_props,
+       {sql_count_exprs('props', _PROPS_PATTERNS)}
+from events
+"""
+
+
+REL_EVENT_PROPS_SCRUB_SQL = _rel_event_props_scrub_sql()
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_scrub_customer_names": (
+        rel_scrub_customer_names,
+        REL_SCRUB_CUSTOMER_NAMES_SQL,
+    ),
+    "rel_event_props_scrub": (rel_event_props_scrub, REL_EVENT_PROPS_SCRUB_SQL),
     "rel_region_supplier_balance": (
         rel_region_supplier_balance,
         REL_REGION_SUPPLIER_SQL,

@@ -1085,3 +1085,51 @@ def test_cluster_exemplars_on_blobs(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp, check_dtype=False, atol=1e-6
     )
+
+
+# -- PII scrub ----------------------------------------------------------------
+def test_pii_scrub_redacts_and_counts():
+    from ocr_poc_ray.functions.pii import pii_scrub
+
+    rows = [
+        {"doc_id": 0, "text": "mail alice.b+tag@corp.example.org today"},
+        {"doc_id": 1, "text": "hosts 10.0.0.1 and 172.16.254.3, port 8080"},
+        {"doc_id": 2, "text": "acct 9876543210 pin 12345"},
+        {"doc_id": 3, "text": "clean text with no sensitive spans"},
+        {"doc_id": 4, "text": "x@y.io at 8.8.8.8 ref 00112233445566"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = (
+        pii_scrub(ds, "text", keep_cols=["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == [
+        "mail [EMAIL] today",
+        "hosts [IP] and [IP], port 8080",
+        "acct [ID] pin 12345",
+        "clean text with no sensitive spans",
+        "[EMAIL] at [IP] ref [ID]",
+    ]
+    assert out["n_email"].tolist() == [1, 0, 0, 0, 1]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 0, 1]
+    assert out["n_id_digits"].tolist() == [0, 0, 1, 0, 1]
+
+
+def test_pii_scrub_idempotent():
+    """Redaction tokens contain no digits/@, so a second pass is the
+    identity — the scrub is safe to re-run on partially-clean data."""
+    from ocr_poc_ray.functions.pii import scrub_arrays
+
+    texts = pa.array(
+        [
+            "a@b.co 1.2.3.4 123456789 end",
+            "already [EMAIL] [IP] [ID] clean",
+            "",
+        ]
+    )
+    once, _ = scrub_arrays(texts)
+    twice, counts2 = scrub_arrays(once)
+    assert once.to_pylist() == twice.to_pylist()
+    assert all(c.to_pylist() == [0, 0, 0] for c in counts2.values())
