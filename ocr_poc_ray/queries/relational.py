@@ -483,6 +483,73 @@ group by date_trunc('day', ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# Hopping-window aggregate (overlapping windows): 6-hour windows
+# advancing every 3 hours, so each event lands in exactly
+# size/hop = 2 windows.  Window replication is a row-local flat
+# projection (k-fold fan-out of a narrow (start, value) pair), so —
+# like the tumbling case — the only exchange is the tiny combine over
+# O(corpus_days * windows_per_day) partial rows.
+# ---------------------------------------------------------------------------
+
+HOP_SECONDS = 10_800  # 3 h
+HOP_WINDOWS_PER_EVENT = 2  # window size = 2 hops = 6 h
+
+
+def rel_hopping_window(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        es = batch["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+        s0 = (es // HOP_SECONDS * HOP_SECONDS).to_numpy()
+        vals = batch["value"].to_numpy()
+        b = pd.DataFrame(
+            {
+                "window_start_epoch": np.concatenate(
+                    [s0 - k * HOP_SECONDS for k in range(HOP_WINDOWS_PER_EVENT)]
+                ),
+                "value": np.tile(vals, HOP_WINDOWS_PER_EVENT),
+            }
+        )
+        return b.groupby("window_start_epoch", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start_epoch": [int(group["window_start_epoch"].iloc[0])],
+                "n": [int(group["n"].sum())],
+                "total_value": [round(group["total_value"].sum(), 2)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("window_start_epoch")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype(
+        {"window_start_epoch": "int64", "n": "int64"}
+    )
+
+
+REL_HOPPING_WINDOW_SQL = f"""
+with e as (select epoch_us(ts) // 1000000 as es, value from events),
+w as (
+  select unnest([es // {HOP_SECONDS} * {HOP_SECONDS},
+                 es // {HOP_SECONDS} * {HOP_SECONDS} - {HOP_SECONDS}])
+             as window_start_epoch,
+         value
+  from e
+)
+select window_start_epoch, count(*)::BIGINT as n,
+       round(sum(value), 2) as total_value
+from w
+group by window_start_epoch
+"""
+
+
 def rel_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Distinct users per event type: per-batch local distinct (the
     combiner) then an exact distinct-count over the shrunken pairs."""
@@ -2302,6 +2369,7 @@ REGISTRY = {
     ),
     "rel_asof_purchase_click": (rel_asof_purchase_click, REL_ASOF_SQL),
     "rel_daily_events": (rel_daily_events, REL_DAILY_EVENTS_SQL),
+    "rel_hopping_window": (rel_hopping_window, REL_HOPPING_WINDOW_SQL),
     "rel_distinct_users": (rel_distinct_users, REL_DISTINCT_USERS_SQL),
     "rel_mktsegment_revenue_hashjoin": (
         rel_mktsegment_revenue_hashjoin,
