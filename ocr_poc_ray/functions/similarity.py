@@ -403,3 +403,138 @@ def embedding_near_dup_pairs(
     import ray.data as rd
 
     return rd.from_pandas_refs(refs)
+
+
+# --------------------------------------------------------------------------
+# Product-quantization (PQ) ANN: IVFADC-style asymmetric distance scan
+# --------------------------------------------------------------------------
+
+
+def _kmeans_l2(X: np.ndarray, k: int, *, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Seeded euclidean k-means for PQ sub-codebooks (cosine centroids
+    are wrong here: subvectors are not unit-norm)."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _pq_encode(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m) uint8 codes.  codebooks: (m, ncode, dsub)."""
+    m, _ncode, dsub = codebooks.shape
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]  # (n, dsub)
+        C = codebooks[s]  # (ncode, dsub)
+        # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; argmin drops ||x||^2
+        d2 = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def knn_pq(
+    ds: Dataset,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    m: int = 16,
+    nbits: int = 4,
+    train_size: int = 2048,
+    refine_factor: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Approximate top-k via product quantization with exact refinement.
+
+    The 100-TB memory path: a PQ code is m bytes per vector (64-dim
+    float64 → 8 bytes, a 64× compression), so a scan task's working set
+    is codes + one (m × 2^nbits) lookup table per query.  Shape:
+
+    1. train m euclidean sub-codebooks on a bounded seeded sample
+       (one driver-side read, same contract as ``knn_ivf``),
+    2. broadcast codebooks + normalized query matrix once (``ray.put``),
+    3. one streaming pass: each batch encodes itself (m small matmuls),
+       scores all queries via LUT gather-sum (asymmetric distance —
+       exact query side, quantized corpus side), takes an over-fetched
+       ADC top-(k·refine_factor), then re-scores ONLY those candidates
+       exactly against the in-batch float vectors,
+    4. per-query merge of exact-scored partials (k × num_blocks rows).
+
+    Returned cosines are exact (refinement), so ties/ranks are stable;
+    only candidate RECALL is approximate (asserted vs brute force in
+    tests).
+    """
+    ncode = 2**nbits
+    n = ds.count()
+    frac = min(1.0, (train_size * 1.2) / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(train_size).to_pandas()
+    if sample.empty:
+        sample = ds.limit(train_size).to_pandas()
+    X_train = _normalize(_to_matrix(sample[vec_col]))
+    d = X_train.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.stack(
+        [
+            _kmeans_l2(X_train[:, s * dsub : (s + 1) * dsub], ncode, seed=seed + s)
+            for s in range(m)
+        ]
+    )  # (m, ncode, dsub)
+
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    # Per-query LUT of partial inner products: LUT[q, s, c] = C[s,c]·q_s
+    lut = np.einsum("scd,qsd->qsc", codebooks, q_mat.reshape(len(q_mat), m, dsub))
+    state_ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": q_mat, "books": codebooks, "lut": lut}
+    )
+    fetch = max(k * refine_factor, k + 1)
+
+    def partial_pq_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(state_ref)
+        query_ids, Q, books, lut = st["ids"], st["mat"], st["books"], st["lut"]
+        X = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        codes = _pq_encode(X, books)  # (n, m) uint8
+        m_ = books.shape[0]
+        cols = np.arange(m_)[None, :]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(Q.shape[0]):
+            approx = lut[qi][cols, codes].sum(axis=1)  # (n,) ADC scores
+            kk = min(fetch, len(ids))
+            cand = (
+                np.argpartition(-approx, kk - 1)[:kk]
+                if kk < len(ids)
+                else np.arange(len(ids))
+            )
+            exact = X[cand] @ Q[qi]  # refine: exact cosine on candidates
+            for t in range(len(cand)):
+                nid = ids[cand[t]]
+                if exclude_self and nid == query_ids[qi]:
+                    continue
+                out_q.append(query_ids[qi])
+                out_n.append(nid)
+                out_s.append(exact[t])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partial = ds.map_batches(partial_pq_topk, batch_format="pandas", batch_size=4096)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cosine"] = g["cosine"].round(4)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -23,6 +23,7 @@ from ocr_poc_ray.functions.similarity import (
     knn_brute_force,
     knn_ivf,
     knn_lsh,
+    knn_pq,
 )
 
 KNN_K = 10
@@ -105,6 +106,18 @@ def vec_knn_ivf(sf_dir: str) -> pd.DataFrame:
     ids, vecs = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     out = knn_ivf(ds, ids, vecs, k=KNN_K, nlist=16, nprobe=6).to_pandas()
+    out = out[["query_id", "neighbor_id", "cosine", "rank"]]
+    return out.astype(
+        {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int64"}
+    )
+
+
+def vec_knn_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN with exact refinement — rows-only;
+    recall vs brute force is asserted in tests/test_functions.py."""
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    out = knn_pq(ds, ids, vecs, k=KNN_K, m=16, nbits=4).to_pandas()
     out = out[["query_id", "neighbor_id", "cosine", "rank"]]
     return out.astype(
         {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int64"}
@@ -519,6 +532,7 @@ REGISTRY = {
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),
     "vec_knn_ivf": (vec_knn_ivf, None),
+    "vec_knn_pq": (vec_knn_pq, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_norm_outliers": (vec_norm_outliers, VEC_NORM_OUTLIERS_SQL),
     "vec_cluster_exemplars": (vec_cluster_exemplars, None),

@@ -1133,3 +1133,47 @@ def test_pii_scrub_idempotent():
     twice, counts2 = scrub_arrays(once)
     assert once.to_pylist() == twice.to_pylist()
     assert all(c.to_pylist() == [0, 0, 0] for c in counts2.values())
+
+
+def test_knn_pq_recall(emb_ds):
+    """PQ-ADC with exact refinement recovers most brute-force neighbors,
+    and returned cosines are exact (refinement re-scores candidates)."""
+    from ocr_poc_ray.functions.similarity import knn_brute_force, knn_pq
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.vstack(
+        [np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]]
+    )
+    exact = knn_brute_force(emb_ds, qids, qvecs, k=5).to_pandas()
+    approx = knn_pq(emb_ds, qids, qvecs, k=5, m=16, nbits=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = exact.loc[exact.query_id == qid].set_index("neighbor_id")["cosine"]
+        a = approx.loc[approx.query_id == qid].set_index("neighbor_id")["cosine"]
+        common = e.index.intersection(a.index)
+        if len(e):
+            recalls.append(len(common) / len(e))
+        # exact refinement: cosine agrees to the shared 4-dp rounding
+        assert (e.loc[common] - a.loc[common]).abs().max() <= 1e-9
+    assert np.mean(recalls) >= 0.6, np.mean(recalls)
+
+
+def test_pq_encode_roundtrip_distortion():
+    """Quantizing then scoring via the LUT approximates the true inner
+    product: mean ADC error is far below inter-neighbor cosine gaps."""
+    from ocr_poc_ray.functions.similarity import _kmeans_l2, _normalize, _pq_encode
+
+    rng = np.random.RandomState(0)
+    X = _normalize(rng.randn(400, 32))
+    m, dsub, ncode = 4, 8, 16
+    books = np.stack(
+        [_kmeans_l2(X[:, s * dsub : (s + 1) * dsub], ncode, seed=s) for s in range(m)]
+    )
+    codes = _pq_encode(X, books)
+    Xq = np.concatenate(
+        [books[s][codes[:, s]] for s in range(m)], axis=1
+    )  # decoded approximation
+    q = _normalize(rng.randn(3, 32))
+    err = np.abs(Xq @ q.T - X @ q.T)
+    assert err.mean() < 0.15, err.mean()
