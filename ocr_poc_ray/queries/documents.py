@@ -3055,8 +3055,135 @@ from documents
 DOC_PII_REDACT_SQL = _doc_pii_redact_sql()
 
 
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: pairwise Jaccard of the DISTINCT
+# 3-gram shingle sets of every source pair — the corpus-level overlap
+# audit that pairs with doc_decontaminate (is source A leaking into
+# source B's "held-out" slice?).  Shape: one (shingle_hash, source)
+# distinct projection (never text), hash-bucketed so each bucket task
+# counts its per-source sizes and per-pair intersections with a
+# vectorized self-merge; the driver only sees buckets × (S + S²/2)
+# integer partial rows.  Hashes stand in for shingle strings under the
+# same negligible-collision contract the jaccard oracles verify.
+# ---------------------------------------------------------------------------
+
+def doc_source_contamination(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import (
+        _batch_token_hashes,
+        _doc_shingle_hashes,
+        _scaled_buckets,
+    )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch["text"])
+        srcs = batch["source"].to_numpy()
+        out_ps, out_src = [], []
+        for d in range(len(batch)):
+            tok = th[offsets[d] : offsets[d + 1]]
+            if len(tok) < 3:  # no 3-grams — absent on both engines
+                continue
+            sh = _doc_shingle_hashes(tok, 3)
+            out_ps.append(sh)
+            out_src.append(np.full(len(sh), srcs[d], dtype=object))
+        if not out_ps:
+            return pd.DataFrame(
+                {"ps": pd.Series([], dtype="int64"),
+                 "source": pd.Series([], dtype=object)}
+            )
+        b = pd.DataFrame(
+            {"ps": np.concatenate(out_ps).view(np.int64),
+             "source": np.concatenate(out_src)}
+        )
+        return b.drop_duplicates()  # local (shingle, source) dedup
+
+    exploded = ds.map_batches(explode, batch_format="pandas").materialize()
+    nb = _scaled_buckets(exploded)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hb=(b["ps"] % nb).astype("int64"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["ps", "source"])
+        sizes = d.groupby("source").size()
+        size_rows = pd.DataFrame(
+            {"source_a": sizes.index, "source_b": "", "n": sizes.to_numpy()}
+        )
+        pairs = d.merge(d, on="ps")
+        pairs = pairs[pairs["source_x"] < pairs["source_y"]]
+        inter = pairs.groupby(["source_x", "source_y"], as_index=False).size()
+        pair_rows = pd.DataFrame(
+            {"source_a": inter["source_x"], "source_b": inter["source_y"],
+             "n": inter["size"]}
+        )
+        return pd.concat([size_rows, pair_rows], ignore_index=True)
+
+    partials = (
+        exploded.map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # buckets × (S + S²/2) integer rows — result-sized
+    )
+    agg = partials.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+    sizes = agg[agg["source_b"] == ""].set_index("source_a")["n"]
+    inter = {
+        (r.source_a, r.source_b): int(r.n)
+        for r in agg[agg["source_b"] != ""].itertuples()
+    }
+    srcs = sorted(sizes.index)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            n_a, n_b = int(sizes[a]), int(sizes[b])
+            n_common = inter.get((a, b), 0)
+            rows.append(
+                {
+                    "source_a": a,
+                    "source_b": b,
+                    "n_a": n_a,
+                    "n_b": n_b,
+                    "n_common": n_common,
+                    "jaccard": round(n_common / (n_a + n_b - n_common), 6),
+                }
+            )
+    return pd.DataFrame(rows).astype(
+        {"n_a": "int64", "n_b": "int64", "n_common": "int64",
+         "jaccard": "float64"}
+    )
+
+
+DOC_SOURCE_CONTAMINATION_SQL = r"""
+with t as (
+  select source, regexp_extract_all(lower(text), '\S+') as toks from documents
+), g as (
+  select source, unnest(list_zip(toks[1:-3], toks[2:-2], toks[3:-1])) as tri
+  from t where len(toks) >= 3
+), d as (
+  select distinct source, tri from g
+), sz as (
+  select source, count(*) as n from d group by source
+), inter as (
+  select a.source as source_a, b.source as source_b, count(*) as n_common
+  from d a join d b on a.tri = b.tri and a.source < b.source
+  group by a.source, b.source
+)
+select sa.source as source_a, sb.source as source_b,
+       sa.n::BIGINT as n_a, sb.n::BIGINT as n_b,
+       coalesce(i.n_common, 0)::BIGINT as n_common,
+       round(coalesce(i.n_common, 0)
+             / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) as jaccard
+from sz sa
+join sz sb on sa.source < sb.source
+left join inter i on i.source_a = sa.source and i.source_b = sb.source
+"""
+
+
 REGISTRY = {
     "doc_pii_redact": (doc_pii_redact, DOC_PII_REDACT_SQL),
+    "doc_source_contamination": (
+        doc_source_contamination, DOC_SOURCE_CONTAMINATION_SQL,
+    ),
     "doc_substring_dedup": (doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
