@@ -1177,3 +1177,111 @@ def test_pq_encode_roundtrip_distortion():
     q = _normalize(rng.randn(3, 32))
     err = np.abs(Xq @ q.T - X @ q.T)
     assert err.mean() < 0.15, err.mean()
+
+
+# -- source contamination matrix ----------------------------------------------
+def test_source_contamination_partition_invariant(tmp_path):
+    """The bucketed distinct/intersection passes must not depend on
+    block boundaries: an 8-file corpus (8 read blocks) equals the
+    single-file run and a pure-Python trigram-set oracle."""
+    from ocr_poc_ray.queries.documents import doc_source_contamination
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(160):
+        toks = rng.choice(vocab, size=rng.randint(3, 12)).tolist()
+        rows.append(
+            {"doc_id": i, "text": " ".join(toks), "source": f"s{i % 4}"}
+        )
+    df = pd.DataFrame(rows)
+
+    single = tmp_path / "single"
+    multi = tmp_path / "multi"
+    (single).mkdir(), (multi / "documents.parquet").mkdir(parents=True)
+    df.to_parquet(single / "documents.parquet", index=False)
+    for part in range(8):
+        df.iloc[part::8].to_parquet(
+            multi / "documents.parquet" / f"part-{part}.parquet", index=False
+        )
+
+    def canon(out):
+        return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+    got_single = canon(doc_source_contamination(str(single)))
+    got_multi = canon(doc_source_contamination(str(multi)))
+    pd.testing.assert_frame_equal(got_single, got_multi)
+
+    # pure-Python oracle
+    sets: dict[str, set] = {}
+    for r in rows:
+        toks = r["text"].lower().split()
+        tris = {tuple(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if len(toks) >= 3:
+            sets.setdefault(r["source"], set()).update(tris)
+    srcs = sorted(sets)
+    exp = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            n_common = len(sets[a] & sets[b])
+            exp.append(
+                {
+                    "source_a": a, "source_b": b,
+                    "n_a": len(sets[a]), "n_b": len(sets[b]),
+                    "n_common": n_common,
+                    "jaccard": round(
+                        n_common / (len(sets[a]) + len(sets[b]) - n_common), 6
+                    ),
+                }
+            )
+    exp_df = pd.DataFrame(exp).astype(
+        {"n_a": "int64", "n_b": "int64", "n_common": "int64", "jaccard": "float64"}
+    )
+    pd.testing.assert_frame_equal(got_single, canon(exp_df))
+
+
+def test_hopping_window_covers_each_event_twice(tmp_path):
+    """Every event lands in exactly windows-per-event hopping windows,
+    and per-window sums match a pandas oracle, independent of file
+    (block) layout."""
+    from ocr_poc_ray.queries.relational import (
+        HOP_SECONDS,
+        HOP_WINDOWS_PER_EVENT,
+        rel_hopping_window,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 500
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.randint(0, 86_400 * 3, size=n), unit="s"
+    )
+    df = pd.DataFrame({"ts": ts, "value": rng.rand(n).round(3)})
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    for part in range(6):
+        df.iloc[part::6].to_parquet(d / f"part-{part}.parquet", index=False)
+
+    out = rel_hopping_window(str(tmp_path))
+    assert out["n"].sum() == n * HOP_WINDOWS_PER_EVENT
+
+    es = ts.astype("int64") // 10**9
+    s0 = es // HOP_SECONDS * HOP_SECONDS
+    frames = pd.concat(
+        [
+            pd.DataFrame({"w": s0 - k * HOP_SECONDS, "value": df["value"].to_numpy()})
+            for k in range(HOP_WINDOWS_PER_EVENT)
+        ]
+    )
+    exp = (
+        frames.groupby("w")["value"]
+        .agg(["size", "sum"])
+        .reset_index()
+        .rename(columns={"w": "window_start_epoch", "size": "n", "sum": "total_value"})
+    )
+    exp["total_value"] = exp["total_value"].round(2)
+    got = out.sort_values("window_start_epoch").reset_index(drop=True)
+    exp = exp.sort_values("window_start_epoch").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"window_start_epoch": "int64", "n": "int64"}),
+        check_dtype=False,
+    )
