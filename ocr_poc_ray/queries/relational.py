@@ -2305,8 +2305,162 @@ from events
 REL_EVENT_PROPS_SCRUB_SQL = _rel_event_props_scrub_sql()
 
 
+# ---------------------------------------------------------------------------
+# FULL OUTER join: per-(user, day) click activity ⋈ purchase activity,
+# rows surviving from EITHER side with zero-fill + presence markers
+# (completes the join family: inner/broadcast, hash, left-outer, semi,
+# anti, as-of, range, and now full-outer).  Both sides are partial
+# per-batch counts of a narrow projection; the co-group is a bounded
+# hash-bucket combine — full-outer semantics come free because any key
+# with either side's partials appears in its bucket.
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_BUCKETS = 16
+
+
+def rel_click_purchase_full_outer(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(("click", "purchase"))]
+        if b.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "day_epoch": pd.Series([], dtype="int64"),
+                 "n_clicks": pd.Series([], dtype="int64"),
+                 "n_purchases": pd.Series([], dtype="int64")}
+            )
+        day = (
+            b["ts"].astype("datetime64[us]").dt.floor("D").astype("int64")
+            // 1_000_000
+        )
+        g = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "day_epoch": day.to_numpy(),
+             "is_click": (b["event_type"] == "click").to_numpy()}
+        )
+        agg = g.groupby(["user_id", "day_epoch"], as_index=False).agg(
+            n_clicks=("is_click", "sum"), n_total=("is_click", "size")
+        )
+        agg["n_purchases"] = agg["n_total"] - agg["n_clicks"]
+        return agg[["user_id", "day_epoch", "n_clicks", "n_purchases"]]
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _hb=(b["user_id"] % FULL_OUTER_BUCKETS).astype("int64")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "day_epoch"], as_index=False).agg(
+            n_clicks=("n_clicks", "sum"), n_purchases=("n_purchases", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "day_epoch": agg["day_epoch"].astype("int64"),
+                "n_clicks": agg["n_clicks"].astype("int64"),
+                "n_purchases": agg["n_purchases"].astype("int64"),
+                "has_click": agg["n_clicks"].to_numpy() > 0,
+                "has_purchase": agg["n_purchases"].to_numpy() > 0,
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas()
+
+
+REL_CLICK_PURCHASE_FULL_OUTER_SQL = """
+with cl as (
+  select user_id, epoch_us(date_trunc('day', ts)) // 1000000 as day_epoch,
+         count(*) as n
+  from events where event_type = 'click' group by 1, 2
+), pu as (
+  select user_id, epoch_us(date_trunc('day', ts)) // 1000000 as day_epoch,
+         count(*) as n
+  from events where event_type = 'purchase' group by 1, 2
+)
+select coalesce(cl.user_id, pu.user_id) as user_id,
+       coalesce(cl.day_epoch, pu.day_epoch) as day_epoch,
+       coalesce(cl.n, 0)::BIGINT as n_clicks,
+       coalesce(pu.n, 0)::BIGINT as n_purchases,
+       (cl.user_id is not null) as has_click,
+       (pu.user_id is not null) as has_purchase
+from cl full outer join pu
+  on cl.user_id = pu.user_id and cl.day_epoch = pu.day_epoch
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column profiler: one streaming pass over the fact table emitting
+# per-column (rows, nulls, min, max) — the ingest-time data-quality
+# audit.  Per-batch partials are COLUMNS × 4 scalars; the combine is a
+# single tiny groupby.
+# ---------------------------------------------------------------------------
+
+PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def rel_lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=list(PROFILE_COLUMNS)
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in PROFILE_COLUMNS:
+            v = batch[c]
+            rows.append(
+                {
+                    "column": c,
+                    "n_rows": len(v),
+                    "n_null": int(v.isna().sum()),
+                    "min_value": float(v.min()),
+                    "max_value": float(v.max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "column": [g["column"].iloc[0]],
+                "n_rows": [int(g["n_rows"].sum())],
+                "n_null": [int(g["n_null"].sum())],
+                "min_value": [float(g["min_value"].min())],
+                "max_value": [float(g["max_value"].max())],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("column")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().astype({"n_rows": "int64", "n_null": "int64"})
+
+
+REL_LINEITEM_PROFILE_SQL = "\nunion all\n".join(
+    f"""select '{c}' as column, count(*)::BIGINT as n_rows,
+       (count(*) - count({c}))::BIGINT as n_null,
+       min({c})::DOUBLE as min_value, max({c})::DOUBLE as max_value
+from lineitem"""
+    for c in PROFILE_COLUMNS
+)
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_click_purchase_full_outer": (
+        rel_click_purchase_full_outer,
+        REL_CLICK_PURCHASE_FULL_OUTER_SQL,
+    ),
+    "rel_lineitem_profile": (rel_lineitem_profile, REL_LINEITEM_PROFILE_SQL),
     "rel_scrub_customer_names": (
         rel_scrub_customer_names,
         REL_SCRUB_CUSTOMER_NAMES_SQL,
