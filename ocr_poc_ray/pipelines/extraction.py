@@ -157,6 +157,29 @@ def _partition_metrics(files: list[str]) -> dict:
     return {"rows": n_rows, "success": n_success, "failed": n_rows - n_success}
 
 
+def _jsonl_partition_metrics(files: list[str]) -> dict:
+    """Success/failure counts for JSONL output: one distributed pass
+    over the written files (a row format has no columnar footer to
+    project — the documented cost of the jsonl sink)."""
+    import pandas as pd
+
+    import ray.data as _rd
+
+    parts = (
+        _rd.read_json(files)
+        .map_batches(
+            lambda b: pd.DataFrame(
+                [{"rows": len(b), "success": int(b["success"].sum())}]
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_rows = int(parts["rows"].sum())
+    n_success = int(parts["success"].sum())
+    return {"rows": n_rows, "success": n_success, "failed": n_rows - n_success}
+
+
 def resumable_extract(
     input_path: str | list[str],
     output_dir: str,
@@ -167,6 +190,7 @@ def resumable_extract(
     concurrency: int | tuple[int, int] | None = None,
     max_partitions_this_run: int | None = None,
     dedup_input: bool = False,
+    output_format: str = "parquet",
 ) -> dict:
     """Checkpointed extraction: skip committed partitions, commit atomically.
 
@@ -175,7 +199,15 @@ def resumable_extract(
     ``dedup_input`` collapses duplicated (conv_id, turn_idx) rows per
     partition before extraction (stages.validate.dedup_turns) — the
     hygiene guard for corpora assembled from retried upstream writes.
+    ``output_format="jsonl"`` writes newline-delimited JSON shards
+    instead of parquet (the wire format downstream agent frameworks
+    consume), under the same manifest/atomic-commit contract.  Note the
+    honest cost of a row format: partition metrics need one extra
+    distributed pass over the written files (parquet gets them from a
+    single-column footer read).
     """
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown output_format: {output_format!r}")
     shards = plan_shards(input_path, target_rows=shard_rows)
     # Deterministic partition assignment: contiguous shard ranges.
     parts: dict[int, list[ParquetShard]] = {}
@@ -204,13 +236,25 @@ def resumable_extract(
         )
         # Order within the partition so output files are deterministic.
         ds = sort_by_turn(ds, num_blocks=default_sort_blocks())
-        ds.write_parquet(tmp)
         import os
 
-        files = sorted(
-            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
-        metrics = _partition_metrics(files)
+        if output_format == "jsonl":
+            ds.write_json(tmp)
+            files = sorted(
+                os.path.join(tmp, f)
+                for f in os.listdir(tmp)
+                if f.endswith(".json")
+            )
+            metrics = _jsonl_partition_metrics(files)
+        else:
+            ds.write_parquet(tmp)
+            files = sorted(
+                os.path.join(tmp, f)
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet")
+            )
+            metrics = _partition_metrics(files)
+        metrics["format"] = output_format
         manifest.commit(
             PartitionRecord(
                 partition_id=pid,

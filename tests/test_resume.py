@@ -197,3 +197,42 @@ def test_resumable_dedup_input(ray_session, corpus, tmp_path):
     ).fetchone()
     assert dup == 0
     assert n == t.num_rows  # every original turn exactly once
+
+
+def test_jsonl_sink_resume_and_parity(ray_session, corpus, tmp_path):
+    """The jsonl sink honors the same manifest contract (kill → resume
+    skips committed partitions) and its rows equal the parquet run's."""
+    jdir = str(tmp_path / "jsonl_out")
+    pdir = str(tmp_path / "pq_out")
+
+    r1 = resumable_extract(
+        corpus["transcripts"], jdir, num_partitions=4, shard_rows=500,
+        max_partitions_this_run=2, output_format="jsonl",
+    )
+    assert len(r1["partitions_ran"]) == 2
+    r2 = resumable_extract(
+        corpus["transcripts"], jdir, num_partitions=4, shard_rows=500,
+        output_format="jsonl",
+    )
+    assert sorted(r2["partitions_skipped"]) == sorted(r1["partitions_ran"])
+
+    resumable_extract(
+        corpus["transcripts"], pdir, num_partitions=4, shard_rows=500
+    )
+
+    con = duckdb.connect()
+    jrows = con.execute(
+        f"select conv_id, turn_idx, extracted_text, success "
+        f"from read_json_auto('{jdir}/partition=*/*.json') "
+        f"order by conv_id, turn_idx"
+    ).fetchall()
+    assert jrows == _rows(pdir)
+
+    # manifest records the format and real success metrics
+    with open(os.path.join(jdir, "_manifest.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert all(r["metrics"]["format"] == "jsonl" for r in recs)
+    assert sum(r["metrics"]["rows"] for r in recs) == len(jrows)
+    assert sum(r["metrics"]["success"] for r in recs) == sum(
+        1 for row in jrows if row[3]
+    )
