@@ -742,6 +742,88 @@ from e
 """
 
 
+# ---------------------------------------------------------------------------
+# Role-transition matrix: who speaks after whom.  The turn-taking
+# structure audit of an agent-transcript corpus (e.g. tool→tool runs
+# flag mis-threaded conversations).  The lag is the sort-based
+# interior-final/edge-raw window over a 2-column projection (roles are
+# deterministic from the order column itself, so only the previous
+# turn_idx ships); transition counting is row-local with a 9-cell
+# combine.
+# ---------------------------------------------------------------------------
+
+def xs_role_transitions(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "doc_id"], kind="mergesort")
+        prev = g.groupby("source", sort=False)["doc_id"].shift()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "prev_id": prev.fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+
+    lag = keyed_sorted_match(
+        ds,
+        key_col="source",
+        sort_cols=["doc_id"],
+        in_cols=["source", "doc_id"],
+        match_fn=_match,
+        out_meta={"doc_id": "int64", "prev_id": "int64"},
+    )
+    roles = np.asarray(["user", "assistant", "tool"], dtype=object)
+
+    # Knuth multiplicative hash decorrelates role from the fixed
+    # doc_id stride inside a source (plain doc_id % 3 collapses the
+    # matrix to 3 cells); exact int64 arithmetic in both engines.
+    def _role_idx(ids: np.ndarray) -> np.ndarray:
+        return (ids * 2654435761) % 4294967296 % 3
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["prev_id"] >= 0]
+        if b.empty:
+            return pd.DataFrame(
+                {"prev_role": pd.Series([], dtype=object),
+                 "role": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        d = pd.DataFrame(
+            {"prev_role": roles[_role_idx(b["prev_id"].to_numpy())],
+             "role": roles[_role_idx(b["doc_id"].to_numpy())]}
+        )
+        g = d.groupby(["prev_role", "role"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = lag.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["prev_role", "role"], as_index=False)["n"].sum()
+    return out.astype({"n": "int64"})
+
+
+XS_ROLE_TRANSITIONS_SQL = """
+with t as (
+  select doc_id,
+         lag(doc_id) over (partition by source order by doc_id) as prev_id
+  from documents
+)
+select case (prev_id * 2654435761) % 4294967296 % 3
+            when 0 then 'user' when 1 then 'assistant'
+            else 'tool' end as prev_role,
+       case (doc_id * 2654435761) % 4294967296 % 3
+            when 0 then 'user' when 1 then 'assistant'
+            else 'tool' end as role,
+       count(*)::BIGINT as n
+from t
+where prev_id is not null
+group by 1, 2
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
@@ -762,4 +844,5 @@ REGISTRY = {
     "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
+    "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
 }
