@@ -337,3 +337,41 @@ def test_substring_dedup_matches_bruteforce(ray_session, seed, n_docs):
         assert out.loc[d, "kept_text"] == kept, (seed, d)
         assert out.loc[d, "n_lost"] == n_lost, (seed, d)
         assert out.loc[d, "n_masked"] == n_masked, (seed, d)
+
+
+# PII scrub: the pyarrow-RE2 kernel and the DuckDB-RE2 SQL mirror must
+# agree byte-for-byte on arbitrary ASCII text (the whole oracle-parity
+# contract of functions/pii.py rests on this).
+_pii_alphabet = st.sampled_from(
+    list("abcXYZ019@._%+-{}\"': \t\n/\\()[]#!?,;")
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.text(alphabet=_pii_alphabet, max_size=80),
+                      min_size=1, max_size=8))
+def test_pii_scrub_matches_duckdb(texts):
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_poc_ray.functions.pii import (
+        scrub_arrays,
+        sql_count_exprs,
+        sql_scrub_expr,
+    )
+
+    red, counts = scrub_arrays(pa.array(texts, pa.string()))
+    con = duckdb.connect()
+    con.execute("create table t(i integer, s varchar)")
+    con.executemany(
+        "insert into t values (?, ?)", list(enumerate(texts))
+    )
+    rows = con.execute(
+        f"select {sql_scrub_expr('s')}, {sql_count_exprs('s')} "
+        f"from t order by i"
+    ).fetchall()
+    for i in range(len(texts)):
+        got = (red[i].as_py(),) + tuple(
+            counts[k][i].as_py() for k in ("email", "ipv4", "id_digits")
+        )
+        assert got == rows[i], (texts[i], got, rows[i])
