@@ -2454,8 +2454,81 @@ from lineitem"""
 )
 
 
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic: Gini coefficient + heaviest-key share of the
+# per-user event distribution — the pre-shuffle audit that says whether
+# a groupby/join key needs salting.  Per-user counts come from the
+# bounded-bucket combine; the rank is ONE range-sort prefix scan
+# (functions/prefix.py); the final fold sees only O(blocks) partial
+# rows.  Integer moments are exact while n_users · total_events
+# < 2^63 (past that the SQL side widens to HUGEINT and this partial
+# would need a float64 or split accumulator).
+# ---------------------------------------------------------------------------
+
+GINI_BUCKETS = 16
+
+
+def rel_user_gini(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["user_id"])
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", as_index=False).size()
+        g["_hb"] = (g["user_id"] % GINI_BUCKETS).astype("int64")
+        return g.rename(columns={"size": "n"})
+
+    def combine_counts(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False)["n"].sum()
+        return agg.astype({"user_id": "int64", "n": "int64"})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine_counts, batch_format="pandas")
+    )
+    ranked = ordered_prefix_sum(
+        counts, sort_cols=["n", "user_id"], value_col=None, out_col="rk"
+    )
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.int64)
+        rk = batch["rk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            [{"cnt": len(n), "sum_x": int(n.sum()),
+              "sum_rx": int((rk * n).sum()),
+              "max_n": int(n.max()) if len(n) else 0}]
+        )
+
+    p = ranked.map_batches(moments, batch_format="pandas").to_pandas()
+    n_users = int(p["cnt"].sum())
+    total = int(p["sum_x"].sum())
+    sum_rx = int(p["sum_rx"].sum())
+    gini = (2.0 * sum_rx - (n_users + 1) * total) / (n_users * total)
+    return pd.DataFrame(
+        [{"n_users": n_users, "total_events": total,
+          "gini": round(gini, 6),
+          "top_share": round(int(p["max_n"].max()) / total, 6)}]
+    ).astype({"n_users": "int64", "total_events": "int64"})
+
+
+REL_USER_GINI_SQL = """
+with c as (
+  select user_id, count(*)::BIGINT as n from events group by user_id
+), r as (
+  select n, row_number() over (order by n, user_id) as rk from c
+)
+select count(*)::BIGINT as n_users, sum(n)::BIGINT as total_events,
+       round((2.0 * sum(rk * n) - (count(*) + 1) * sum(n))
+             / (count(*) * sum(n)), 6) as gini,
+       round(max(n)::DOUBLE / sum(n), 6) as top_share
+from r
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_user_gini": (rel_user_gini, REL_USER_GINI_SQL),
     "rel_click_purchase_full_outer": (
         rel_click_purchase_full_outer,
         REL_CLICK_PURCHASE_FULL_OUTER_SQL,
