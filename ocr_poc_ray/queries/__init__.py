@@ -43,7 +43,6 @@ _PRIORITY: list[str] = [
     "xs_extract_lang_stats",
     "xs_context_window_chars",
     "xs_conv_dedup",
-    "xs_role_stats",
     "fields_extract_synth",
     "fields_postprocessed",
     # multimodal plumbing
@@ -57,16 +56,17 @@ _PRIORITY: list[str] = [
     "vec_knn_ivf",
     "vec_near_dup",
     "vec_kmeans",
+    "rel_scrub_customer_names",
     "vec_cluster_exemplars",
+    "vec_knn_pq",
     "vec_group_centroids",
     "vec_quality_centroids",
     "vec_dim_stats",
-    "vec_top_eigen",
-    "vec_norm_outliers",
+    "xs_role_transitions",
     # relational: aggregates, joins, windows, quantiles, sketches
     "rel_agg_lineitem",
     "rel_mktsegment_revenue",
-    "rel_mktsegment_revenue_hashjoin",
+    "rel_user_gini",
     "rel_nation_revenue",
     "rel_customers_without_orders",
     "rel_asof_purchase_click",
