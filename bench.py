@@ -123,6 +123,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         doc_exact_dedup,
         doc_jaccard_pairs_prefix,
         doc_minhash_pairs,
+        doc_pii_redact,
+        doc_source_contamination,
     )
     from ocr_poc_ray.queries.relational import (
         rel_agg_lineitem,
@@ -143,6 +145,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("sessionize", rel_sessionize),
         ("asof_join", rel_asof_purchase_click),
         ("fields_extract", fields_extract_synth),
+        ("pii_redact", doc_pii_redact),
+        ("source_contamination", doc_source_contamination),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)
