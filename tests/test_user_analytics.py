@@ -105,3 +105,35 @@ def test_funnel_semantics(ray_session, adversarial_events):
     row = out.iloc[0]
     assert row["n_users"] == 6
     assert row["n_converted"] < row["n_purchasers"]  # user 5 excluded
+
+
+def test_user_gini_matches_numpy(ray_session, tmp_path):
+    """Gini + top-share equal a direct numpy computation on a skewed
+    synthetic event table."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_poc_ray.queries.relational import rel_user_gini
+
+    rng = np.random.RandomState(3)
+    users = np.repeat(np.arange(40), rng.zipf(1.6, size=40) % 97 + 1)
+    df = pd.DataFrame({
+        "user_id": users,
+        "ts": pd.to_datetime("2024-01-01"),
+        "event_type": "view",
+        "event_id": np.arange(len(users)),
+        "value": 1.0,
+        "props": "{}",
+    })
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = rel_user_gini(str(tmp_path))
+    counts = np.sort(np.bincount(users))
+    counts = counts[counts > 0]
+    n, tot = len(counts), counts.sum()
+    rk = np.arange(1, n + 1)
+    gini = (2.0 * (rk * counts).sum() - (n + 1) * tot) / (n * tot)
+    assert out["n_users"].iloc[0] == n
+    assert out["total_events"].iloc[0] == tot
+    assert out["gini"].iloc[0] == round(float(gini), 6)
+    assert out["top_share"].iloc[0] == round(counts.max() / tot, 6)
