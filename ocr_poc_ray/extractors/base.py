@@ -73,6 +73,22 @@ def is_noise_line(line: str, *, noise_words: frozenset[str] = frozenset()) -> bo
     return False
 
 
+def spans_of(kept_norm: list[str]) -> str:
+    """Character spans of each kept block inside the joined extracted
+    text ("0:12;13:40"): block i covers ``extracted_text[s:e]`` and
+    blocks are separated by exactly one space.  Inputs must be the
+    normalized, non-empty kept-block texts in output order — the same
+    list whose single-space join IS the extracted text, so the spans
+    are byte-exact by construction (invariant tested in
+    tests/test_properties.py)."""
+    parts = []
+    pos = 0
+    for k in kept_norm:
+        parts.append(f"{pos}:{pos + len(k)}")
+        pos += len(k) + 1
+    return ";".join(parts)
+
+
 @dataclass(frozen=True)
 class ExtractionResult:
     """Per-turn extraction envelope (always produced, even on failure)."""
@@ -84,6 +100,9 @@ class ExtractionResult:
     n_blocks: int
     n_kept: int
     error: str = ""
+    #: kept-block boundaries inside extracted_text ("s:e;s:e"), "" on
+    #: failure — the per-turn span output of the north-star contract
+    spans: str = ""
 
     @staticmethod
     def failure(error: str, *, n_blocks: int = 0, quality_score: float = 0.0) -> "ExtractionResult":

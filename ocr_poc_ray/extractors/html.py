@@ -25,7 +25,12 @@ from __future__ import annotations
 import re
 from html import unescape
 
-from ocr_poc_ray.extractors.base import ExtractionResult, is_noise_line, normalize_ws
+from ocr_poc_ray.extractors.base import (
+    ExtractionResult,
+    is_noise_line,
+    normalize_ws,
+    spans_of,
+)
 
 # Subtrees that are never content (chrome / invisible).
 _DROP_SUBTREES = frozenset(
@@ -207,10 +212,14 @@ def extract_html(text: str) -> ExtractionResult:
         return ExtractionResult.failure("no_content_blocks", n_blocks=n_blocks, quality_score=q)
 
     return ExtractionResult(
-        extracted_text=normalize_ws(" ".join(kept)),
+        # each kept block is already normalize_ws'd and non-empty, so
+        # the single-space join is the normalized text and the spans
+        # are exact block boundaries
+        extracted_text=" ".join(kept),
         success=True,
         quality_score=sum(scores) / len(scores),
         confidence=len(kept) / n_blocks,
         n_blocks=n_blocks,
         n_kept=len(kept),
+        spans=spans_of(kept),
     )

@@ -25,7 +25,12 @@ stays inside ``map_batches`` — no shuffle.
 
 from __future__ import annotations
 
-from ocr_poc_ray.extractors.base import ExtractionResult, is_noise_line, normalize_ws
+from ocr_poc_ray.extractors.base import (
+    ExtractionResult,
+    is_noise_line,
+    normalize_ws,
+    spans_of,
+)
 
 # Letter-page geometry constants shared with the synthetic generator.
 PAGE_WIDTH = 612.0
@@ -111,7 +116,11 @@ def extract_pdf(text: str) -> ExtractionResult:
         return ExtractionResult.failure(reason, n_blocks=n_lines)
 
     spans.sort(key=lambda s: (s[0], s[1], s[2], s[3]))
-    out = normalize_ws(" ".join(s[4] for s in spans))
+    # span texts are stripped and non-empty; normalize each so the
+    # single-space join is the normalized text and the char spans are
+    # exact reading-order block boundaries
+    kept_norm = [normalize_ws(s[4]) for s in spans]
+    out = " ".join(kept_norm)
     valid = n_lines - n_invalid
     return ExtractionResult(
         extracted_text=out,
@@ -120,4 +129,5 @@ def extract_pdf(text: str) -> ExtractionResult:
         confidence=len(spans) / valid if valid else 0.0,
         n_blocks=n_lines,
         n_kept=len(spans),
+        spans=spans_of(kept_norm),
     )

@@ -53,6 +53,7 @@ EXTRACTION_SCHEMA = pa.schema(
         ("n_blocks", pa.int32()),  # blocks/spans seen before filtering
         ("n_kept", pa.int32()),  # blocks/spans kept as content
         ("error", pa.string()),  # failure reason, "" when success
+        ("spans", pa.string()),  # kept-block char ranges in extracted_text ("s:e;s:e")
     ]
 )
 

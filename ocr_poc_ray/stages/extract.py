@@ -33,7 +33,7 @@ from ocr_poc_ray.schemas import EXTRACTION_SCHEMA
 #: Version stamp recorded in lineage entries; bump on any semantic
 #: change to an extractor (manifest entries from older versions are
 #: not reused on resume).
-EXTRACTOR_VERSION = "1.1.0"  # 1.1.0: adaptive N-column pdf layout detection
+EXTRACTOR_VERSION = "1.2.0"  # 1.2.0: kept-block span output (text unchanged)
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -56,6 +56,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     n_blocks = [0] * n
     n_kept = [0] * n
     error = [""] * n
+    spans = [""] * n
     for i in range(n):
         r = extract_turn(texts[i], tools[i])
         extracted[i] = r.extracted_text
@@ -65,6 +66,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         n_blocks[i] = r.n_blocks
         n_kept[i] = r.n_kept
         error[i] = r.error
+        spans[i] = r.spans
 
     return pa.Table.from_arrays(
         [
@@ -79,6 +81,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             pa.array(n_blocks, type=pa.int32()),
             pa.array(n_kept, type=pa.int32()),
             pa.array(error, type=pa.string()),
+            pa.array(spans, type=pa.string()),
         ],
         schema=EXTRACTION_SCHEMA,
     )

@@ -375,3 +375,28 @@ def test_pii_scrub_matches_duckdb(texts):
             counts[k][i].as_py() for k in ("email", "ipv4", "id_digits")
         )
         assert got == rows[i], (texts[i], got, rows[i])
+
+
+# Span invariant: for ANY input and tool, the spans partition
+# extracted_text into the kept blocks — extracted_text[s:e] joined by
+# single spaces reproduces extracted_text byte-for-byte, and the span
+# count equals n_kept.
+@settings(max_examples=300, deadline=None)
+@given(text=st.text(max_size=2000), tool=_tools)
+def test_extraction_spans_partition_text(text, tool):
+    r = extract_turn(text, tool)
+    if not r.success:
+        assert r.spans == ""
+        return
+    ranges = [tuple(map(int, p.split(":"))) for p in r.spans.split(";")]
+    assert len(ranges) == r.n_kept
+    pos = 0
+    blocks = []
+    for s, e in ranges:
+        assert s == pos and e > s, (s, e, pos)
+        blocks.append(r.extracted_text[s:e])
+        pos = e + 1
+    assert pos - 1 == len(r.extracted_text)
+    assert " ".join(blocks) == r.extracted_text
+    # no block starts/ends with whitespace (blocks are normalized)
+    assert all(b == b.strip() and b for b in blocks)
