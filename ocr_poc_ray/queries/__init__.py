@@ -37,7 +37,7 @@ _PRIORITY: list[str] = [
     "xs_conv_docs_documents",
     "xs_extract_synth",
     "xs_training_pipeline",
-    "xs_conversation_docs",
+    "xs_extract_spans_documents",
     "xs_conv_stats",
     "xs_turn_gaps",
     "xs_extract_lang_stats",

@@ -743,6 +743,54 @@ from e
 
 
 # ---------------------------------------------------------------------------
+# Span oracle: the per-turn kept-block spans of the flagship extractor,
+# re-derived relationally — running char offsets over the normalized
+# kept lines.  Proves the north-star "extracted text/spans match per
+# turn" claim cell-by-cell in SQL, not just via the python invariant.
+# ---------------------------------------------------------------------------
+
+def xs_extract_spans_documents(sf_dir: str) -> pd.DataFrame:
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    out = ds.to_pandas()[["conv_id", "turn_idx", "extracted_text", "spans"]]
+    return out.astype({"turn_idx": "int64"})
+
+
+_NORM_L = rf"regexp_replace(trim(l, {_WS_CHARS}), '\s+', ' ', 'g')"
+
+XS_EXTRACT_SPANS_SQL = rf"""
+with e as (
+  select source as conv_id, doc_id as turn_idx,
+         list_filter(list_transform({_KEPT}, l -> {_NORM_L}),
+                     x -> x <> '') as ks
+  from documents
+), u as (
+  select conv_id, turn_idx,
+         generate_subscripts(ks, 1) as i, unnest(ks) as k
+  from e
+), w as (
+  select conv_id, turn_idx, i, k,
+         sum(length(k) + 1) over (
+             partition by conv_id, turn_idx order by i
+             rows unbounded preceding
+         ) - length(k) - 1 as s
+  from u
+), agg as (
+  select conv_id, turn_idx,
+         string_agg(k, ' ' order by i) as extracted_text,
+         string_agg(s::VARCHAR || ':' || (s + length(k))::VARCHAR,
+                    ';' order by i) as spans
+  from w
+  group by conv_id, turn_idx
+)
+select e.conv_id, e.turn_idx,
+       coalesce(a.extracted_text, '') as extracted_text,
+       coalesce(a.spans, '') as spans
+from e
+left join agg a using (conv_id, turn_idx)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Role-transition matrix: who speaks after whom.  The turn-taking
 # structure audit of an agent-transcript corpus (e.g. tool→tool runs
 # flag mis-threaded conversations).  The lag is the sort-based
@@ -845,4 +893,7 @@ REGISTRY = {
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
+    "xs_extract_spans_documents": (
+        xs_extract_spans_documents, XS_EXTRACT_SPANS_SQL,
+    ),
 }
