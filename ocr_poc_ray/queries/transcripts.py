@@ -791,6 +791,79 @@ left join agg a using (conv_id, turn_idx)
 
 
 # ---------------------------------------------------------------------------
+# Turn offsets inside the assembled conversation document: for every
+# successful turn, the [start, end) char range its text occupies in
+# the conversation_docs doc_text — the loss-masking / attribution
+# primitive a training pipeline reads next to the assembled documents.
+# One keyed integer cumsum (the edge-raw sorted window); exact int64,
+# no float rounding.  Invariant vs xs_conv_docs_documents:
+# doc_text[start_c:end_c] == extracted_text (asserted in tests).
+# ---------------------------------------------------------------------------
+
+def xs_conv_turn_offsets(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["success"]]
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "turn_idx": b["turn_idx"].to_numpy(np.int64),
+                "w": b["extracted_text"].str.len().to_numpy(np.int64) + 1,
+            }
+        )
+
+    narrow = ds.map_batches(project, batch_format="pandas")
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cum = g.groupby("conv_id", sort=False)["w"].cumsum().to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "turn_idx": g["turn_idx"].to_numpy(),
+                "start_c": cum - w,
+                "end_c": cum - 1,
+            }
+        )
+
+    out = keyed_sorted_match(
+        narrow,
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "w"],
+        match_fn=_match,
+        out_meta={"conv_id": "object", "turn_idx": "int64",
+                  "start_c": "int64", "end_c": "int64"},
+    )
+    return out.to_pandas().astype(
+        {"turn_idx": "int64", "start_c": "int64", "end_c": "int64"}
+    )
+
+
+XS_CONV_TURN_OFFSETS_SQL = rf"""
+with e as (
+  select source as conv_id, doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+), s as (
+  select conv_id, turn_idx, length(extracted_text) + 1 as w
+  from e where extracted_text <> ''
+)
+select conv_id, turn_idx,
+       (sum(w) over (partition by conv_id order by turn_idx
+                     rows unbounded preceding) - w)::BIGINT as start_c,
+       (sum(w) over (partition by conv_id order by turn_idx
+                     rows unbounded preceding) - 1)::BIGINT as end_c
+from s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Role-transition matrix: who speaks after whom.  The turn-taking
 # structure audit of an agent-transcript corpus (e.g. tool→tool runs
 # flag mis-threaded conversations).  The lag is the sort-based
@@ -896,4 +969,5 @@ REGISTRY = {
     "xs_extract_spans_documents": (
         xs_extract_spans_documents, XS_EXTRACT_SPANS_SQL,
     ),
+    "xs_conv_turn_offsets": (xs_conv_turn_offsets, XS_CONV_TURN_OFFSETS_SQL),
 }

@@ -210,3 +210,25 @@ def test_corpus_is_ascii(ray_session):
     for chunk in t["text"].chunks:
         for s in chunk.to_pylist():
             assert s is None or s.isascii()
+
+
+def test_conv_turn_offsets_slice_doc_text(ray_session):
+    """Composition invariant: slicing the assembled conversation
+    document at each turn's [start_c, end_c) reproduces that turn's
+    extracted text exactly."""
+    from ocr_poc_ray.queries.transcripts import (
+        xs_conv_docs_documents,
+        xs_conv_turn_offsets,
+        xs_extract_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = xs_conv_docs_documents(sf).set_index("conv_id")
+    turns = xs_extract_documents(sf)
+    turns = turns[turns["success"]].set_index(["conv_id", "turn_idx"])
+    offs = xs_conv_turn_offsets(sf)
+    assert len(offs) == len(turns)
+    for r in offs.itertuples():
+        doc = docs.loc[r.conv_id, "doc_text"]
+        expect = turns.loc[(r.conv_id, r.turn_idx), "extracted_text"]
+        assert doc[r.start_c : r.end_c] == expect
