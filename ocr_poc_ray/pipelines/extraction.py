@@ -217,6 +217,20 @@ def resumable_extract(
 
     manifest = Manifest(output_dir)
     done = manifest.completed(EXTRACTOR_VERSION)
+    # Resume must not silently mix formats in one output dir: committed
+    # partitions record their sink format, and a resume with a different
+    # one is a caller error, not a skip.
+    committed_formats = {
+        (rec.metrics or {}).get("format", "parquet")
+        for pid, rec in manifest.records().items()
+        if pid in done
+    }
+    if committed_formats - {output_format}:
+        raise ValueError(
+            f"output_dir {output_dir!r} has partitions committed as "
+            f"{sorted(committed_formats)}; resume with the same "
+            f"output_format, not {output_format!r}"
+        )
     ran: list[int] = []
     skipped = sorted(done)
     for pid in sorted(parts):
@@ -240,20 +254,14 @@ def resumable_extract(
 
         if output_format == "jsonl":
             ds.write_json(tmp)
-            files = sorted(
-                os.path.join(tmp, f)
-                for f in os.listdir(tmp)
-                if f.endswith(".json")
-            )
-            metrics = _jsonl_partition_metrics(files)
+            ext, metrics_fn = ".json", _jsonl_partition_metrics
         else:
             ds.write_parquet(tmp)
-            files = sorted(
-                os.path.join(tmp, f)
-                for f in os.listdir(tmp)
-                if f.endswith(".parquet")
-            )
-            metrics = _partition_metrics(files)
+            ext, metrics_fn = ".parquet", _partition_metrics
+        files = sorted(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(ext)
+        )
+        metrics = metrics_fn(files)
         metrics["format"] = output_format
         manifest.commit(
             PartitionRecord(

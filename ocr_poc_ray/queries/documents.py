@@ -3119,12 +3119,22 @@ def doc_source_contamination(sf_dir: str) -> pd.DataFrame:
         )
         return pd.concat([size_rows, pair_rows], ignore_index=True)
 
+    empty = pd.DataFrame(
+        {"source_a": pd.Series([], dtype=object),
+         "source_b": pd.Series([], dtype=object),
+         "n_a": pd.Series([], dtype="int64"),
+         "n_b": pd.Series([], dtype="int64"),
+         "n_common": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
     partials = (
         exploded.map_batches(bucket, batch_format="pandas")
         .groupby("_hb")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()  # buckets × (S + S²/2) integer rows — result-sized
     )
+    if partials.empty:  # no doc had 3 tokens (0-row to_pandas drops cols)
+        return empty
     agg = partials.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
     sizes = agg[agg["source_b"] == ""].set_index("source_a")["n"]
     inter = {
@@ -3147,6 +3157,8 @@ def doc_source_contamination(sf_dir: str) -> pd.DataFrame:
                     "jaccard": round(n_common / (n_a + n_b - n_common), 6),
                 }
             )
+    if not rows:  # fewer than two sources with any 3-gram docs
+        return empty
     return pd.DataFrame(rows).astype(
         {"n_a": "int64", "n_b": "int64", "n_common": "int64",
          "jaccard": "float64"}

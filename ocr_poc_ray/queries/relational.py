@@ -535,13 +535,21 @@ def rel_hopping_window(sf_dir: str) -> pd.DataFrame:
 
 
 REL_HOPPING_WINDOW_SQL = f"""
-with e as (select epoch_us(ts) // 1000000 as es, value from events),
-w as (
-  select unnest([es // {HOP_SECONDS} * {HOP_SECONDS},
-                 es // {HOP_SECONDS} * {HOP_SECONDS} - {HOP_SECONDS}])
-             as window_start_epoch,
+-- floor (not truncating) divisions via double-mod so pre-1970 (negative
+-- epoch) events bin identically to the pandas kernel's // floor
+with e as (
+  select (epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+           // 1000000 as es,
+         value
+  from events
+), f as (
+  select es - ((es % {HOP_SECONDS}) + {HOP_SECONDS}) % {HOP_SECONDS} as s0,
          value
   from e
+),
+w as (
+  select unnest([s0, s0 - {HOP_SECONDS}]) as window_start_epoch, value
+  from f
 )
 select window_start_epoch, count(*)::BIGINT as n,
        round(sum(value), 2) as total_value
@@ -2315,13 +2323,13 @@ REL_EVENT_PROPS_SCRUB_SQL = _rel_event_props_scrub_sql()
 # with either side's partials appears in its bucket.
 # ---------------------------------------------------------------------------
 
-FULL_OUTER_BUCKETS = 16
-
-
 def rel_click_purchase_full_outer(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
     ds = ray.data.read_parquet(
         _path(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
     )
+    nb = _scaled_buckets(ds, floor=16)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["event_type"].isin(("click", "purchase"))]
@@ -2347,9 +2355,7 @@ def rel_click_purchase_full_outer(sf_dir: str) -> pd.DataFrame:
         return agg[["user_id", "day_epoch", "n_clicks", "n_purchases"]]
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        return b.assign(
-            _hb=(b["user_id"] % FULL_OUTER_BUCKETS).astype("int64")
-        )
+        return b.assign(_hb=(b["user_id"] % nb).astype("int64"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["user_id", "day_epoch"], as_index=False).agg(
@@ -2465,17 +2471,16 @@ from lineitem"""
 # would need a float64 or split accumulator).
 # ---------------------------------------------------------------------------
 
-GINI_BUCKETS = 16
-
-
 def rel_user_gini(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
     from ocr_poc_ray.functions.prefix import ordered_prefix_sum
 
     ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["user_id"])
+    nb = _scaled_buckets(ds, floor=16)
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("user_id", as_index=False).size()
-        g["_hb"] = (g["user_id"] % GINI_BUCKETS).astype("int64")
+        g["_hb"] = (g["user_id"] % nb).astype("int64")
         return g.rename(columns={"size": "n"})
 
     def combine_counts(g: pd.DataFrame) -> pd.DataFrame:

@@ -1285,3 +1285,71 @@ def test_hopping_window_covers_each_event_twice(tmp_path):
         got, exp.astype({"window_start_epoch": "int64", "n": "int64"}),
         check_dtype=False,
     )
+
+
+def test_hopping_window_negative_epoch_matches_sql(tmp_path):
+    """Pre-1970 timestamps: the SQL mirror's double-mod floor must bin
+    identically to the pandas kernel's // floor (DuckDB's // truncates
+    toward zero, which the raw form would get wrong)."""
+    import duckdb
+
+    from ocr_poc_ray.queries.relational import (
+        REL_HOPPING_WINDOW_SQL,
+        rel_hopping_window,
+    )
+
+    rng = np.random.RandomState(4)
+    ts = pd.to_datetime("1969-12-29") + pd.to_timedelta(
+        rng.randint(0, 86_400 * 5, size=300), unit="s"
+    )
+    df = pd.DataFrame({"ts": ts, "value": rng.rand(300).round(3)})
+    f = tmp_path / "events.parquet"
+    df.to_parquet(f, index=False)
+
+    got = (
+        rel_hopping_window(str(tmp_path))
+        .sort_values("window_start_epoch")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from read_parquet('{f}')")
+    exp = (
+        con.execute(REL_HOPPING_WINDOW_SQL)
+        .df()
+        .sort_values("window_start_epoch")
+        .reset_index(drop=True)
+    )
+    assert (got["window_start_epoch"] < 0).any()  # non-vacuous
+    # binning semantics (the thing under test) must be exact; the
+    # synthetic .round(3) values land sums exactly on 2-dp midpoints,
+    # so totals get a 1-ulp-of-rounding tolerance (CLAUDE.md float note)
+    pd.testing.assert_frame_equal(
+        got[["window_start_epoch", "n"]],
+        exp[["window_start_epoch", "n"]],
+        check_dtype=False,
+    )
+    assert (got["total_value"] - exp["total_value"]).abs().max() <= 0.011
+
+
+def test_source_contamination_degenerate_corpora(tmp_path):
+    """Single-source and no-3-gram corpora return a typed empty frame
+    (matching the SQL oracle's empty result), never a KeyError."""
+    from ocr_poc_ray.queries.documents import doc_source_contamination
+
+    cols = ["source_a", "source_b", "n_a", "n_b", "n_common", "jaccard"]
+    one = tmp_path / "one"
+    one.mkdir()
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d", "b c d e"],
+         "source": ["s0", "s0"]}
+    ).to_parquet(one / "documents.parquet", index=False)
+    out = doc_source_contamination(str(one))
+    assert list(out.columns) == cols and len(out) == 0
+
+    short = tmp_path / "short"
+    short.mkdir()
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b", "c"], "source": ["s0", "s1"]}
+    ).to_parquet(short / "documents.parquet", index=False)
+    out = doc_source_contamination(str(short))
+    assert list(out.columns) == cols and len(out) == 0

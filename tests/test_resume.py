@@ -236,3 +236,17 @@ def test_jsonl_sink_resume_and_parity(ray_session, corpus, tmp_path):
     assert sum(r["metrics"]["success"] for r in recs) == sum(
         1 for row in jrows if row[3]
     )
+
+
+def test_resume_refuses_format_mismatch(ray_session, corpus, tmp_path):
+    """A partially-complete jsonl run resumed as parquet (or vice versa)
+    must fail loudly instead of mixing formats in one output dir."""
+    out = str(tmp_path / "mixed")
+    resumable_extract(
+        corpus["transcripts"], out, num_partitions=4, shard_rows=500,
+        max_partitions_this_run=1, output_format="jsonl",
+    )
+    with pytest.raises(ValueError, match="jsonl"):
+        resumable_extract(
+            corpus["transcripts"], out, num_partitions=4, shard_rows=500
+        )
