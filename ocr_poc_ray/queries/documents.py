@@ -3191,8 +3191,92 @@ left join inter i on i.source_a = sa.source and i.source_b = sb.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped heavy hitters: exact top-k tokens PER SOURCE (per-stratum
+# vocabulary audit).  Tokens hash-bucket as in top_tokens, so each
+# bucket task holds vocabulary/n_buckets rows of EVERY source and emits
+# a per-source candidate top-k; the final per-source rank sees only
+# buckets × sources × k candidate rows.
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_PER_SOURCE_K = 5
+
+
+def doc_top_tokens_per_source(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    k = TOP_TOKENS_PER_SOURCE_K
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+    nb = _scaled_buckets(ds, floor=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split()
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        g = pd.DataFrame(
+            {"source": batch["source"].to_numpy().repeat(lens), "token": flat}
+        ).groupby(["source", "token"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["_hb"] = (
+            pd.util.hash_array(g["token"].to_numpy(object)) % nb
+        ).astype("int64")
+        return g
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["source", "token"], as_index=False)["cnt"].sum()
+        return (
+            agg.sort_values(
+                ["source", "cnt", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("source")
+            .head(k)
+        )
+
+    cands = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()  # buckets × sources × k candidate rows
+    )
+    out = (
+        cands.sort_values(
+            ["source", "cnt", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("source")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out = out.rename(columns={"cnt": "n"})
+    return out[["source", "rank", "token", "n"]].astype(
+        {"rank": "int64", "n": "int64"}
+    )
+
+
+DOC_TOP_TOKENS_PER_SOURCE_SQL = rf"""
+with t as (
+  select source, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+), c as (
+  select source, token, count(*)::BIGINT as n from t group by 1, 2
+)
+select source,
+       row_number() over (partition by source order by n desc, token)
+           as rank,
+       token, n
+from c
+qualify rank <= {TOP_TOKENS_PER_SOURCE_K}
+"""
+
+
 REGISTRY = {
     "doc_pii_redact": (doc_pii_redact, DOC_PII_REDACT_SQL),
+    "doc_top_tokens_per_source": (
+        doc_top_tokens_per_source, DOC_TOP_TOKENS_PER_SOURCE_SQL,
+    ),
     "doc_source_contamination": (
         doc_source_contamination, DOC_SOURCE_CONTAMINATION_SQL,
     ),

@@ -2531,8 +2531,72 @@ from r
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-decayed per-user value (recency-weighted engagement): weight
+# 2^-days halves per elapsed day.  Exact cross-engine parity trick:
+# powers of two are exact float64s and `value / (1 << d)` is one
+# correctly-rounded IEEE division in BOTH engines — no libm pow() in
+# the comparison path.  Row-local weighting + the usual partial-agg
+# combine; 2-dp totals absorb summation-order ULPs (CLAUDE.md).
+# ---------------------------------------------------------------------------
+
+DECAY_REF = "2024-02-01"  # strictly after every corpus ts (Jan 2024)
+_DECAY_REF_US = 1_706_745_600_000_000  # epoch_us('2024-02-01')
+_DECAY_MAX_SHIFT = 62  # clamp so 1 << d stays in int64
+
+
+def rel_decayed_user_value(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    nb = _scaled_buckets(ds, floor=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = np.minimum(
+            (_DECAY_REF_US - ts_us) // 86_400_000_000, _DECAY_MAX_SHIFT
+        )
+        w = batch["value"].to_numpy() / (np.int64(1) << d)
+        g = pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "dv": w})
+        agg = g.groupby("user_id", as_index=False)["dv"].sum()
+        agg["_hb"] = (agg["user_id"] % nb).astype("int64")
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False)["dv"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "decayed_value": agg["dv"].round(2),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas()
+
+
+REL_DECAYED_USER_VALUE_SQL = f"""
+select user_id,
+       round(sum(value / (1::BIGINT << least(
+           (epoch_us(timestamp '{DECAY_REF}') - epoch_us(ts))
+               // 86400000000,
+           {_DECAY_MAX_SHIFT}))), 2) as decayed_value
+from events
+group by user_id
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_decayed_user_value": (
+        rel_decayed_user_value, REL_DECAYED_USER_VALUE_SQL,
+    ),
     "rel_user_gini": (rel_user_gini, REL_USER_GINI_SQL),
     "rel_click_purchase_full_outer": (
         rel_click_purchase_full_outer,
