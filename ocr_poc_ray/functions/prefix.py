@@ -90,14 +90,17 @@ def ordered_prefix_sum(
     pinned = ordered.map_batches(block_pass, batch_format="pandas").materialize()
 
     # O(num_batches) driver combine → exclusive per-batch offsets.
-    groups = (
-        pinned.map_batches(
-            lambda b: b[[_TAG, _TOT, *sk_cols]].drop_duplicates(_TAG),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .drop_duplicates(_TAG)
-        .sort_values([*sk_cols, _TAG], kind="mergesort")
+    groups = pinned.map_batches(
+        lambda b: b[[_TAG, _TOT, *sk_cols]].drop_duplicates(_TAG),
+        batch_format="pandas",
+    ).to_pandas()
+    if groups.empty:
+        # Empty input: a 0-row to_pandas drops its columns (CLAUDE.md),
+        # so the sort below would KeyError; there are no offsets to add.
+        groups = pd.DataFrame({_TAG: [], _TOT: [],
+                               **{c: [] for c in sk_cols}})
+    groups = groups.drop_duplicates(_TAG).sort_values(
+        [*sk_cols, _TAG], kind="mergesort"
     )
     offsets = np.concatenate(
         [[0], np.cumsum(groups[_TOT].to_numpy(np.int64))[:-1]]

@@ -3240,6 +3240,13 @@ def doc_top_tokens_per_source(sf_dir: str) -> pd.DataFrame:
         .map_groups(bucket_topk, batch_format="pandas")
         .to_pandas()  # buckets × sources × k candidate rows
     )
+    if cands.empty:  # 0-row to_pandas drops columns (CLAUDE.md)
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype=object),
+             "rank": pd.Series([], dtype="int64"),
+             "token": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
     out = (
         cands.sort_values(
             ["source", "cnt", "token"], ascending=[True, False, True],

@@ -2506,6 +2506,13 @@ def rel_user_gini(sf_dir: str) -> pd.DataFrame:
         )
 
     p = ranked.map_batches(moments, batch_format="pandas").to_pandas()
+    if p.empty:  # empty events table → no distribution to report
+        return pd.DataFrame(
+            {"n_users": pd.Series([], dtype="int64"),
+             "total_events": pd.Series([], dtype="int64"),
+             "gini": pd.Series([], dtype="float64"),
+             "top_share": pd.Series([], dtype="float64")}
+        )
     n_users = int(p["cnt"].sum())
     total = int(p["sum_x"].sum())
     sum_rx = int(p["sum_rx"].sum())
@@ -2573,12 +2580,18 @@ def rel_decayed_user_value(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
+    res = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby("_hb")
         .map_groups(combine, batch_format="pandas")
+        .to_pandas()
     )
-    return out.to_pandas()
+    if res.empty:  # 0-row to_pandas drops columns (CLAUDE.md)
+        res = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "decayed_value": pd.Series([], dtype="float64")}
+        )
+    return res
 
 
 REL_DECAYED_USER_VALUE_SQL = f"""
