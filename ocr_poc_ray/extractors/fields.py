@@ -702,10 +702,13 @@ def extract_fields(
     # thresholds are geometrically wrong — the template zones (mapped
     # through the estimated transform) take precedence for their
     # fields; a straight document estimates ~0 and skips this path.
-    if layout.template_zones:
-        tpl_tr = _estimate_template_transform(lines, polys, layout)
-        if abs(tpl_tr["rotation"]) >= 0.05:
-            _apply_template_fallback(fields, lines, polys, layout, tr=tpl_tr)
+    tpl_tr = (
+        _estimate_template_transform(lines, polys, layout)
+        if layout.template_zones
+        else None
+    )
+    if tpl_tr is not None and abs(tpl_tr["rotation"]) >= 0.05:
+        _apply_template_fallback(fields, lines, polys, layout, tr=tpl_tr)
 
     # ---- P8 spatial proximity lookup ---------------------------------
     for fname, anchor in anchors.items():
@@ -735,7 +738,9 @@ def extract_fields(
     if layout.template_zones and any(
         fields[f] is None for f, *_ in layout.template_zones
     ):
-        _apply_template_fallback(fields, lines, polys, layout)
+        # reuse the transform estimated above — the anchor scan +
+        # affine fit is the expensive part of the fallback
+        _apply_template_fallback(fields, lines, polys, layout, tr=tpl_tr)
 
     # ---- P9 positional fallback (y-sorted, used-value dedup) ---------
     used = {v for v in fields.values() if v}

@@ -101,13 +101,22 @@ def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> in
     DATA bytes (~64 MB of rows per bucket task, `floor` when the size
     is unknown).  Group-per-bucket overhead is trivial up to thousands
     of buckets, while a FIXED count hands each combine task size/32 of
-    a corpus-volume projection at 100 TB.  Works on materialized
-    datasets (metadata) and parquet reads (file-meta estimate)."""
+    a corpus-volume projection at 100 TB.
+
+    Reads ONLY plan metadata — ``Dataset.size_bytes()`` silently
+    EXECUTES the whole plan when metadata inference fails (measured:
+    any ``select_columns``/``map_batches`` after a read), which would
+    double-run the pipeline just to pick a bucket count.  Metadata is
+    available for bare/column-pruned parquet reads and materialized
+    datasets; anything else falls back to ``floor``.  Capped at 4096:
+    per-group overhead is measurable by the tens of thousands
+    (CLAUDE.md: 55 s at 80 k groups), and a 4096-way combine already
+    bounds per-task data at ~256 GB-per-TB-of-projection."""
     try:
-        n = ds.size_bytes()
+        n = ds._logical_plan.dag.infer_metadata().size_bytes
         if n is None:
             return floor
-        return max(floor, int(n // bytes_per_bucket))
+        return min(4096, max(floor, int(n // bytes_per_bucket)))
     except Exception:
         return floor
 
@@ -186,6 +195,24 @@ def membership_flag(
                 pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
                 return b.assign(_in_set=(k[pos] == ids) if len(ids) else
                                 np.zeros(0, dtype=bool))
+        elif len(vals) and vals.map(lambda v: len(v) if isinstance(v, str) else 0).max() <= 256:
+            # sorted fixed-width unicode array: buffer-backed, so the
+            # plasma read is zero-copy per worker — a broadcast SET
+            # re-unpickles every string on every ray.get (CLAUDE.md
+            # broadcast rule).  Width-capped: '<U' pads to the longest
+            # key, so pathological long keys fall through to the set.
+            keys = np.sort(vals.to_numpy(dtype=str))
+            kref = ray.put(keys)
+
+            def flag(b: pd.DataFrame) -> pd.DataFrame:
+                k = ray.get(kref)
+                vals_b = b[col]
+                if not len(vals_b):
+                    return b.assign(_in_set=np.zeros(0, dtype=bool))
+                na = vals_b.isna().to_numpy()
+                ids = vals_b.fillna("").to_numpy(dtype=str)
+                pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+                return b.assign(_in_set=(k[pos] == ids) & ~na)
         else:
             kref = ray.put(set(vals))
 
@@ -383,13 +410,37 @@ def _filter_hot_buckets(
     )
     if hot_df.empty or key_cols[0] not in hot_df.columns:
         return None, pd.DataFrame(columns=key_cols + ["size"])
-    hot = set(map(tuple, hot_df[key_cols].itertuples(index=False, name=None)))
-    hot_ref = ray.put(hot)
 
-    def only_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        h = ray.get(hot_ref)
-        mask = [key in h for key in zip(*(batch[c] for c in key_cols))]
-        return batch[pd.Series(mask, index=batch.index)]
+    # NOTE on scale: hot_df (one row per colliding key) lives on the
+    # driver because callers consume the sizes for sub-salting.  At
+    # retry-noise/dup-discovery rates that is small; at a 50 %-dup web
+    # crawl it is corpus-ordered — the designed upgrade is to keep
+    # hot keys as a Dataset, attach sizes via a bucketed join, and
+    # drive the salting from the joined rows (membership_flag's bloom
+    # switch is the membership half of that path).
+    if len(key_cols) == 1 and hot_df[key_cols[0]].dtype.kind in "iu":
+        # single integer key (every dedup/prefix caller): sorted int64
+        # array + searchsorted — vectorized and zero-copy, where a
+        # broadcast set of tuples costs a Python loop per row
+        c0 = key_cols[0]
+        keys_arr = np.sort(hot_df[c0].to_numpy().view(np.int64))
+        hot_ref = ray.put(keys_arr)
+
+        def only_hot(batch: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(hot_ref)
+            ids = batch[c0].to_numpy().view(np.int64)
+            if not len(ids):
+                return batch
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            return batch[k[pos] == ids]
+    else:
+        hot = set(map(tuple, hot_df[key_cols].itertuples(index=False, name=None)))
+        hot_ref = ray.put(hot)
+
+        def only_hot(batch: pd.DataFrame) -> pd.DataFrame:
+            h = ray.get(hot_ref)
+            mask = [key in h for key in zip(*(batch[c] for c in key_cols))]
+            return batch[pd.Series(mask, index=batch.index)]
 
     return exploded.map_batches(only_hot, batch_format="pandas"), hot_df
 
@@ -837,8 +888,10 @@ def ngram_jaccard_verify(
         # web-scale pair volume: distinct candidate ids as a DATASET
         # (bounded-bucket distinct — duplicate keys would multiply rows
         # through the semi-join's mark join and the two shingle joins),
-        # then the bloom semi-join; the driver never holds the set
-        _KB = 32
+        # then the bloom semi-join; the driver never holds the set.
+        # Bucket count scales with the (materialized) pair volume —
+        # this branch only runs above 1 M pairs.
+        _KB = _scaled_buckets(pairs_mat)
 
         def local_ids(b: pd.DataFrame) -> pd.DataFrame:
             u = pd.unique(
@@ -887,21 +940,24 @@ def ngram_jaccard_verify(
     # raises FieldRef errors when an input block is empty.  materialize:
     # this dataset feeds BOTH joins, and a lazy branch would re-run the
     # corpus scan + per-doc shingling once per side (CLAUDE.md pitfall).
+    # join width capped at cluster CPUs — more partitions than CPUs
+    # deadlocks the streaming executor (CLAUDE.md, measured).
+    jp = _join_parallelism(num_partitions)
     cand_texts = flagged.map_batches(pack, batch_format="pandas").repartition(
-        num_partitions
+        jp
     ).materialize()
 
     j1 = pairs_mat.join(
-        cand_texts, "inner", num_partitions=num_partitions,
+        cand_texts, "inner", num_partitions=jp,
         on=("doc_a",), right_on=("_jid",),
     ).map_batches(
         # the join consumes the right key column (_jid); only the
         # packed shingles survive
         lambda b: b.rename(columns={"_jsh": "_sh_a"}),
         batch_format="pandas",
-    ).repartition(num_partitions)
+    ).repartition(jp)
     j2 = j1.join(
-        cand_texts, "inner", num_partitions=num_partitions,
+        cand_texts, "inner", num_partitions=jp,
         on=("doc_b",), right_on=("_jid",),
     ).map_batches(
         lambda b: b.rename(columns={"_jsh": "_sh_b"}),
@@ -1653,9 +1709,11 @@ def chunk_dedup(
     from ocr_poc_ray.functions.textstats import _chunk_kernel, chunk_tokens
 
     narrow = ds.select_columns([id_col, text_col])
-    # discovery-bucket count tracks the text volume (parquet reads
-    # estimate size_bytes from file metadata without executing)
-    n_buckets = _scaled_buckets(narrow, floor=n_buckets)
+    # discovery-bucket count tracks the text volume — sized from the
+    # CALLER's dataset (a column-pruned parquet read has file-metadata
+    # size; the select_columns projection does not, and sizing it would
+    # fall back to the floor)
+    n_buckets = _scaled_buckets(ds, floor=n_buckets)
     chunks = chunk_tokens(
         narrow, chunk_size=chunk_size, text_col=text_col, id_col=id_col
     )

@@ -90,8 +90,13 @@ def dedup_turns(ds):
 
     # winner per duplicated key — smallest (md5(text), ts) — selected
     # INSIDE a bounded hash-bucket groupby (all rows of a key share a
-    # bucket): the duplicate rows never collect to the driver.
-    _WB = 32
+    # bucket): the duplicate rows never collect to the driver.  Bucket
+    # count scales with the corpus (flagged is materialized → metadata;
+    # a conservative over-estimate of the dup volume, which is what
+    # actually flows here) — a fixed 32 hands each task 1/32 of a
+    # crawl-scale dup set on exactly the corpora the bloom branch
+    # exists for.
+    _WB = _scaled_buckets(flagged)
 
     def dup_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["_in_set"]].drop(columns=["_in_set"])
