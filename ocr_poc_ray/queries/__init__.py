@@ -27,66 +27,65 @@ _ALL.update(_rel.REGISTRY)
 _ALL.update(_xs.REGISTRY)
 
 #: The driver's per-round correctness run covers a fixed-size window from
-#: the FRONT of this dict's iteration order (50 entries in round 2), so the
-#: front must span every operator family — extraction (xs_/fields_),
-#: relational joins/windows/quantiles (rel_), vectors (vec_), multimodal
-#: (mm_) — before the long doc_* tail, or whole families get no driver row.
+#: the FRONT of this dict's iteration order (50 entries per round).  Rounds
+#: 1-3 together covered 102 of the 141 registered queries; this round's
+#: front is rotated to be exactly the 39 queries that have never had a
+#: driver row (all green in the independent 141-query battery) plus the
+#: 11 flagship pipelines, so that after round 4 EVERY registered query has
+#: appeared in at least one driver CORRECTNESS_r*.json.
 _PRIORITY: list[str] = [
-    # SURVEY §2 flagship extraction + conversation assembly
+    # flagships (keep a driver row every round)
     "xs_extract_documents",
     "xs_conv_docs_documents",
+    "xs_extract_spans_documents",
     "xs_extract_synth",
     "xs_training_pipeline",
-    "xs_extract_spans_documents",
-    "xs_conv_stats",
-    "xs_turn_gaps",
-    "xs_extract_lang_stats",
-    "xs_context_window_chars",
-    "xs_conv_dedup",
     "fields_extract_synth",
-    "fields_postprocessed",
-    # multimodal plumbing
-    "mm_decode",
-    "mm_resize",
-    "mm_frame_sample",
-    "mm_audio_windows",
-    # vectors
-    "vec_knn_cosine",
-    "vec_knn_lsh",
-    "vec_knn_ivf",
-    "vec_near_dup",
-    "vec_kmeans",
-    "rel_scrub_customer_names",
-    "vec_cluster_exemplars",
-    "vec_knn_pq",
-    "vec_group_centroids",
-    "vec_quality_centroids",
-    "vec_dim_stats",
-    "xs_role_transitions",
-    # relational: aggregates, joins, windows, quantiles, sketches
-    "rel_agg_lineitem",
-    "rel_mktsegment_revenue",
-    "rel_user_gini",
-    "rel_nation_revenue",
-    "rel_customers_without_orders",
-    "rel_asof_purchase_click",
-    "rel_range_join_click_error",
-    "rel_sessionize",
-    "rel_rolling_value",
-    "rel_running_value_by_user",
-    "rel_first_touch_attribution",
-    "rel_value_quantiles_exact",
-    "rel_bloom_semijoin",
-    "rel_hll_distinct_users",
-    # strongest doc_* representatives (dedup family + curation)
     "doc_extract_plain",
     "doc_exact_dedup",
     "doc_minhash_pairs",
-    "doc_jaccard_pairs_prefix",
-    "doc_curation_pipeline",
-    "doc_near_dup_components",
-    "doc_chunk_dedup",
-    "doc_substring_dedup",
+    "vec_knn_cosine",
+    "rel_agg_lineitem",
+    # the 39 never-driver-checked queries (rounds 1-3 union excluded these)
+    "xs_role_stats",
+    "xs_conv_turn_offsets",
+    "doc_pii_redact",
+    "doc_top_tokens_per_source",
+    "doc_source_contamination",
+    "doc_weighted_sample_per_lang",
+    "doc_quality_blend",
+    "doc_filter_report",
+    "vec_top_eigen",
+    "vec_norm_outliers",
+    "rel_decayed_user_value",
+    "rel_click_purchase_full_outer",
+    "rel_lineitem_profile",
+    "rel_event_props_scrub",
+    "rel_region_supplier_balance",
+    "rel_brand_revenue",
+    "rel_supplier_nation_topk",
+    "rel_priority_returned_orders",
+    "rel_median_value_by_type",
+    "rel_event_lag_delta",
+    "rel_event_streaks",
+    "rel_cm_user_counts",
+    "rel_customer_order_counts",
+    "rel_session_spans",
+    "rel_winsorized_stats",
+    "rel_hourly_profile",
+    "rel_sample_per_user",
+    "rel_props_json",
+    "rel_user_funnel",
+    "rel_user_mode_event",
+    "rel_rolling_active_users",
+    "rel_corr_value_k",
+    "rel_cumulative_users",
+    "rel_viewers_never_purchased",
+    "rel_user_retention",
+    "rel_value_percent_rank",
+    "rel_value_quantiles_by_type",
+    "rel_topk_events_per_user",
+    "rel_hopping_window",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {}
