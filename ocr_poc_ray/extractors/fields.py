@@ -406,7 +406,10 @@ def _estimate_template_transform(lines, polys, layout: "FieldLayout") -> dict:
         dst = np.array([[ox, oy] for _, _, ox, oy in detected])
         A, *_ = np.linalg.lstsq(src, dst, rcond=None)  # (3, 2)
         mat = A.T  # (2, 3): (rx, ry, 1) → (x, y)
-        rotation = math.atan2(mat[1, 0] / H, mat[0, 0] / W)
+        # the affine x-column is (W*cos, W*sin): both components share
+        # the W scale, so no per-axis normalization — dividing the sine
+        # term by H would skew the angle by the document aspect ratio
+        rotation = math.atan2(mat[1, 0], mat[0, 0])
         return {"matrix": mat, "rotation": rotation}
 
     rotation = 0.0

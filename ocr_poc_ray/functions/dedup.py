@@ -96,6 +96,9 @@ def _doc_shingle_hashes(th: np.ndarray, n: int = 3) -> np.ndarray:
 # Scale-safe membership filter (broadcast ↔ bloom semi-join switch)
 # --------------------------------------------------------------------------
 
+_SCALED_BUCKETS_WARNED = False
+
+
 def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> int:
     """Bucket count for the bounded-bucket combine pattern, scaled to
     DATA bytes (~64 MB of rows per bucket task, `floor` when the size
@@ -113,11 +116,26 @@ def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> in
     (CLAUDE.md: 55 s at 80 k groups), and a 4096-way combine already
     bounds per-task data at ~256 GB-per-TB-of-projection."""
     try:
+        # Ray private internals (verified on 2.49.x): a Ray upgrade that
+        # moves the accessor must NOT silently pin every caller at the
+        # floor — log once so the lost scale behavior is observable.
         n = ds._logical_plan.dag.infer_metadata().size_bytes
         if n is None:
             return floor
         return min(4096, max(floor, int(n // bytes_per_bucket)))
     except Exception:
+        global _SCALED_BUCKETS_WARNED
+        if not _SCALED_BUCKETS_WARNED:
+            _SCALED_BUCKETS_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_scaled_buckets: plan-metadata probe failed (Ray %s "
+                "moved _logical_plan.dag.infer_metadata?); falling back "
+                "to floor=%d buckets — bucket counts will no longer "
+                "scale with data size",
+                getattr(__import__("ray"), "__version__", "?"), floor,
+            )
         return floor
 
 
@@ -184,7 +202,16 @@ def membership_flag(
         )
     if n <= limit:
         kdf = keys_ds.to_pandas()
-        vals = kdf[key_col]
+        # drop null keys BEFORE the dtype/width probe: np.sort(...,
+        # dtype=str) would stringify NaN/None into the literal 'nan' /
+        # 'None', which a probe value equal to those strings would then
+        # false-positively match (null ∈ set is False in every engine)
+        vals = kdf[key_col].dropna()
+        if len(vals) == 0:
+            return ds.map_batches(
+                lambda b: b.assign(_in_set=np.zeros(len(b), dtype=bool)),
+                batch_format="pandas",
+            )
         if vals.to_numpy().dtype.kind in "iu":
             keys = np.sort(vals.to_numpy(np.int64))
             kref = ray.put(keys)
@@ -1521,11 +1548,24 @@ def substring_dedup(
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         th, offsets = _batch_token_hashes(batch[text_col])
         ids = batch[id_col].to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= np.int64(1) << (63 - _SUBSTR_POS_BITS)):
+            raise ValueError(
+                f"substring_dedup: {id_col} must be in [0, 2^"
+                f"{63 - _SUBSTR_POS_BITS}) — the packed (doc_id << "
+                f"{_SUBSTR_POS_BITS} | pos) winner key would overflow "
+                f"int64 and silently corrupt winner selection"
+            )
         out_h, out_k = [], []
         for d in range(len(batch)):
             wh = _doc_window_hashes(th[offsets[d] : offsets[d + 1]], window)
             if len(wh) == 0:
                 continue
+            if len(wh) >= 1 << _SUBSTR_POS_BITS:
+                raise ValueError(
+                    f"substring_dedup: document {ids[d]} has {len(wh)} "
+                    f"windows (≥ 2^{_SUBSTR_POS_BITS}); the packed "
+                    "position field would wrap into the doc-id bits"
+                )
             out_h.append(wh)
             out_k.append(
                 (ids[d] << _SUBSTR_POS_BITS) + np.arange(len(wh), dtype=np.int64)

@@ -2562,8 +2562,10 @@ def rel_decayed_user_value(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         ts_us = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        d = np.minimum(
-            (_DECAY_REF_US - ts_us) // 86_400_000_000, _DECAY_MAX_SHIFT
+        # clip BOTH sides: a ts after DECAY_REF would otherwise produce a
+        # negative shift (numpy raises on negative <<; DuckDB diverges)
+        d = np.clip(
+            (_DECAY_REF_US - ts_us) // 86_400_000_000, 0, _DECAY_MAX_SHIFT
         )
         w = batch["value"].to_numpy() / (np.int64(1) << d)
         g = pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "dv": w})
@@ -2596,9 +2598,9 @@ def rel_decayed_user_value(sf_dir: str) -> pd.DataFrame:
 
 REL_DECAYED_USER_VALUE_SQL = f"""
 select user_id,
-       round(sum(value / (1::BIGINT << least(
+       round(sum(value / (1::BIGINT << least(greatest(
            (epoch_us(timestamp '{DECAY_REF}') - epoch_us(ts))
-               // 86400000000,
+               // 86400000000, 0),
            {_DECAY_MAX_SHIFT}))), 2) as decayed_value
 from events
 group by user_id

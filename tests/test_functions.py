@@ -1353,3 +1353,84 @@ def test_source_contamination_degenerate_corpora(tmp_path):
     ).to_parquet(short / "documents.parquet", index=False)
     out = doc_source_contamination(str(short))
     assert list(out.columns) == cols and len(out) == 0
+
+
+def test_membership_flag_null_keys_never_match(ray_session):
+    """Null keys are dropped before the broadcast build: a probe value
+    that is literally 'nan' or 'None' must NOT match a null key (the
+    '<U' fixed-width path would otherwise stringify NaN into 'nan')."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.dedup import membership_flag
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"h": ["nan", "None", "k1", "k2", "missing"]})
+    )
+    keys = rd.from_pandas(pd.DataFrame({"h": [None, "k1", None, "k2"]}))
+    out = (
+        membership_flag(ds, "h", keys, "h", limit=10**6)
+        .to_pandas()
+        .set_index("h")["_in_set"]
+    )
+    assert bool(out["k1"]) and bool(out["k2"])
+    assert not out["nan"] and not out["None"] and not out["missing"]
+
+    # all-null key set: everything flagged False, no crash
+    allnull = rd.from_pandas(pd.DataFrame({"h": [None, None]}))
+    out = membership_flag(ds, "h", allnull, "h", limit=10**6).to_pandas()
+    assert not out["_in_set"].any()
+
+
+def test_substring_dedup_rejects_oversized_ids(ray_session):
+    """doc_id >= 2^31 would wrap the packed (doc_id << 32 | pos) winner
+    key into the sign bit — must raise instead of silently corrupting."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions import substring_dedup
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.array([2**31], dtype=np.int64),
+             "text": ["a b c d e f g h i j"]}
+        )
+    )
+    with pytest.raises(Exception, match="overflow"):  # Ray wraps ValueError
+        substring_dedup(docs, window=8).to_pandas()
+
+
+def test_decayed_user_value_future_timestamps(ray_session, tmp_path):
+    """Events after DECAY_REF must clamp to weight 1 (shift 0), matching
+    the SQL oracle, instead of raising on a negative left-shift."""
+    import duckdb
+
+    from ocr_poc_ray.queries.relational import (
+        REL_DECAYED_USER_VALUE_SQL,
+        rel_decayed_user_value,
+    )
+
+    events = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-15 12:00:00", "2024-06-01 00:00:00",
+                 "2025-01-01 08:30:00"]
+            ),
+            "value": [8.0, 3.0, 5.0],
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        rel_decayed_user_value(str(tmp_path))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    exp = (
+        con.execute(REL_DECAYED_USER_VALUE_SQL + " order by user_id")
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # future events carry full weight
+    assert got.loc[got["user_id"] == 2, "decayed_value"].iloc[0] == 5.0
