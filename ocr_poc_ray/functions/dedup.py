@@ -99,7 +99,12 @@ def _doc_shingle_hashes(th: np.ndarray, n: int = 3) -> np.ndarray:
 _SCALED_BUCKETS_WARNED = False
 
 
-def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> int:
+def _scaled_buckets(
+    ds,
+    floor: int = 32,
+    bytes_per_bucket: int = 64 << 20,
+    bytes_hint: int | None = None,
+) -> int:
     """Bucket count for the bounded-bucket combine pattern, scaled to
     DATA bytes (~64 MB of rows per bucket task, `floor` when the size
     is unknown).  Group-per-bucket overhead is trivial up to thousands
@@ -114,7 +119,16 @@ def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> in
     datasets; anything else falls back to ``floor``.  Capped at 4096:
     per-group overhead is measurable by the tens of thousands
     (CLAUDE.md: 55 s at 80 k groups), and a 4096-way combine already
-    bounds per-task data at ~256 GB-per-TB-of-projection."""
+    bounds per-task data at ~256 GB-per-TB-of-projection.
+
+    ``bytes_hint`` sidesteps the plan probe entirely: callers that know
+    the projection's size (input file bytes × an expansion factor —
+    the ``_paths_bytes`` pattern) pass it so the dataset never has to
+    be MATERIALIZED just to expose metadata — at 100 TB that
+    materialize is a corpus-sized object-store/spill round-trip paid
+    purely to pick an integer."""
+    if bytes_hint is not None:
+        return min(4096, max(floor, int(bytes_hint // bytes_per_bucket)))
     try:
         # Ray private internals (verified on 2.49.x): a Ray upgrade that
         # moves the accessor must NOT silently pin every caller at the
@@ -137,6 +151,22 @@ def _scaled_buckets(ds, floor: int = 32, bytes_per_bucket: int = 64 << 20) -> in
                 getattr(__import__("ray"), "__version__", "?"), floor,
             )
         return floor
+
+
+def _paths_bytes(source) -> int:
+    """On-disk bytes of a file/dir/list — the cheap input-footprint
+    estimate behind every ``bytes_hint`` (same shape as
+    ``pipelines.extraction._paths_bytes``)."""
+    import os
+
+    total = 0
+    for path in [source] if isinstance(source, str) else source:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(path):
+            total += os.path.getsize(path)
+    return total
 
 
 def _join_parallelism(requested: int) -> int:

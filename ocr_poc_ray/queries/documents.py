@@ -317,7 +317,9 @@ def doc_near_dup_components(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     cand = minhash_lsh_pairs(ds, threshold=0.5)
     verified = ngram_jaccard_verify(cand, ds)
-    verified = verified.filter(lambda r: r["jaccard"] >= 0.5)
+    verified = verified.map_batches(
+        lambda b: b[b["jaccard"] >= 0.5], batch_format="pandas"
+    )
     comp = connected_components(verified).to_pandas()
     if len(comp) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -3098,8 +3100,13 @@ def doc_source_contamination(sf_dir: str) -> pd.DataFrame:
         )
         return b.drop_duplicates()  # local (shingle, source) dedup
 
-    exploded = ds.map_batches(explode, batch_format="pandas").materialize()
-    nb = _scaled_buckets(exploded)
+    # bucket count from an input-footprint hint (parquet bytes × ~8:
+    # ~2× decompression × ~4× shingle-row expansion) — never a
+    # corpus-sized materialize just to expose size metadata
+    from ocr_poc_ray.functions.dedup import _paths_bytes
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    nb = _scaled_buckets(exploded, bytes_hint=_paths_bytes(_docs_path(sf_dir)) * 8)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(_hb=(b["ps"] % nb).astype("int64"))
