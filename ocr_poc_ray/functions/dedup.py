@@ -603,6 +603,98 @@ def _distinct_pairs(
 
 
 # --------------------------------------------------------------------------
+# Multi-bucket vectorized pair generation (shared by the LSH families)
+# --------------------------------------------------------------------------
+
+#: pair rows compared per numpy slab — bounds the per-task transient at
+#: ~chunk × num_perm × 8 B (≈128 MB for 64-perm minhash)
+_PAIR_CHUNK = 1 << 18
+
+#: per-byte popcount lookup (Hamming distance of XORed 64-bit simhashes)
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8).reshape(-1, 1), axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _salted_row_count(hot_sizes: pd.DataFrame, chunk_target: int = _BUCKET_CHUNK) -> int:
+    """Exact exploded-row count AFTER `_salt_oversized` replication
+    (each doc in a k-chunk bucket lands in k grid cells) — the driver
+    already holds hot_sizes, so the meta-bucket count needs no plan
+    metadata and no materialize."""
+    if hot_sizes is None or hot_sizes.empty:
+        return 0
+    sizes = hot_sizes["size"].to_numpy()
+    ks = np.ceil(sizes / chunk_target).astype(np.int64)
+    return int((sizes * ks).sum())
+
+
+def _pair_meta_buckets(
+    exploded_hot: Dataset, key_cols: list[str], n_rows: int, row_bytes: int
+) -> Dataset:
+    """Assign each bucket row a BOUNDED meta-bucket id `_pb` (hash of
+    the full bucket key incl. grid cell, data-scaled count).
+
+    A crawl has millions of small dup buckets, and a map_groups keyed
+    on the bucket itself pays Ray's per-group overhead per bucket
+    (measured: 55 s at 80 k groups vs 0.2 s bounded).  All rows of a
+    bucket share one meta bucket, so each of the O(data/64 MB) group
+    tasks can emit pairs for EVERY contained bucket in a few vectorized
+    passes (`_grid_pair_indices` + one slab comparison)."""
+    nb = max(32, min(4096, (n_rows * row_bytes) // (64 << 20)))
+
+    def add_mb(batch: pd.DataFrame) -> pd.DataFrame:
+        mix = pd.util.hash_array(batch[key_cols[0]].to_numpy())
+        for c in list(key_cols[1:]) + ["_ci", "_cj"]:
+            mix = mix ^ pd.util.hash_array(batch[c].to_numpy())
+        return batch.assign(_pb=(mix % nb).astype("int64"))
+
+    return exploded_hot.map_batches(add_mb, batch_format="pandas")
+
+
+def _grid_pair_indices(
+    bucket_keys: list[np.ndarray],
+    ci: np.ndarray,
+    cj: np.ndarray,
+    chunk: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(iu, ju) row-index pairs for every bucket segment of a frame
+    sorted by the bucket key columns: upper-triangle pairs on diagonal
+    grid cells, chunk-A × chunk-B cross pairs off-diagonal.  The Python
+    loop is per SEGMENT and builds only index arrays (~µs each, vs a
+    Ray group round-trip per bucket); callers run the heavy per-pair
+    comparison in one chunked numpy pass over the returned indices."""
+    n = len(ci)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for arr in list(bucket_keys) + [ci, cj]:
+        new[1:] |= arr[1:] != arr[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    iu_parts: list[np.ndarray] = []
+    ju_parts: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if ci[s] == cj[s]:
+            iu, ju = np.triu_indices(m, k=1)
+            iu_parts.append(iu.astype(np.int64) + s)
+            ju_parts.append(ju.astype(np.int64) + s)
+        else:
+            in_a = chunk[s:e] == ci[s]
+            a_idx = np.flatnonzero(in_a).astype(np.int64) + s
+            b_idx = np.flatnonzero(~in_a).astype(np.int64) + s
+            if len(a_idx) and len(b_idx):
+                iu_parts.append(np.repeat(a_idx, len(b_idx)))
+                ju_parts.append(np.tile(b_idx, len(a_idx)))
+    if not iu_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(iu_parts), np.concatenate(ju_parts)
+
+
+# --------------------------------------------------------------------------
 # MinHash-LSH near-dup candidate pairs
 # --------------------------------------------------------------------------
 
@@ -706,43 +798,50 @@ def minhash_lsh_pairs(
     exploded_hot = _salt_oversized(exploded_hot, ["band_id", "band_hash"], hot_sizes)
 
     num_perm_ = num_perm
+    _empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "est_jaccard": pd.Series([], dtype="float64")}
+    )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def grouped_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """All pairs of EVERY bucket in this meta-group: one sort, one
+        segment-index build, one chunked signature comparison — no
+        per-bucket Ray group, no per-bucket pandas call."""
         if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = group.sort_values("doc_id")
-        ci, cj = int(g["_ci"].iloc[0]), int(g["_cj"].iloc[0])
-        sigs = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
+            return _empty
+        g = group.sort_values(["band_id", "band_hash", "_ci", "_cj"], kind="mergesort")
+        iu, ju = _grid_pair_indices(
+            [g["band_id"].to_numpy(), g["band_hash"].to_numpy()],
+            g["_ci"].to_numpy(), g["_cj"].to_numpy(), g["_chunk"].to_numpy(),
+        )
+        if not len(iu):
+            return _empty
+        sigs = np.frombuffer(b"".join(g["signature"]), dtype=np.uint64).reshape(
+            len(g), num_perm_
+        )
         ids = g["doc_id"].to_numpy()
-        if ci == cj:
-            # diagonal cell: all pairs within one chunk (n, n) overlap
-            eq = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2) / num_perm_
-            iu, ju = np.triu_indices(len(ids), k=1)
-            est = eq[iu, ju]
-            a_ids, b_ids = ids[iu], ids[ju]
-        else:
-            # off-diagonal: cross pairs between the two chunks only
-            ma = g["_chunk"].to_numpy() == ci
-            A, B = sigs[ma], sigs[~ma]
-            if len(A) == 0 or len(B) == 0:
-                return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-            eq = (A[:, None, :] == B[None, :, :]).sum(axis=2) / num_perm_
-            est = eq.reshape(-1)
-            a_ids = np.repeat(ids[ma], len(B))
-            b_ids = np.tile(ids[~ma], len(A))
-        keep = est >= threshold
-        a, b = a_ids[keep], b_ids[keep]
+        out_a, out_b, out_e = [], [], []
+        for s in range(0, len(iu), _PAIR_CHUNK):
+            i, j = iu[s : s + _PAIR_CHUNK], ju[s : s + _PAIR_CHUNK]
+            est = (sigs[i] == sigs[j]).mean(axis=1)
+            keep = est >= threshold
+            a, b = ids[i[keep]], ids[j[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_e.append(est[keep])
         return pd.DataFrame(
-            {
-                "doc_a": np.minimum(a, b),
-                "doc_b": np.maximum(a, b),
-                "est_jaccard": est[keep],
-            }
+            {"doc_a": np.concatenate(out_a),
+             "doc_b": np.concatenate(out_b),
+             "est_jaccard": np.concatenate(out_e)}
         )
 
-    pairs = exploded_hot.groupby(["band_id", "band_hash", "_ci", "_cj"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # signature travels with the row: ~num_perm×8 B + key/grid columns
+    meta = _pair_meta_buckets(
+        exploded_hot, ["band_id", "band_hash"],
+        _salted_row_count(hot_sizes), num_perm * 8 + 128,
     )
+    pairs = meta.groupby("_pb").map_groups(grouped_pairs, batch_format="pandas")
     # distinct across bands: a pair's estimate is computed from the full
     # signatures, so every occurrence is identical → pure distinct.
     # materialize (distributed blocks, output-sized) so the empty case
@@ -828,46 +927,48 @@ def simhash_pairs(
     # oversized buckets → chunk grid (all pairs, bounded per-task memory)
     exploded = _salt_oversized(exploded, ["band_id", "band_key"], hot_sizes)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    _empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+
+    def grouped_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Pairs of every bucket in the meta-group: segment indices from
+        one sort, Hamming distances via a byte-popcount LUT over the
+        XORed signatures — all buckets in a handful of numpy passes."""
         if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = group.sort_values("doc_id")
-        ci, cj = int(g["_ci"].iloc[0]), int(g["_cj"].iloc[0])
+            return _empty
+        g = group.sort_values(["band_id", "band_key", "_ci", "_cj"], kind="mergesort")
+        iu, ju = _grid_pair_indices(
+            [g["band_id"].to_numpy(), g["band_key"].to_numpy()],
+            g["_ci"].to_numpy(), g["_cj"].to_numpy(), g["_chunk"].to_numpy(),
+        )
+        if not len(iu):
+            return _empty
         ids = g["doc_id"].to_numpy()
         # stored value is sig - 2^63; XOR of the top bit restores sig bits
         u = g["simhash"].to_numpy().astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
-        if ci == cj:
-            n = len(ids)
-            xor = u[:, None] ^ u[None, :]  # (n, n) uint64
-            ham = np.unpackbits(xor.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
-            iu, ju = np.triu_indices(n, k=1)
-            hvals = ham[iu, ju]
-            a_ids, b_ids = ids[iu], ids[ju]
-        else:
-            ma = g["_chunk"].to_numpy() == ci
-            ua, ub = u[ma], u[~ma]
-            if len(ua) == 0 or len(ub) == 0:
-                return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-            xor = ua[:, None] ^ ub[None, :]
-            ham = np.unpackbits(
-                xor.view(np.uint8).reshape(len(ua), len(ub), 8), axis=2
-            ).sum(axis=2)
-            hvals = ham.reshape(-1)
-            a_ids = np.repeat(ids[ma], len(ub))
-            b_ids = np.tile(ids[~ma], len(ua))
-        keep = hvals <= max_hamming
-        a, b = a_ids[keep], b_ids[keep]
+        out_a, out_b, out_h = [], [], []
+        for s in range(0, len(iu), _PAIR_CHUNK):
+            i, j = iu[s : s + _PAIR_CHUNK], ju[s : s + _PAIR_CHUNK]
+            xor = u[i] ^ u[j]
+            ham = _POPCOUNT8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            keep = ham <= max_hamming
+            a, b = ids[i[keep]], ids[j[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_h.append(ham[keep])
         return pd.DataFrame(
-            {
-                "doc_a": np.minimum(a, b),
-                "doc_b": np.maximum(a, b),
-                "hamming": hvals[keep].astype(np.int64),
-            }
+            {"doc_a": np.concatenate(out_a),
+             "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h).astype(np.int64)}
         )
 
-    pairs = exploded.groupby(["band_id", "band_key", "_ci", "_cj"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    meta = _pair_meta_buckets(
+        exploded, ["band_id", "band_key"], _salted_row_count(hot_sizes), 64
     )
+    pairs = meta.groupby("_pb").map_groups(grouped_pairs, batch_format="pandas")
     # Hamming distance is a property of the pair, identical in every
     # band that surfaces it → pure distinct.
     out = _distinct_pairs(pairs, ["doc_a", "doc_b", "hamming"]).materialize()
