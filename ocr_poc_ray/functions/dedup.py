@@ -352,20 +352,25 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
     to remove.
     """
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        # Arrow in/out: the md5 loop needs Python strings either way,
+        # but nothing else of the corpus batch gets copied to pandas.
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(batch[text_col], "").to_pylist()
+        return pa.table(
             {
                 id_col: batch[id_col],
-                "content_hash": [
-                    hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
-                    for t in batch[text_col].fillna("")
-                ],
+                "content_hash": pa.array(
+                    [hashlib.md5(t.encode("utf-8", "ignore")).hexdigest() for t in texts],
+                    pa.string(),
+                ),
             }
         )
 
     # pinned: three branches read this (counts, uniques, dup-mins);
     # unpinned they would each re-hash the corpus
-    hashed = ds.map_batches(hash_batch, batch_format="pandas").materialize()
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow").materialize()
 
     # duplicate hashes + their min-id winners in ONE bounded pass: per
     # batch, (hash → count, min id) partials (corpus-sized for a mostly-

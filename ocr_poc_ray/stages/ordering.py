@@ -70,24 +70,55 @@ def default_sort_blocks(bytes_hint: int | None = None) -> int | None:
     return floor
 
 
-def _block_partials(batch: pd.DataFrame) -> pd.DataFrame:
+def _block_partials(batch: pa.Table) -> pa.Table:
     """Within one SORTED block, concat each conversation's contiguous
-    run of turns into a single partial row (vectorized groupby; order
-    inside the block is already (conv_id, turn_idx)).  The first/last
+    run of turns into a single partial row.  Pure Arrow kernels over the
+    zero-copy batch (run boundaries via a shifted not_equal, the join
+    via ``pc.binary_join`` on a ListArray view) — this pass touches the
+    whole corpus, so the former pandas conversion + per-run Python
+    ``" ".join`` was a measurable constant factor.  The first/last
     conversation of the block may continue in a neighbor block → edge."""
-    g = batch.groupby("conv_id", sort=False)
-    out = pd.DataFrame(
-        {
-            "conv_id": g["conv_id"].first(),
-            "first_turn": g["turn_idx"].first(),
-            "n_turns": g["turn_idx"].size(),
-            "text": g["text"].apply(lambda s: " ".join(t for t in s if t)),
-        }
-    ).reset_index(drop=True)
-    out["edge"] = False
-    if len(out):
-        out.loc[out.index[[0, -1]], "edge"] = True
-    return out
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {"conv_id": pa.array([], batch.schema.field("conv_id").type),
+             "first_turn": pa.array([], batch.schema.field("turn_idx").type),
+             "n_turns": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string()),
+             "edge": pa.array([], pa.bool_())}
+        )
+    conv = batch["conv_id"].combine_chunks()
+    neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+    starts = np.concatenate(
+        [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+    ).astype(np.int64)
+    ends = np.append(starts[1:], n)
+    text = pc.fill_null(batch["text"].combine_chunks(), "")
+    # join only non-empty turn texts, but count EVERY turn in n_turns
+    nonempty = pc.not_equal(text, "").to_numpy(zero_copy_only=False)
+    seg_of_row = np.repeat(np.arange(len(starts)), ends - starts)
+    kept_rows = np.flatnonzero(nonempty)
+    kept_counts = np.bincount(seg_of_row[kept_rows], minlength=len(starts))
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), text.take(pa.array(kept_rows))
+        ),
+        " ",
+    )
+    edge = np.zeros(len(starts), dtype=bool)
+    edge[[0, -1]] = True
+    take_starts = pa.array(starts)
+    return pa.table(
+        {"conv_id": conv.take(take_starts),
+         "first_turn": batch["turn_idx"].combine_chunks().take(take_starts),
+         "n_turns": pa.array(ends - starts, pa.int64()),
+         "text": joined,
+         "edge": pa.array(edge)}
+    )
 
 
 def conversation_docs(
@@ -128,14 +159,17 @@ def conversation_docs(
     ordered = sort_by_turn(projected, num_blocks=sort_num_blocks or default_sort_blocks())
     # ONE pinned execution: the finals and edges branches must see the
     # same batch slicing (see functions/windows.py for the bug class).
-    partials = ordered.map_batches(_block_partials, batch_format="pandas").materialize()
+    partials = ordered.map_batches(_block_partials, batch_format="pyarrow").materialize()
 
-    finals = partials.map_batches(
-        lambda b: b.loc[~b["edge"], ["conv_id", "n_turns", "text"]].rename(
-            columns={"text": "doc_text"}
-        ),
-        batch_format="pandas",
-    )
+    def finals_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.invert(t["edge"].combine_chunks()))
+        return pa.table(
+            {"conv_id": f["conv_id"], "n_turns": f["n_turns"], "doc_text": f["text"]}
+        )
+
+    finals = partials.map_batches(finals_batch, batch_format="pyarrow")
     # Distributed edge merge: edge partials (each carrying up to one
     # block's concatenated run text) go through a BOUNDED hash-bucket
     # groupby — all partials of a conversation share a bucket — and the
@@ -144,8 +178,10 @@ def conversation_docs(
     # its k partials (its output document is that size by definition).
     _EB = 32
 
-    def edge_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["edge"]]
+    def edge_bucket(t: pa.Table) -> pd.DataFrame:
+        # Arrow filter first: only the O(2-per-block) edge rows — never
+        # the block's full partial text — get converted to pandas.
+        b = t.filter(t["edge"].combine_chunks()).to_pandas()
         return b.assign(
             _eb=(pd.util.hash_array(b["conv_id"].to_numpy()) % _EB).astype("int64")
         )
@@ -168,7 +204,7 @@ def conversation_docs(
         return agg[["conv_id", "n_turns", "doc_text"]]
 
     merged = (
-        partials.map_batches(edge_bucket, batch_format="pandas")
+        partials.map_batches(edge_bucket, batch_format="pyarrow")
         .groupby("_eb")
         .map_groups(merge_edges, batch_format="pandas")
     )

@@ -41,12 +41,16 @@ def dedup_turns(ds):
 
     import pandas as pd
 
-    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.copy()
-        b["_turn_key"] = b["conv_id"] + "\x1f" + b["turn_idx"].astype(str)
-        return b
+    def key_batch(batch: pa.Table) -> pa.Table:
+        # Arrow string kernel over the zero-copy batch: this pass reads
+        # the whole corpus, so the former pandas conversion + Python
+        # string concat was pure overhead.
+        key = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), "\x1f"
+        )
+        return batch.append_column("_turn_key", key)
 
-    keyed = ds.map_batches(key_batch, batch_format="pandas").materialize()
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow").materialize()
 
     # duplicate keys via per-batch partial counts summed in a BOUNDED
     # bucket groupby (data-scaled count, never one per key): only the
@@ -57,7 +61,7 @@ def dedup_turns(ds):
     _B = _scaled_buckets(keyed)
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch[["_turn_key"]].groupby("_turn_key", as_index=False).size()
+        g = batch.groupby("_turn_key", as_index=False).size()
         g["_kb"] = (
             pd.util.hash_array(g["_turn_key"].to_numpy(dtype=object)) % _B
         ).astype("int64")
@@ -68,7 +72,8 @@ def dedup_turns(ds):
         return t.loc[t["size"] > 1, ["_turn_key"]]
 
     dup_ds = (
-        keyed.map_batches(partial_counts, batch_format="pandas")
+        keyed.select_columns(["_turn_key"])  # never pandas-convert the payload
+        .map_batches(partial_counts, batch_format="pandas")
         .groupby("_kb")
         .map_groups(find_dups, batch_format="pandas")
         .materialize()
