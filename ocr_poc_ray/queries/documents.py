@@ -884,6 +884,51 @@ from t
 """
 
 
+def doc_pack_interleaved(sf_dir: str) -> pd.DataFrame:
+    """The data-loader's pack layout: greedy 512-token packs over the
+    LANGUAGE-INTERLEAVED order (k-th doc of every language adjacent) —
+    exactly what ``pipelines.loader.iter_training_packs`` streams, so
+    the oracle pins the loader's distributed interleave + prefix-scan
+    pack assignment, not just the row-order variant."""
+    from ocr_poc_ray.pipelines.loader import interleaved_pack_ids
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang", "text"])
+    out = (
+        interleaved_pack_ids(ds)
+        .select_columns(["doc_id", "n_ws_tokens", "interleave_key", "pack_id"])
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_ws_tokens", "interleave_key", "pack_id")}
+        )
+    return out.astype(
+        {"doc_id": "int64", "n_ws_tokens": "int64",
+         "interleave_key": "int64", "pack_id": "int64"}
+    )
+
+
+DOC_PACK_INTERLEAVED_SQL = rf"""
+with t as (
+  select doc_id, lang,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as n_ws_tokens
+  from documents
+), w as (
+  select doc_id, n_ws_tokens,
+         (row_number() over (partition by lang order by doc_id) - 1)
+           * (select count(distinct lang) from t)
+         + (dense_rank() over (order by lang) - 1) as interleave_key
+  from t
+)
+select doc_id, n_ws_tokens, interleave_key::BIGINT as interleave_key,
+       ((sum(n_ws_tokens) over (order by interleave_key))::BIGINT - n_ws_tokens)
+         // {PACK_TOKEN_BUDGET} as pack_id
+from w
+"""
+
+
 def doc_shuffled_order(sf_dir: str) -> pd.DataFrame:
     """Deterministic global training shuffle: rank docs by
     md5(doc_id) — the same permutation on any engine, any run, any
@@ -3314,6 +3359,7 @@ REGISTRY = {
     "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SAMPLE_SQL),
     "doc_temperature_sample": (doc_temperature_sample, DOC_TEMPERATURE_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
+    "doc_pack_interleaved": (doc_pack_interleaved, DOC_PACK_INTERLEAVED_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),
