@@ -1,14 +1,21 @@
 """Batched text-embedding stage — the model-inference slot for the
 training-data path (extract → assemble → embed → ANN/near-dup).
 
-The real encoder (a sentence-transformer) is not in this container, so
-``use_real_model=True`` raises and the default is a DETERMINISTIC
-hashed bag-of-words projection: each token's stable 64-bit hash seeds
-a fixed random projection row, the document vector is the L2-normed
-sum.  Deterministic across processes (no Python ``hash``), batched
-(one matmul per batch), and shaped exactly like the real thing — the
-actor pool, batch sizing, and output schema don't change when a model
-replaces ``_encode``.
+A sentence-transformer runtime is not in this container; two honest
+stand-ins share the exact actor-pool shape a real encoder would use:
+
+- default: a DETERMINISTIC hashed bag-of-words projection — each
+  token's stable 64-bit hash seeds a fixed random projection row, the
+  document vector is the L2-normed sum (no weight file, per-actor
+  vocab cache).
+- ``use_real_model=True``: a GENUINE on-disk weight file (a hashed
+  embedding table from ``ocr_poc_ray.models``) np.load-ed ONCE per
+  actor, with a fully vectorized gather/reduceat forward pass — the
+  load-once amortization and batch-size economics of a real model,
+  exercised end-to-end (see BASELINE.md model-seat note).
+
+Either way the actor pool, batch sizing, and output schema don't
+change when a real encoder replaces the forward pass.
 """
 
 from __future__ import annotations
@@ -36,16 +43,45 @@ def _token_rows(tokens: list[str], dim: int) -> np.ndarray:
 
 class TextEmbedder:
     """Actor-pool embedding stage: vocab projection cache lives for the
-    actor's lifetime (the model-weights slot)."""
+    actor's lifetime (the model-weights slot).
+
+    ``use_real_model=True`` loads a GENUINE weight file once per actor
+    (``models.hashed_embedding_path`` — an on-disk ``.npz`` embedding
+    table, loaded with ``np.load`` like any downloaded artifact) and
+    replaces ``_encode`` with its batched forward pass: hash-bucket
+    gather + per-doc ``reduceat`` sum + L2 norm.  Init cost (file read
+    + table residency) is paid once per actor; batches pay only the
+    vectorized forward (measured in BASELINE.md's model-seat note).
+    """
 
     def __init__(self, *, dim: int = EMBED_DIM, use_real_model: bool = False):
-        if use_real_model:
-            raise NotImplementedError(
-                "no encoder runtime in this environment; load the model here "
-                "(once per actor) and replace _encode with a batched forward pass"
-            )
         self.dim = dim
         self._cache: dict[str, np.ndarray] = {}
+        self.E: np.ndarray | None = None
+        if use_real_model:
+            from ocr_poc_ray.models import hashed_embedding_path
+
+            self.E = np.load(hashed_embedding_path(dim=dim))["E"]
+            assert self.E.shape[1] == dim
+
+    def _encode_weights(self, texts: list[str]) -> np.ndarray:
+        """Batched forward pass over the loaded embedding table."""
+        from ocr_poc_ray.functions.dedup import _batch_token_hashes
+
+        th, offsets = _batch_token_hashes(pd.Series(texts))
+        vecs = np.zeros((len(texts), self.dim), dtype=np.float64)
+        if len(th):
+            rows = self.E[(th % np.uint64(self.E.shape[0])).astype(np.int64)]
+            starts = offsets[:-1]
+            nonempty = offsets[1:] > starts
+            if nonempty.any():
+                sums = np.add.reduceat(
+                    rows.astype(np.float64), starts[nonempty], axis=0
+                )
+                norms = np.linalg.norm(sums, axis=1, keepdims=True)
+                np.divide(sums, norms, out=sums, where=norms > 0)
+                vecs[nonempty] = sums
+        return vecs
 
     def _encode(self, texts: list[str]) -> np.ndarray:
         vecs = np.zeros((len(texts), self.dim), dtype=np.float64)
@@ -64,7 +100,8 @@ class TextEmbedder:
         return vecs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = self._encode(list(batch["text"]))
+        encode = self._encode if self.E is None else self._encode_weights
+        vecs = encode(list(batch["text"]))
         out = batch.drop(columns=["text"]).copy()
         out["embedding"] = [row.astype(np.float32) for row in vecs]
         return out
@@ -77,6 +114,7 @@ def embed_text(
     dim: int = EMBED_DIM,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] = (1, 8),
+    use_real_model: bool = False,
 ) -> Dataset:
     """(…, text) → (…, embedding list<float32>); batched actor pool."""
     if text_col != "text":
@@ -85,7 +123,7 @@ def embed_text(
         )
     return ds.map_batches(
         TextEmbedder,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "use_real_model": use_real_model},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

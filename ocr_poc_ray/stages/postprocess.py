@@ -6,10 +6,14 @@ that cleans the heuristic extractor's fields (``config.yaml:2-11``,
 snapshot).  This stage reserves that seat in the dataflow: an
 actor-pool ``map_batches`` class whose ``__init__`` is where a model
 would load once per actor (GPU-capable via ``num_gpus`` in
-``map_batches``).  The model libraries are not in this container, so
-``use_real_model=True`` raises; the default is a DETERMINISTIC
-rule-based cleaner (whitespace/case canonicalization of extracted
-fields) so the plumbing is real and testable.
+``map_batches``).  No LLM runtime ships in this container; the default
+is a DETERMINISTIC rule-based cleaner (whitespace/case
+canonicalization of extracted fields), and ``use_real_model=True``
+loads a GENUINE numpy weight file into the seat (a hashed-unigram
+logistic plausibility scorer from ``ocr_poc_ray.models``) — np.load
+once per actor, vectorized batched scoring, a ``post_conf`` column —
+so the load-once amortization and actor-pool batch sizing are
+exercised with real on-disk weights (BASELINE.md model-seat note).
 """
 
 from __future__ import annotations
@@ -33,12 +37,36 @@ class LLMPostProcessor:
     """
 
     def __init__(self, *, use_real_model: bool = False):
-        if use_real_model:
-            raise NotImplementedError(
-                "no LLM runtime in this environment; load the model here "
-                "(once per actor) and replace _clean with a batched generate"
-            )
         self._clean = _rule_clean
+        self._W = None
+        if use_real_model:
+            # A genuine weight file in the LLM seat: a hashed-unigram
+            # logistic plausibility scorer, np.load-ed once per actor
+            # (the load-once slot a Qwen checkpoint would occupy); the
+            # rule cleaner still cleans, the model adds a per-row
+            # ``post_conf`` confidence column.
+            import numpy as np
+
+            from ocr_poc_ray.models import ngram_logistic_path
+
+            arrs = np.load(ngram_logistic_path())
+            self._W, self._b = arrs["W"].astype(np.float64), float(arrs["b"])
+
+    def _confidence(self, texts: list[str]):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_poc_ray.functions.dedup import _batch_token_hashes
+
+        th, offsets = _batch_token_hashes(pd.Series(texts, dtype=object))
+        scores = np.full(len(texts), self._b, dtype=np.float64)
+        if len(th):
+            w = self._W[(th % np.uint64(len(self._W))).astype(np.int64)]
+            starts = offsets[:-1]
+            nonempty = offsets[1:] > starts
+            if nonempty.any():
+                scores[nonempty] += np.add.reduceat(w, starts[nonempty])
+        return 1.0 / (1.0 + np.exp(-scores))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = {name: batch[name] for name in batch.column_names}
@@ -47,9 +75,18 @@ class LLMPostProcessor:
                 cleaned = [self._clean(v) for v in cols[fname].to_pylist()]
                 cols[fname] = pa.array(cleaned, pa.string())
         out = pa.table(cols)
-        return out.append_column(
+        out = out.append_column(
             "postprocessed", pa.array([True] * len(batch), pa.bool_())
         )
+        if self._W is not None:
+            joined = [
+                " ".join(str(cols[f][i]) for f in _TITLECASE_FIELDS if f in cols)
+                for i in range(len(batch))
+            ]
+            out = out.append_column(
+                "post_conf", pa.array(self._confidence(joined), pa.float64())
+            )
+        return out
 
 
 def _rule_clean(value: str | None) -> str | None:
@@ -60,10 +97,16 @@ def _rule_clean(value: str | None) -> str | None:
 
 
 def postprocess_fields(
-    ds: Dataset, *, concurrency: int | tuple[int, int] = (1, 4)
+    ds: Dataset,
+    *,
+    concurrency: int | tuple[int, int] = (1, 4),
+    use_real_model: bool = False,
 ) -> Dataset:
     return ds.map_batches(
-        LLMPostProcessor, batch_format="pyarrow", concurrency=concurrency
+        LLMPostProcessor,
+        fn_constructor_kwargs={"use_real_model": use_real_model},
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )
 
 

@@ -127,22 +127,32 @@ def test_deskew_identity_when_straight():
 
 
 def test_postprocessor_stub(ray_session):
-    import pytest as _pytest
+    import numpy as np
     import ray.data
 
     from ocr_poc_ray.stages.fields import extract_fields_ds
-    from ocr_poc_ray.stages.postprocess import LLMPostProcessor, postprocess_fields
+    from ocr_poc_ray.stages.postprocess import postprocess_fields
     from ocr_poc_ray.synth import generate_span_docs
-
-    with _pytest.raises(NotImplementedError):
-        LLMPostProcessor(use_real_model=True)
 
     spans, _ = generate_span_docs(n_docs=40, seed=5)
     ds = extract_fields_ds(ray.data.from_arrow(spans))
     out = postprocess_fields(ds).to_pandas()
     assert out["postprocessed"].all()
+    assert "post_conf" not in out.columns  # default path: no model column
     names = out.loc[out["success"] & out["nom"].notna(), "nom"]
     assert len(names) > 0 and all(v == v.title() for v in names)
+
+    # real-model seat: on-disk logistic weights load once per actor and
+    # add a deterministic confidence column; cleaning is unchanged
+    real = postprocess_fields(ds, use_real_model=True).to_pandas()
+    real2 = postprocess_fields(ds, use_real_model=True).to_pandas()
+    key = ["doc_id"] if "doc_id" in real.columns else list(real.columns[:1])
+    real = real.sort_values(key).reset_index(drop=True)
+    real2 = real2.sort_values(key).reset_index(drop=True)
+    assert real["post_conf"].between(0, 1).all()
+    assert np.allclose(real["post_conf"], real2["post_conf"])
+    base = out.sort_values(key).reset_index(drop=True)
+    assert real["nom"].equals(base["nom"])
 
 
 def test_back_layout_two_date_order_rule():

@@ -492,10 +492,24 @@ def test_embed_text_deterministic(ray_session):
     assert not np.allclose(va[0], va[2])
     assert np.allclose(np.linalg.norm(va, axis=1), 1.0, atol=1e-5)
 
-    import pytest as _pytest
+    # the real-model seat: genuine on-disk weights, loaded once per
+    # actor, deterministic forward pass, same schema/normalization
+    import os
 
-    with _pytest.raises(NotImplementedError):
-        TextEmbedder(use_real_model=True)
+    from ocr_poc_ray.models import hashed_embedding_path
+
+    assert os.path.exists(hashed_embedding_path())
+    r1 = embed_text(rd.from_pandas(df), use_real_model=True).to_pandas().sort_values("doc_id")
+    r2 = embed_text(rd.from_pandas(df), use_real_model=True).to_pandas().sort_values("doc_id")
+    vr1 = np.vstack(r1["embedding"].to_numpy())
+    vr2 = np.vstack(r2["embedding"].to_numpy())
+    assert np.allclose(vr1, vr2)
+    assert np.allclose(vr1[0], vr1[1]) and not np.allclose(vr1[0], vr1[2])
+    assert np.allclose(np.linalg.norm(vr1, axis=1), 1.0, atol=1e-5)
+    assert not np.allclose(vr1, va)  # different weights than the hash default
+    # direct single-actor check: the table is resident after __init__
+    emb = TextEmbedder(use_real_model=True)
+    assert emb.E is not None and emb.E.shape[1] == 64
 
 
 def test_hll_distinct_within_tolerance(ray_session):
