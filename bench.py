@@ -123,6 +123,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         doc_exact_dedup,
         doc_jaccard_pairs_prefix,
         doc_minhash_pairs,
+        doc_pack_interleaved,
         doc_pii_redact,
         doc_source_contamination,
     )
@@ -147,6 +148,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("fields_extract", fields_extract_synth),
         ("pii_redact", doc_pii_redact),
         ("source_contamination", doc_source_contamination),
+        ("pack_interleaved", doc_pack_interleaved),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)

@@ -480,17 +480,20 @@ def _filter_hot_buckets(
     # hot keys as a Dataset, attach sizes via a bucketed join, and
     # drive the salting from the joined rows (membership_flag's bloom
     # switch is the membership half of that path).
-    if len(key_cols) == 1 and hot_df[key_cols[0]].dtype.kind in "iu":
-        # single integer key (every dedup/prefix caller): sorted int64
-        # array + searchsorted — vectorized and zero-copy, where a
-        # broadcast set of tuples costs a Python loop per row
-        c0 = key_cols[0]
-        keys_arr = np.sort(hot_df[c0].to_numpy().view(np.int64))
+    all_int = all(hot_df[c].dtype.kind in "iu" for c in key_cols)
+    if all_int:
+        # integer key(s): sorted uint64 (mixed) key array + searchsorted
+        # — vectorized and zero-copy, where a broadcast set of tuples
+        # costs a Python loop per row.  For multi-column keys the mixed
+        # hash can collide (~n²/2⁶⁴): a collision only ADMITS an extra
+        # row past this pre-filter — the pair kernels segment on the
+        # real key columns, so correctness is unaffected.
+        keys_arr = np.sort(_mixed_int_key(hot_df, key_cols))
         hot_ref = ray.put(keys_arr)
 
         def only_hot(batch: pd.DataFrame) -> pd.DataFrame:
             k = ray.get(hot_ref)
-            ids = batch[c0].to_numpy().view(np.int64)
+            ids = _mixed_int_key(batch, key_cols)
             if not len(ids):
                 return batch
             pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
@@ -505,6 +508,21 @@ def _filter_hot_buckets(
             return batch[pd.Series(mask, index=batch.index)]
 
     return exploded.map_batches(only_hot, batch_format="pandas"), hot_df
+
+
+def _mixed_int_key(df: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """uint64 key per row: the raw value for one integer column, a
+    hash mix for several (order-sensitive multiplicative mix)."""
+    if len(key_cols) == 1:
+        arr = df[key_cols[0]].to_numpy()
+        return arr.view(np.uint64) if arr.dtype.itemsize == 8 else arr.astype(np.uint64)
+    mix = pd.util.hash_array(df[key_cols[0]].to_numpy())
+    with np.errstate(over="ignore"):
+        for c in key_cols[1:]:
+            mix = mix * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                df[c].to_numpy()
+            )
+    return mix
 
 
 #: per-task side bound for the grid cells a hot LSH bucket is salted into
@@ -546,16 +564,21 @@ def _salt_oversized(
         "salting %d oversized LSH buckets (max size %d) into chunk grids",
         len(big), int(big["size"].max()),
     )
-    kmap = {
-        tuple(key): int(np.ceil(size / chunk_target))
-        for *key, size in big[key_cols + ["size"]].itertuples(index=False, name=None)
-    }
-    kref = ray.put(kmap)
+    # sorted mixed-key + chunk-count arrays: vectorized searchsorted
+    # lookup per batch (a dict of tuples costs a Python loop per row).
+    # A mixed-key collision can only RAISE a bucket's k (spreading it
+    # over more grid cells than needed) — never drop pairs.
+    big_keys = _mixed_int_key(big, key_cols)
+    order = np.argsort(big_keys)
+    big_keys = big_keys[order]
+    big_ks = np.ceil(big["size"].to_numpy()[order] / chunk_target).astype(np.int64)
+    kref = ray.put((big_keys, big_ks))
 
     def add_cells(batch: pd.DataFrame) -> pd.DataFrame:
-        km = ray.get(kref)
-        keys = zip(*(batch[c] for c in key_cols))
-        ks = np.fromiter((km.get(k, 1) for k in keys), dtype=np.int64, count=len(batch))
+        keys_sorted, ks_sorted = ray.get(kref)
+        ids = _mixed_int_key(batch, key_cols)
+        pos = np.minimum(np.searchsorted(keys_sorted, ids), len(keys_sorted) - 1)
+        ks = np.where(keys_sorted[pos] == ids, ks_sorted[pos], 1).astype(np.int64)
         if (ks == 1).all():
             return batch.assign(
                 _ci=np.int64(0), _cj=np.int64(0), _chunk=np.int64(0)
