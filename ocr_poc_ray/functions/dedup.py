@@ -442,6 +442,14 @@ def _filter_hot_buckets(
     ``hot_sizes`` has ``key_cols + ["size"]`` for every colliding key
     (callers use the sizes to sub-salt oversized buckets), or
     ``(None, empty)`` when no bucket collides at all.
+
+    Scale switch: up to ``BROADCAST_KEY_LIMIT`` colliding keys the hot
+    set broadcasts (sorted mixed-key array, zero-copy searchsorted per
+    batch) and ``hot_sizes`` is a driver DataFrame; above it — a
+    50 %-dup crawl has a corpus-ordered hot set — membership runs
+    through the bloom + exact-join switch, ``hot_sizes`` stays a
+    DATASET, and the salting/meta-bucket consumers join/aggregate it
+    distributed (the driver never holds a key on that path).
     """
     import ray
 
@@ -463,23 +471,41 @@ def _filter_hot_buckets(
         t = group.groupby(key_cols, as_index=False)["size"].sum()
         return t.loc[t["size"] > 1, key_cols + ["size"]]
 
-    hot_df = (
+    hot_ds = (
         exploded.select_columns(key_cols)
         .map_batches(partial_counts, batch_format="pandas")
         .groupby("_mb")
         .map_groups(find_hot, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    if hot_df.empty or key_cols[0] not in hot_df.columns:
+    n_hot = hot_ds.count()
+    if n_hot == 0:
         return None, pd.DataFrame(columns=key_cols + ["size"])
 
-    # NOTE on scale: hot_df (one row per colliding key) lives on the
-    # driver because callers consume the sizes for sub-salting.  At
-    # retry-noise/dup-discovery rates that is small; at a 50 %-dup web
-    # crawl it is corpus-ordered — the designed upgrade is to keep
-    # hot keys as a Dataset, attach sizes via a bucketed join, and
-    # drive the salting from the joined rows (membership_flag's bloom
-    # switch is the membership half of that path).
+    if n_hot > BROADCAST_KEY_LIMIT:
+        # Crawl-scale duplicate volume (a 50 %-dup web crawl has a
+        # corpus-ordered hot set): the driver NEVER holds the keys.
+        # Membership goes through membership_flag's bloom + exact-join
+        # switch on a mixed int key, and the sizes stay a DATASET that
+        # ``_salt_oversized`` joins on and ``_salted_row_count``
+        # aggregates.  A mixed-key collision only admits an extra row
+        # (pair kernels segment on the real key columns).
+        def add_hk(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(_hk=_mixed_int_key(b, key_cols).view(np.int64))
+
+        keys_only = hot_ds.map_batches(add_hk, batch_format="pandas").select_columns(
+            ["_hk"]
+        )
+        flagged = membership_flag(
+            exploded.map_batches(add_hk, batch_format="pandas"), "_hk", keys_only, "_hk"
+        )
+        filtered = flagged.map_batches(
+            lambda b: b[b["_in_set"]].drop(columns=["_in_set", "_hk"]),
+            batch_format="pandas",
+        )
+        return filtered, hot_ds
+
+    hot_df = hot_ds.to_pandas()
     all_int = all(hot_df[c].dtype.kind in "iu" for c in key_cols)
     if all_int:
         # integer key(s): sorted uint64 (mixed) key array + searchsorted
@@ -548,10 +574,18 @@ def _salt_oversized(
     k(k+1)/2 bounded tasks instead of dropping pairs (pair output is
     inherently quadratic in cluster size; the grid distributes it).
     Docs in normal-size buckets pass through with a single (0, 0) cell.
+
+    ``hot_sizes`` may be the crawl-scale hot-keys DATASET (see
+    ``_filter_hot_buckets``): the oversized subset's (mixed key → k)
+    then attaches via a partitioned left join instead of a broadcast —
+    the driver never holds any hot keys.
     """
     import logging
 
     import ray
+
+    if isinstance(hot_sizes, Dataset):
+        return _salt_oversized_distributed(exploded, key_cols, hot_sizes, chunk_target)
 
     big = hot_sizes[hot_sizes["size"] > chunk_target] if len(hot_sizes) else hot_sizes
     if big is None or big.empty:
@@ -579,23 +613,89 @@ def _salt_oversized(
         ids = _mixed_int_key(batch, key_cols)
         pos = np.minimum(np.searchsorted(keys_sorted, ids), len(keys_sorted) - 1)
         ks = np.where(keys_sorted[pos] == ids, ks_sorted[pos], 1).astype(np.int64)
-        if (ks == 1).all():
-            return batch.assign(
-                _ci=np.int64(0), _cj=np.int64(0), _chunk=np.int64(0)
-            )
-        chunk = (
-            pd.util.hash_array(batch["doc_id"].to_numpy()) % ks.astype(np.uint64)
-        ).astype(np.int64)
-        idx = np.repeat(np.arange(len(batch)), ks)
-        out = batch.iloc[idx].reset_index(drop=True)
-        c_rep = np.repeat(chunk, ks)
-        other = np.concatenate([np.arange(k, dtype=np.int64) for k in ks])
-        out["_ci"] = np.minimum(c_rep, other)
-        out["_cj"] = np.maximum(c_rep, other)
-        out["_chunk"] = c_rep
-        return out
+        return _cells_from_ks(batch, ks)
 
     return exploded.map_batches(add_cells, batch_format="pandas")
+
+
+def _cells_from_ks(batch: pd.DataFrame, ks: np.ndarray) -> pd.DataFrame:
+    """Replicate each row into the k grid cells its chunk participates
+    in (shared by the broadcast and join salting paths)."""
+    if (ks == 1).all():
+        return batch.assign(_ci=np.int64(0), _cj=np.int64(0), _chunk=np.int64(0))
+    chunk = (
+        pd.util.hash_array(batch["doc_id"].to_numpy()) % ks.astype(np.uint64)
+    ).astype(np.int64)
+    idx = np.repeat(np.arange(len(batch)), ks)
+    out = batch.iloc[idx].reset_index(drop=True)
+    c_rep = np.repeat(chunk, ks)
+    other = np.concatenate([np.arange(k, dtype=np.int64) for k in ks])
+    out["_ci"] = np.minimum(c_rep, other)
+    out["_cj"] = np.maximum(c_rep, other)
+    out["_chunk"] = c_rep
+    return out
+
+
+def _salt_oversized_distributed(
+    exploded: Dataset, key_cols: list[str], hot_ds: Dataset, chunk_target: int
+) -> Dataset:
+    """Join-based chunk-count attachment for crawl-scale hot sets: the
+    oversized buckets' (mixed key → k) rows — deduped to unique keys in
+    a bounded hash-bucket combine, keeping the MAX k on a collision,
+    which can only widen a grid, never drop pairs — left-join onto the
+    exploded rows; keys that don't match default to k=1.  The driver
+    never holds a hot key."""
+    big = hot_ds.map_batches(
+        lambda b: b[b["size"] > chunk_target], batch_format="pandas"
+    ).materialize()
+    if big.count() == 0:
+        return exploded.map_batches(
+            lambda b: b.assign(_ci=np.int64(0), _cj=np.int64(0), _chunk=np.int64(0)),
+            batch_format="pandas",
+        )
+
+    def big_key(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"_hk": _mixed_int_key(b, key_cols).view(np.int64),
+             "_kk": np.ceil(
+                 b["size"].to_numpy(np.int64) / chunk_target
+             ).astype(np.int64)}
+        )
+        g["_kb"] = (g["_hk"].to_numpy().view(np.uint64) % np.uint64(256)).astype(
+            "int64"
+        )
+        return g
+
+    bigk = (
+        big.map_batches(big_key, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(
+            lambda g: g.groupby("_hk", as_index=False)["_kk"].max(),
+            batch_format="pandas",
+        )
+    )
+
+    def add_hk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hk=_mixed_int_key(b, key_cols).view(np.int64))
+
+    jp = _join_parallelism(8)  # joins reject 0-row blocks: repartition both
+    joined = (
+        exploded.map_batches(add_hk, batch_format="pandas")
+        .repartition(jp)
+        .join(bigk.repartition(jp), "left_outer", num_partitions=jp, on=("_hk",))
+    )
+
+    def add_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        if "_kk" in batch.columns:
+            ks = batch["_kk"].astype("float64").fillna(1.0).to_numpy(np.int64)
+        else:
+            ks = np.ones(len(batch), np.int64)
+        batch = batch.drop(
+            columns=[c for c in ("_hk", "_kk") if c in batch.columns]
+        )
+        return _cells_from_ks(batch, ks)
+
+    return joined.map_batches(add_cells, batch_format="pandas")
 
 
 def _distinct_pairs(
@@ -644,12 +744,23 @@ _POPCOUNT8 = np.unpackbits(
 ).sum(axis=1).astype(np.int64)
 
 
-def _salted_row_count(hot_sizes: pd.DataFrame, chunk_target: int = _BUCKET_CHUNK) -> int:
+def _salted_row_count(hot_sizes, chunk_target: int = _BUCKET_CHUNK) -> int:
     """Exact exploded-row count AFTER `_salt_oversized` replication
-    (each doc in a k-chunk bucket lands in k grid cells) — the driver
-    already holds hot_sizes, so the meta-bucket count needs no plan
-    metadata and no materialize."""
-    if hot_sizes is None or hot_sizes.empty:
+    (each doc in a k-chunk bucket lands in k grid cells).  ``hot_sizes``
+    is the driver-held DataFrame on the broadcast path (no plan
+    metadata, no materialize needed) or the hot-keys Dataset on the
+    crawl-scale path (a one-number distributed aggregate)."""
+    if hot_sizes is None:
+        return 0
+    if isinstance(hot_sizes, Dataset):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["size"].to_numpy(np.int64)
+            k = np.ceil(s / chunk_target).astype(np.int64)
+            return pd.DataFrame({"rows": [int((s * k).sum())]})
+
+        total = hot_sizes.map_batches(partial, batch_format="pandas").sum("rows")
+        return int(total or 0)
+    if hot_sizes.empty:
         return 0
     sizes = hot_sizes["size"].to_numpy()
     ks = np.ceil(sizes / chunk_target).astype(np.int64)

@@ -144,6 +144,58 @@ def test_chunk_dedup_bloom_path(monkeypatch):
     assert (base["n_removed"] > 0).any()
 
 
+def test_lsh_distributed_hot_path_equality(monkeypatch):
+    """Forcing the broadcast limit to 0 routes _filter_hot_buckets to
+    the crawl-scale path (bloom membership, hot sizes as a Dataset,
+    join-based salting) — minhash AND simhash pair outputs must match
+    the broadcast path exactly, including a >chunk_target planted
+    cluster that exercises the distributed grid salting."""
+    import ray.data as rd
+
+    import ocr_poc_ray.functions.dedup as dd
+
+    rng = np.random.RandomState(5)
+    words = np.array([f"w{i}" for i in range(2000)])
+    texts = []
+    for i in range(150):  # 75 planted near-dup pairs
+        t = " ".join(rng.choice(words, 25))
+        texts.append(t)
+        texts.append(t)
+    big = " ".join(rng.choice(words, 30))
+    texts.extend([big] * 600)  # oversized cluster (> _BUCKET_CHUNK=512 → grid)
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    ).repartition(6)
+
+    def run(fn, **kw):
+        return (
+            fn(docs, **kw)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    base_mh = run(dd.minhash_lsh_pairs, threshold=0.7)
+    base_sh = run(dd.simhash_pairs, max_hamming=3)
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    dist_mh = run(dd.minhash_lsh_pairs, threshold=0.7)
+    dist_sh = run(dd.simhash_pairs, max_hamming=3)
+    pd.testing.assert_frame_equal(base_mh, dist_mh)
+    pd.testing.assert_frame_equal(base_sh, dist_sh)
+    # the planted pairs are all present on both paths
+    planted = {(2 * i, 2 * i + 1) for i in range(150)}
+    got = set(zip(dist_mh["doc_a"], dist_mh["doc_b"]))
+    assert planted <= got
+    # the oversized cluster contributes ALL C(600,2) pairs via the grid
+    cluster = list(range(300, 900))
+    n_cluster_pairs = sum(
+        1 for (a, b) in got if 300 <= a < 900 and 300 <= b < 900
+    )
+    assert n_cluster_pairs == len(cluster) * (len(cluster) - 1) // 2
+
+
 def test_membership_flag_paths():
     """Broadcast and bloom paths agree for int and string keys."""
     import ray.data as rd
