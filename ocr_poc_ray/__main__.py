@@ -8,6 +8,7 @@ Commands
 extract     resumable checkpointed extraction over a transcript corpus
 fixture     write a deterministic synthetic transcript corpus
 fields      typed-field extraction over a span-docs parquet
+pack        stream training packs (the data-loader exit) as JSONL
 bench-info  print the engine's operator registry (name → oracle kind)
 query       run one registered query over an sf_dir (print or parquet)
 
@@ -83,6 +84,40 @@ def cmd_fields(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pack(args: argparse.Namespace) -> int:
+    """Stream training packs (the data-loader exit) to JSONL or stdout —
+    the CLI face of ``pipelines.loader.iter_training_packs``."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from ocr_poc_ray.pipelines.loader import iter_training_packs
+
+    cols = [args.id_col, args.text_col] + ([args.lang_col] if args.lang_col else [])
+    ds = ray.data.read_parquet(args.input, columns=cols)
+    packs = iter_training_packs(
+        ds,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        lang_col=args.lang_col or None,
+        budget=args.budget,
+    )
+    sink = open(args.output, "w") if args.output else sys.stdout
+    n = 0
+    try:
+        for p in packs:
+            sink.write(json.dumps(
+                {"pack_id": p["pack_id"], "doc_ids": p["doc_ids"].tolist(),
+                 "n_tokens": p["n_tokens"],
+                 **({"tokens": p["tokens"]} if args.tokens else {})}
+            ) + "\n")
+            n += 1
+    finally:
+        if args.output:
+            sink.close()
+    print(json.dumps({"packs": n, "output": args.output or "-"}), file=sys.stderr)
+    return 0
+
+
 def cmd_bench_info(_args: argparse.Namespace) -> int:
     from ocr_poc_ray.queries import REGISTRY
 
@@ -147,6 +182,17 @@ def main(argv: list[str] | None = None) -> int:
     fd.add_argument("--actors", type=int, default=0)
     fd.add_argument("--num-cpus", type=int, default=0)
     fd.set_defaults(fn=cmd_fields)
+
+    pk = sub.add_parser("pack", help="stream training packs (data-loader exit)")
+    pk.add_argument("--input", required=True, help="documents parquet")
+    pk.add_argument("--output", default="", help="JSONL path (default stdout)")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--lang-col", default="lang", help="'' disables interleaving")
+    pk.add_argument("--budget", type=int, default=512)
+    pk.add_argument("--tokens", action="store_true", help="include token lists")
+    pk.add_argument("--num-cpus", type=int, default=0)
+    pk.set_defaults(fn=cmd_pack)
 
     bi = sub.add_parser("bench-info", help="list the operator registry")
     bi.set_defaults(fn=cmd_bench_info)

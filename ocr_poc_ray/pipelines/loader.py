@@ -169,9 +169,11 @@ def iter_training_packs(
     Yields one dict per pack, in pack order:
     ``{"pack_id", "doc_ids" (int64 array), "tokens" (list[str],
     whitespace tokens of all member docs in order), "n_tokens"}``.
-    Packs hold ≤ ``budget`` tokens unless a single document exceeds the
-    budget by itself (it then forms an oversized pack alone — greedy
-    in-order packing never splits a document).
+    Pack membership is the oracle-pinned exclusive-cumsum rule (a doc
+    belongs to the pack where it STARTS: ``(cum - n) // budget``), so a
+    document never splits and a pack can overflow ``budget`` by less
+    than its last member's length — consumers that need a hard cap
+    truncate or re-chunk member docs upstream.
 
     The regroup buffer holds at most one partial pack across Arrow
     batch boundaries; everything upstream streams with backpressure.
