@@ -167,8 +167,10 @@ def iter_training_packs(
     """Stream ready-to-train packs off the live pipeline.
 
     Yields one dict per pack, in pack order:
-    ``{"pack_id", "doc_ids" (int64 array), "tokens" (list[str],
-    whitespace tokens of all member docs in order), "n_tokens"}``.
+    ``{"pack_id", "doc_ids" (int64 array), "doc_offsets" (int64 array,
+    each member doc's first-token index — with ``n_tokens`` these are
+    the loss-masking boundaries), "tokens" (list[str], whitespace
+    tokens of all member docs in order), "n_tokens"}``.
     Pack membership is the oracle-pinned exclusive-cumsum rule (a doc
     belongs to the pack where it STARTS: ``(cum - n) // budget``), so a
     document never splits and a pack can overflow ``budget`` by less
@@ -183,7 +185,18 @@ def iter_training_packs(
     )
     cur_pid: int | None = None
     cur_ids: list[int] = []
+    cur_offsets: list[int] = []
     cur_tokens: list[str] = []
+
+    def _emit() -> dict:
+        return {
+            "pack_id": cur_pid,
+            "doc_ids": np.asarray(cur_ids, dtype=np.int64),
+            "doc_offsets": np.asarray(cur_offsets, dtype=np.int64),
+            "tokens": cur_tokens,
+            "n_tokens": len(cur_tokens),
+        }
+
     for t in packed.iter_batches(batch_size=batch_rows, batch_format="pyarrow"):
         pids = t["pack_id"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -196,22 +209,13 @@ def iter_training_packs(
         for s, e in zip(starts, ends):
             pid = int(pids[s])
             if cur_pid is not None and pid != cur_pid:
-                yield {
-                    "pack_id": cur_pid,
-                    "doc_ids": np.asarray(cur_ids, dtype=np.int64),
-                    "tokens": cur_tokens,
-                    "n_tokens": len(cur_tokens),
-                }
-                cur_ids, cur_tokens = [], []
+                yield _emit()
+                cur_ids, cur_offsets, cur_tokens = [], [], []
             cur_pid = pid
-            cur_ids.extend(int(i) for i in ids[s:e])
-            for txt in texts[s:e]:
+            for i, txt in zip(ids[s:e], texts[s:e]):
+                cur_ids.append(int(i))
+                cur_offsets.append(len(cur_tokens))
                 if txt:
                     cur_tokens.extend(txt.split())
     if cur_pid is not None:
-        yield {
-            "pack_id": cur_pid,
-            "doc_ids": np.asarray(cur_ids, dtype=np.int64),
-            "tokens": cur_tokens,
-            "n_tokens": len(cur_tokens),
-        }
+        yield _emit()

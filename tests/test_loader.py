@@ -90,11 +90,17 @@ def test_packs_cover_budget_and_order(doc_table):
         assert p["n_tokens"] == len(p["tokens"])
         if p["n_tokens"] > 512:
             assert len(p["doc_ids"]) == 1 or p["n_tokens"] - 512 < 512
-    # tokens are the whitespace tokens of member docs, in order
+    # tokens are the whitespace tokens of member docs, in order, and
+    # doc_offsets are the loss-masking boundaries: slicing tokens at
+    # [offset[i], offset[i+1]) reproduces each member doc's tokens
     texts = dict(zip(doc_table["doc_id"].to_pylist(), doc_table["text"].to_pylist()))
     for p in packs[:10]:
         expect = [tok for d in p["doc_ids"] for tok in texts[int(d)].split()]
         assert p["tokens"] == expect
+        offs = p["doc_offsets"].tolist() + [p["n_tokens"]]
+        assert len(offs) == len(p["doc_ids"]) + 1
+        for i, d in enumerate(p["doc_ids"]):
+            assert p["tokens"][offs[i]: offs[i + 1]] == texts[int(d)].split()
 
 
 def test_packs_match_oracle_assignment(doc_table):
@@ -124,6 +130,26 @@ def test_packs_partition_invariant(doc_table):
     for pa_, pb in zip(a, b):
         assert pa_["doc_ids"].tolist() == pb["doc_ids"].tolist()
         assert pa_["tokens"] == pb["tokens"]
+
+
+def test_pack_cli_jsonl(ray_session, doc_table, tmp_path):
+    """The pack CLI streams the same layout the library iterator yields."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.__main__ import main as cli_main
+    from ocr_poc_ray.pipelines.loader import iter_training_packs
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(doc_table, src)
+    out = str(tmp_path / "packs.jsonl")
+    assert cli_main(["pack", "--input", src, "--output", out]) == 0
+    got = [json.loads(l) for l in open(out)]
+    want = list(iter_training_packs(ray.data.from_arrow(doc_table)))
+    assert [g["pack_id"] for g in got] == [w["pack_id"] for w in want]
+    assert [g["doc_ids"] for g in got] == [w["doc_ids"].tolist() for w in want]
+    assert [g["n_tokens"] for g in got] == [w["n_tokens"] for w in want]
 
 
 def test_packs_without_lang_column(doc_table):
