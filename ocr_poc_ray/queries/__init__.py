@@ -33,6 +33,9 @@ _ALL.update(_xs.REGISTRY)
 #: driver row (all green in the independent 141-query battery) plus the
 #: 11 flagship pipelines, so that after round 4 EVERY registered query has
 #: appeared in at least one driver CORRECTNESS_r*.json.
+#: ROUND-5 NOTE: rotate the non-flagship window slots to the round-4
+#: additions (doc_pack_interleaved) plus a spread of the rounds-1/2
+#: queries whose driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)
     "xs_extract_documents",

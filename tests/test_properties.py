@@ -400,3 +400,68 @@ def test_extraction_spans_partition_text(text, tool):
     assert " ".join(blocks) == r.extracted_text
     # no block starts/ends with whitespace (blocks are normalized)
     assert all(b == b.strip() and b for b in blocks)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=1, max_value=120),
+    n_langs=st.integers(min_value=1, max_value=4),
+    budget=st.sampled_from([32, 128, 512]),
+    nblocks=st.integers(min_value=1, max_value=5),
+)
+def test_training_packs_random_corpora(
+    ray_session, seed, n_docs, n_langs, budget, nblocks
+):
+    """Pack-rule invariants on random corpora at any partitioning:
+    (1) every doc appears exactly once; (2) the global token stream is
+    the concatenation of docs in interleave order; (3) doc_offsets
+    slice each member's tokens back out; (4) a pack's start-cumsum bin
+    matches the exclusive-cumsum rule."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_poc_ray.pipelines.loader import iter_training_packs
+
+    rng = np.random.RandomState(seed)
+    langs = [f"l{i}" for i in range(n_langs)]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "lang": [langs[rng.randint(n_langs)] for _ in range(n_docs)],
+            "text": [
+                " ".join(f"t{rng.randint(50)}" for _ in range(rng.randint(0, 40)))
+                for _ in range(n_docs)
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(nblocks)
+    packs = list(iter_training_packs(ds, budget=budget, batch_rows=16))
+
+    seen = np.concatenate([p["doc_ids"] for p in packs]) if packs else np.array([])
+    assert sorted(seen.tolist()) == df["doc_id"].tolist()
+
+    # interleave order: k-th doc of each lang round-robins by lang
+    by_lang = {
+        lang: sorted(df.loc[df["lang"] == lang, "doc_id"]) for lang in set(df["lang"])
+    }
+    lang_sorted = sorted(by_lang)
+    order = []
+    for k in range(max(len(v) for v in by_lang.values())):
+        for lang in lang_sorted:
+            if k < len(by_lang[lang]):
+                order.append(by_lang[lang][k])
+    assert seen.tolist() == order
+
+    texts = dict(zip(df["doc_id"], df["text"]))
+    n_tok = {d: len(texts[d].split()) for d in texts}
+    cum = 0
+    for p in packs:
+        offs = p["doc_offsets"].tolist() + [p["n_tokens"]]
+        for i, d in enumerate(p["doc_ids"]):
+            assert p["tokens"][offs[i]: offs[i + 1]] == texts[int(d)].split()
+            # exclusive-cumsum bin rule, checked doc by doc
+            assert cum // budget == p["pack_id"]
+            cum += n_tok[int(d)]
