@@ -1724,6 +1724,71 @@ group by a.token, b.token
 """
 
 
+# ---------------------------------------------------------------------------
+# NTILE length bucketing: equal-count length-quantile buckets (the
+# padding-efficiency primitive — batch docs of similar length together
+# so a fixed-shape model batch wastes minimal pad tokens).  One global
+# row-number scan in (n_tokens, doc_id) order; the tile is then a
+# ROW-LOCAL closed form of SQL NTILE (first n%k tiles take one extra
+# row), so no second exchange and nothing corpus-sized on the driver.
+# ---------------------------------------------------------------------------
+
+NTILE_K = 8
+
+
+def doc_length_ntile(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    k = NTILE_K
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    toks = add_token_counts(ds).select_columns(["doc_id", "n_ws_tokens"])
+    ranked = ordered_prefix_sum(
+        toks,
+        sort_cols=["n_ws_tokens", "doc_id"],
+        value_col=None,
+        out_col="rk",
+        unique_col="doc_id",
+    ).materialize()  # read twice: the scalar count and the tile pass
+    n = ranked.count()
+    if n == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_ws_tokens", "tile")}
+        )
+    big = n % k
+    small = n // k
+
+    def assign_tile(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rk"].to_numpy(np.int64) - 1  # 0-based rank
+        cut = big * (small + 1)
+        tile = np.where(
+            r < cut,
+            r // (small + 1),
+            big + (r - cut) // max(small, 1),
+        )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64),
+             "n_ws_tokens": b["n_ws_tokens"].to_numpy(np.int64),
+             "tile": (tile + 1).astype(np.int64)}
+        )
+
+    out = ranked.map_batches(assign_tile, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "n_ws_tokens": "int64", "tile": "int64"})
+
+
+DOC_LENGTH_NTILE_SQL = rf"""
+with t as (
+  select doc_id,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as n_ws_tokens
+  from documents
+)
+select doc_id, n_ws_tokens,
+       ntile({NTILE_K}) over (order by n_ws_tokens, doc_id) as tile
+from t
+"""
+
+
 def doc_length_pct_rank_by_lang(sf_dir: str) -> pd.DataFrame:
     """Exact per-group percent_rank of n_chars within each language —
     the grouped window-rank family (global variant:
@@ -3360,6 +3425,7 @@ REGISTRY = {
     "doc_temperature_sample": (doc_temperature_sample, DOC_TEMPERATURE_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
     "doc_pack_interleaved": (doc_pack_interleaved, DOC_PACK_INTERLEAVED_SQL),
+    "doc_length_ntile": (doc_length_ntile, DOC_LENGTH_NTILE_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),

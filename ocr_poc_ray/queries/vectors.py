@@ -175,6 +175,95 @@ group by grp, dim_idx
 """
 
 
+def vec_label_medoid(sf_dir: str) -> pd.DataFrame:
+    """Centroid-nearest representative per label — the semantic-dedup
+    "keep one per cluster" selection, as a distributed argmin-by-group:
+    pass 1 builds per-label centroids from per-batch partial sum
+    matrices (labels × dim, tiny, broadcast once); pass 2 is a per-batch
+    local argmin against the broadcast centroids (one vectorized
+    distance per row) with a bounded final combine over the
+    O(batches × labels) local winners.  Label count never becomes a Ray
+    group count and no vector leaves a task except the winners."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        lab = batch["label"].to_numpy(np.int64)
+        rows = []
+        for lb in np.unique(lab):
+            sub = X[lab == lb]
+            rows.append(
+                {"label": int(lb), "n": len(sub), "sums": sub.sum(axis=0).tobytes()}
+            )
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"label": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "dist": pd.Series([], dtype="float64")}
+        )
+    cents = []
+    labels_sorted = np.sort(partials["label"].unique()).astype(np.int64)
+    for lb in labels_sorted:
+        sub = partials[partials["label"] == lb]
+        total = np.sum(
+            [np.frombuffer(b, dtype=np.float64) for b in sub["sums"]], axis=0
+        )
+        cents.append(total / int(sub["n"].sum()))
+    C = np.vstack(cents)
+    cref = _ray.put((labels_sorted, C))
+
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        labs, cent = _ray.get(cref)
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        lab = batch["label"].to_numpy(np.int64)
+        idx = np.searchsorted(labs, lab)
+        d2 = ((X - cent[idx]) ** 2).sum(axis=1)
+        out = pd.DataFrame(
+            {"label": lab, "vec_id": batch["vec_id"].to_numpy(np.int64), "d2": d2}
+        )
+        out = out.sort_values(["label", "d2", "vec_id"], kind="mergesort")
+        return out.groupby("label", sort=False).head(1)
+
+    local = ds.map_batches(local_min, batch_format="pandas").to_pandas()
+    win = (
+        local.sort_values(["label", "d2", "vec_id"], kind="mergesort")
+        .groupby("label", sort=False)
+        .head(1)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"label": win["label"].astype("int64"),
+         "vec_id": win["vec_id"].astype("int64"),
+         "dist": np.round(np.sqrt(win["d2"].to_numpy(np.float64)), 4)}
+    )
+
+
+VEC_LABEL_MEDOID_SQL = """
+with v as (
+  select vec_id, label,
+         generate_subscripts(embedding, 1) as dim_idx,
+         unnest(embedding)::DOUBLE as x
+  from embeddings
+), c as (
+  select label, dim_idx, avg(x) as m from v group by label, dim_idx
+), d as (
+  select v.vec_id, v.label, sum((v.x - c.m) * (v.x - c.m)) as d2
+  from v join c on v.label = c.label and v.dim_idx = c.dim_idx
+  group by v.vec_id, v.label
+)
+select label::BIGINT as label, vec_id, round(sqrt(d2), 4) as dist
+from d
+qualify row_number() over (partition by label order by d2, vec_id) = 1
+"""
+
+
 def _partial_moments(batch: pd.DataFrame) -> pd.DataFrame:
     """(n, Σx per dim, Σxᵀx) for one batch, flattened to bytes — the
     mergeable second-moment partial shared by vec_dim_stats and
@@ -536,4 +625,5 @@ REGISTRY = {
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_norm_outliers": (vec_norm_outliers, VEC_NORM_OUTLIERS_SQL),
     "vec_cluster_exemplars": (vec_cluster_exemplars, None),
+    "vec_label_medoid": (vec_label_medoid, VEC_LABEL_MEDOID_SQL),
 }
