@@ -2279,6 +2279,134 @@ from customer
 REL_SCRUB_CUSTOMER_NAMES_SQL = _rel_scrub_customer_names_sql()
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy self-join (entity resolution): all name pairs with
+# Levenshtein ≤ 2 — the corpus-scale analog of the extractor's P3 fuzzy
+# matcher.  Shape: the blocked pair-grid (each Ray task holds two row
+# chunks — quadratic work is inherent to the EXACT operator; LSH/shingle
+# paths are the corpus-text route), with the DP fully vectorized: pairs
+# are grouped by (len_a, len_b) — after the |la−lb| ≤ k length filter
+# there are only a handful of length-pair groups — and each group runs
+# one (P, La×Lb)-cell dynamic program in numpy, sliced into bounded
+# slabs.  Never a Python loop over pairs.
+# ---------------------------------------------------------------------------
+
+LEV_MAX_DIST = 2
+_LEV_CHUNK_ROWS = 2048
+_LEV_PAIR_SLAB = 1 << 16
+
+
+def _lev_group(a_codes: np.ndarray, b_codes: np.ndarray) -> np.ndarray:
+    """Levenshtein distances for P pairs of FIXED lengths: ``a_codes``
+    (P, La) / ``b_codes`` (P, Lb) uint8 char matrices → (P,) int32.
+    Standard DP, vectorized over the pair axis; the loops run over the
+    (≤ ~25²) cell grid, each step one O(P) numpy op."""
+    P, La = a_codes.shape
+    Lb = b_codes.shape[1]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (P, 1))
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        mismatch = (a_codes[:, i - 1][:, None] != b_codes).astype(np.int32)
+        cur[:, 1:] = np.minimum(prev[:, :-1] + mismatch, prev[:, 1:] + 1)
+        for j in range(1, Lb + 1):  # insert transition: left-to-right scan
+            np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
+        prev = cur
+    return prev[:, Lb]
+
+
+def rel_customer_name_fuzzy_pairs(sf_dir: str) -> pd.DataFrame:
+    import ray as _ray
+    import ray.data as rd
+
+    k = LEV_MAX_DIST
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).materialize()
+    n = ds.count()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "dist": pd.Series([], dtype="int64")}
+    )
+    if n == 0:
+        return empty
+    n_chunks = max(1, -(-n // _LEV_CHUNK_ROWS))
+    blocks = ds.repartition(n_chunks).to_arrow_refs()
+
+    @_ray.remote
+    def pair_block(ta, tb, same: bool) -> pd.DataFrame:
+        import pyarrow as _pa
+
+        def unpack(t):
+            ids = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            names = t["c_name"].to_pylist()
+            lens = np.asarray([len(s) for s in names], dtype=np.int64)
+            L = int(lens.max()) if len(lens) else 0
+            codes = np.zeros((len(names), L), dtype=np.uint8)
+            for r, s in enumerate(names):  # once per ROW, not per pair
+                codes[r, : len(s)] = np.frombuffer(
+                    s.encode("utf-8", "ignore")[:L], dtype=np.uint8
+                )
+            return ids, lens, codes
+
+        ids_a, la, ca = unpack(ta)
+        ids_b, lb, cb = (ids_a, la, ca) if same else unpack(tb)
+        ia, ib = np.meshgrid(
+            np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
+        )
+        ia, ib = ia.ravel(), ib.ravel()
+        keep = np.abs(la[ia] - lb[ib]) <= k  # length filter
+        if same:
+            keep &= ids_a[ia] < ids_b[ib]
+        ia, ib = ia[keep], ib[keep]
+        out_a, out_b, out_d = [], [], []
+        pairs_len = pd.DataFrame({"la": la[ia], "lb": lb[ib]})
+        for (ga, gb), grp in pairs_len.groupby(["la", "lb"], sort=False):
+            idx = grp.index.to_numpy()
+            for s in range(0, len(idx), _LEV_PAIR_SLAB):
+                sl = idx[s : s + _LEV_PAIR_SLAB]
+                d = _lev_group(
+                    ca[ia[sl], : int(ga)], cb[ib[sl], : int(gb)]
+                )
+                ok = d <= k
+                out_a.append(ids_a[ia[sl][ok]])
+                out_b.append(ids_b[ib[sl][ok]])
+                out_d.append(d[ok].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        dmin = np.concatenate(out_d)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "dist": dmin})
+
+    refs = [
+        pair_block.remote(blocks[i], blocks[j] if j != i else blocks[i], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    out = rd.from_pandas_refs(refs).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        return empty
+    return (
+        out.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"})
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+REL_CUSTOMER_NAME_FUZZY_SQL = f"""
+select a.c_custkey as id_a, b.c_custkey as id_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT as dist
+from customer a
+join customer b
+  on a.c_custkey < b.c_custkey
+ and abs(len(a.c_name) - len(b.c_name)) <= {LEV_MAX_DIST}
+where levenshtein(a.c_name, b.c_name) <= {LEV_MAX_DIST}
+"""
+
+
 #: numeric literals inside the props JSON blobs (any digit run)
 _PROPS_PATTERNS = (("num", r"\d+", "[N]"),)
 
@@ -2621,6 +2749,10 @@ REGISTRY = {
     "rel_scrub_customer_names": (
         rel_scrub_customer_names,
         REL_SCRUB_CUSTOMER_NAMES_SQL,
+    ),
+    "rel_customer_name_fuzzy_pairs": (
+        rel_customer_name_fuzzy_pairs,
+        REL_CUSTOMER_NAME_FUZZY_SQL,
     ),
     "rel_event_props_scrub": (rel_event_props_scrub, REL_EVENT_PROPS_SCRUB_SQL),
     "rel_region_supplier_balance": (
