@@ -2276,6 +2276,56 @@ group by rollup (lang, source)
 """
 
 
+def doc_lang_source_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(lang, source): every grouping-set margin, still ONE
+    streaming pass — the distributed work is only the finest cells
+    (same as the rollup); the (source)-only margin CUBE adds over
+    ROLLUP is one more exact integer sum of those cells, derived
+    driver-side.  Same NULL-dimension contract as the rollup."""
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "source"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+    )
+
+    def margin(by: str, other: str) -> pd.DataFrame:
+        m = cells.groupby(by, as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+        )
+        m[other] = "ALL"
+        return m[["lang", "source", "n_docs", "total_chars"]]
+
+    grand = pd.DataFrame(
+        {"lang": ["ALL"], "source": ["ALL"],
+         "n_docs": [int(cells["n_docs"].sum())],
+         "total_chars": [int(cells["total_chars"].sum())]}
+    )
+    out = pd.concat(
+        [cells, margin("lang", "source"), margin("source", "lang"), grand],
+        ignore_index=True,
+    )
+    return out.astype({"n_docs": "int64", "total_chars": "int64"})
+
+
+DOC_LANG_SOURCE_CUBE_SQL = """
+select coalesce(lang, 'ALL') as lang, coalesce(source, 'ALL') as source,
+       count(*)::BIGINT as n_docs, sum(n_chars)::BIGINT as total_chars
+from documents
+where lang is not null and source is not null
+group by cube (lang, source)
+"""
+
+
 FILTER_MIN_CHARS = 50
 FILTER_MIN_ENTROPY = 2.7  # ~p10 of the corpus entropy distribution
 
@@ -3453,6 +3503,7 @@ REGISTRY = {
     "doc_lang_source_rollup": (
         doc_lang_source_rollup, DOC_LANG_SOURCE_ROLLUP_SQL,
     ),
+    "doc_lang_source_cube": (doc_lang_source_cube, DOC_LANG_SOURCE_CUBE_SQL),
     "doc_zorder_layout": (doc_zorder_layout, DOC_ZORDER_SQL),
     "doc_train_split": (doc_train_split, DOC_TRAIN_SPLIT_SQL),
     "doc_dup_ngram_fraction": (
