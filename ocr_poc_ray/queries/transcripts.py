@@ -152,6 +152,60 @@ group by conv_id
 """
 
 
+def xs_conv_pack(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data composition with one oracle: extract →
+    assemble conversation documents → tokenize → greedy 512-token pack
+    assignment in conv_id order (the loader's layout applied to whole
+    conversations — a conversation never splits across packs)."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+    from ocr_poc_ray.functions.textstats import add_token_counts
+    from ocr_poc_ray.pipelines.loader import PACK_TOKEN_BUDGET
+
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+    docs = conversation_docs(ds, chunk_size=64)
+    toks = add_token_counts(docs, text_col="doc_text").select_columns(
+        ["conv_id", "n_ws_tokens"]
+    )
+    cum = ordered_prefix_sum(
+        toks, sort_cols=["conv_id"], value_col="n_ws_tokens", out_col="cum"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cum"].to_numpy(np.int64)
+        n = b["n_ws_tokens"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"conv_id": b["conv_id"],
+             "n_ws_tokens": n,
+             "pack_id": (c - n) // PACK_TOKEN_BUDGET}
+        )
+
+    out = cum.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.astype({"n_ws_tokens": "int64", "pack_id": "int64"})
+
+
+XS_CONV_PACK_SQL = rf"""
+with e as (
+  select source as conv_id, doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+), d as (
+  select conv_id,
+         string_agg(extracted_text, ' ' order by turn_idx) as doc_text
+  from e
+  where extracted_text <> ''
+  group by conv_id
+), t as (
+  select conv_id, len(regexp_extract_all(doc_text, '\S+')) as n_ws_tokens
+  from d
+)
+select conv_id, n_ws_tokens,
+       ((sum(n_ws_tokens) over (order by conv_id))::BIGINT - n_ws_tokens)
+         // 512 as pack_id
+from t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (stubbed decode kernels — deterministic fake
 # payloads; the Ray-side schema/actor/batch shape is the real thing).
@@ -953,6 +1007,7 @@ REGISTRY = {
     "xs_conversation_docs": (xs_conversation_docs, None),
     "xs_extract_documents": (xs_extract_documents, XS_EXTRACT_DOCUMENTS_SQL),
     "xs_conv_docs_documents": (xs_conv_docs_documents, XS_CONV_DOCS_DOCUMENTS_SQL),
+    "xs_conv_pack": (xs_conv_pack, XS_CONV_PACK_SQL),
     "xs_conv_stats": (xs_conv_stats, XS_CONV_STATS_SQL),
     "xs_turn_gaps": (xs_turn_gaps, XS_TURN_GAPS_SQL),
     "xs_extract_lang_stats": (xs_extract_lang_stats, XS_EXTRACT_LANG_STATS_SQL),
