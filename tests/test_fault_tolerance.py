@@ -79,3 +79,50 @@ def test_extraction_pipeline_survives_worker_death(ray_session):
     ).to_pandas()
     assert os.path.exists(marker)
     pd.testing.assert_frame_equal(clean, hit)
+
+
+def test_minhash_distributed_path_survives_worker_death(ray_session, monkeypatch):
+    """The crawl-scale LSH route (bloom membership + join-based grid
+    salting) under a one-shot worker kill mid-pipeline: the pair set
+    must equal the undisturbed distributed run exactly."""
+    import numpy as np
+
+    import ocr_poc_ray.functions.dedup as dd
+
+    rng = np.random.RandomState(11)
+    words = np.array([f"w{i}" for i in range(1000)])
+    texts = []
+    for _ in range(60):
+        t = " ".join(rng.choice(words, 20))
+        texts.extend([t, t])
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    base = rd.from_pandas(df).repartition(5)
+
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)  # force distributed path
+    clean = (
+        dd.minhash_lsh_pairs(base, threshold=0.7)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    marker = tempfile.mktemp(prefix="crash_minhash_")
+
+    def saboteur(batch: pd.DataFrame) -> pd.DataFrame:
+        if (batch["doc_id"] == 30).any() and not os.path.exists(marker):
+            open(marker, "w").write("x")
+            os._exit(1)
+        return batch
+
+    hit = (
+        dd.minhash_lsh_pairs(
+            base.map_batches(saboteur, batch_format="pandas"), threshold=0.7
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert os.path.exists(marker)
+    pd.testing.assert_frame_equal(clean, hit)
