@@ -2296,20 +2296,42 @@ _LEV_CHUNK_ROWS = 2048
 _LEV_PAIR_SLAB = 1 << 16
 
 
-def _lev_group(a_codes: np.ndarray, b_codes: np.ndarray) -> np.ndarray:
-    """Levenshtein distances for P pairs of FIXED lengths: ``a_codes``
-    (P, La) / ``b_codes`` (P, Lb) uint8 char matrices → (P,) int32.
-    Standard DP, vectorized over the pair axis; the loops run over the
-    (≤ ~25²) cell grid, each step one O(P) numpy op."""
+def _lev_group(
+    a_codes: np.ndarray, b_codes: np.ndarray, k: int = LEV_MAX_DIST
+) -> np.ndarray:
+    """Banded Levenshtein with cutoff ``k`` for P pairs of FIXED
+    lengths: ``a_codes`` (P, La) / ``b_codes`` (P, Lb) uint8 char
+    matrices → (P,) int32.  Cells with |i−j| > k are ≥ |i−j| > k, so
+    only the (2k+1)-wide diagonal band is computed and values saturate
+    at k+1 (saturation can only touch paths whose true cost already
+    exceeds k — distances ≤ k are EXACT, larger ones report ≥ k+1,
+    which is all the ≤ k join filter reads).  Vectorized over the pair
+    axis: per row ~2 band-wide numpy ops plus a (2k+1)-step insert
+    scan, vs a full Lb-wide grid."""
     P, La = a_codes.shape
     Lb = b_codes.shape[1]
-    prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (P, 1))
+    BIG = np.int32(k + 1)
+    if abs(La - Lb) > k:
+        return np.full(P, BIG, dtype=np.int32)
+    prev = np.full((P, Lb + 1), BIG, dtype=np.int32)
+    w = min(k, Lb) + 1
+    prev[:, :w] = np.arange(w, dtype=np.int32)[None, :]
     for i in range(1, La + 1):
-        cur = np.empty_like(prev)
-        cur[:, 0] = i
-        mismatch = (a_codes[:, i - 1][:, None] != b_codes).astype(np.int32)
-        cur[:, 1:] = np.minimum(prev[:, :-1] + mismatch, prev[:, 1:] + 1)
-        for j in range(1, Lb + 1):  # insert transition: left-to-right scan
+        cur = np.full((P, Lb + 1), BIG, dtype=np.int32)
+        lo = max(1, i - k)
+        hi = min(Lb, i + k)
+        if i <= k:
+            cur[:, 0] = i
+        if lo > hi:
+            prev = cur
+            continue
+        mismatch = (a_codes[:, i - 1][:, None] != b_codes[:, lo - 1 : hi]).astype(
+            np.int32
+        )
+        band = np.minimum(prev[:, lo - 1 : hi] + mismatch, prev[:, lo : hi + 1] + 1)
+        np.minimum(band, BIG, out=band)
+        cur[:, lo : hi + 1] = band
+        for j in range(lo, hi + 1):  # insert transition: left-to-right scan
             np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
         prev = cur
     return prev[:, Lb]
