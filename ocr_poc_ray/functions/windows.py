@@ -48,6 +48,13 @@ def keyed_sorted_match(
     of complete keys (it may not assume one key).  Keys wholly inside a
     sorted batch are matched there; the first/last key of each batch
     ships its raw ``in_cols`` rows to one small combine.
+
+    On batch format: ``block_pass`` runs ``batch_format="pandas"`` by
+    design, not oversight — every ``match_fn`` is a pandas kernel, and
+    interior+edge together cover the whole batch, so an Arrow-side
+    split would convert the same bytes to pandas anyway (one conversion
+    either way; measured no win, unlike conversation assembly where the
+    whole partial path went Arrow — see stages/ordering.py).
     """
     raw_cols = [f"_raw_{c}" for c in in_cols]
 
