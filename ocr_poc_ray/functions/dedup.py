@@ -493,8 +493,22 @@ def _filter_hot_buckets(
         def add_hk(b: pd.DataFrame) -> pd.DataFrame:
             return b.assign(_hk=_mixed_int_key(b, key_cols).view(np.int64))
 
-        keys_only = hot_ds.map_batches(add_hk, batch_format="pandas").select_columns(
-            ["_hk"]
+        # distinct _hk: two HOT keys colliding to one mixed key would
+        # otherwise put duplicate rows into membership_flag's verify
+        # join and REPLICATE exploded rows (self/duplicate pairs) —
+        # bounded hash-bucket distinct, same shape as _distinct_pairs
+        def _hk_local(b: pd.DataFrame) -> pd.DataFrame:
+            g = b[["_hk"]].drop_duplicates()
+            return g.assign(_kb=(g["_hk"].to_numpy().view(np.uint64)
+                                 % np.uint64(256)).astype("int64"))
+
+        keys_only = (
+            hot_ds.map_batches(add_hk, batch_format="pandas")
+            .map_batches(_hk_local, batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(
+                lambda g: g[["_hk"]].drop_duplicates(), batch_format="pandas"
+            )
         )
         flagged = membership_flag(
             exploded.map_batches(add_hk, batch_format="pandas"), "_hk", keys_only, "_hk"
