@@ -2429,6 +2429,59 @@ where levenshtein(a.c_name, b.c_name) <= {LEV_MAX_DIST}
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-aware join: facts ⋈ dimension where measured-hot probe keys are
+# routed to a map-side broadcast join and only the cold tail enters the
+# partitioned hash join (functions/joins.py::skew_join — the "salt the
+# hot keys" pattern as a named operator).  The aggregate after the join
+# makes any lost/duplicated row visible to the oracle.
+# ---------------------------------------------------------------------------
+
+SKEW_JOIN_HOT_THRESHOLD = 70  # several testdata users exceed this
+
+
+def rel_skew_join_segments(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.joins import skew_join
+
+    ev = ray.data.read_parquet(_path(sf_dir, "events"), columns=["user_id", "value"])
+    cust = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "user_id"}), batch_format="pandas"
+    )
+    joined = skew_join(ev, cust, on="user_id", hot_threshold=SKEW_JOIN_HOT_THRESHOLD)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum")
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"segment": pd.Series([], dtype="object"),
+             "n_events": pd.Series([], dtype="int64"),
+             "total_value": pd.Series([], dtype="float64")}
+        )
+    agg = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_events=("n_events", "sum"), total_value=("total_value", "sum")
+    )
+    return pd.DataFrame(
+        {"segment": agg["c_mktsegment"],
+         "n_events": agg["n_events"].astype("int64"),
+         "total_value": agg["total_value"].round(2)}
+    )
+
+
+REL_SKEW_JOIN_SEGMENTS_SQL = """
+select c.c_mktsegment as segment, count(*)::BIGINT as n_events,
+       round(sum(e.value), 2) as total_value
+from events e
+join customer c on e.user_id = c.c_custkey
+group by c.c_mktsegment
+"""
+
+
 #: numeric literals inside the props JSON blobs (any digit run)
 _PROPS_PATTERNS = (("num", r"\d+", "[N]"),)
 
@@ -2776,6 +2829,7 @@ REGISTRY = {
         rel_customer_name_fuzzy_pairs,
         REL_CUSTOMER_NAME_FUZZY_SQL,
     ),
+    "rel_skew_join_segments": (rel_skew_join_segments, REL_SKEW_JOIN_SEGMENTS_SQL),
     "rel_event_props_scrub": (rel_event_props_scrub, REL_EVENT_PROPS_SCRUB_SQL),
     "rel_region_supplier_balance": (
         rel_region_supplier_balance,

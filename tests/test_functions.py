@@ -1500,3 +1500,38 @@ def test_decayed_user_value_future_timestamps(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # future events carry full weight
     assert got.loc[got["user_id"] == 2, "decayed_value"].iloc[0] == 5.0
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """skew_join must equal a plain hash join at any skew: planted hot
+    key (60% of probe rows), hot path forced on and off via threshold,
+    plus the no-hot-keys passthrough."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.joins import skew_join
+
+    rng = np.random.RandomState(8)
+    keys = np.where(rng.rand(5000) < 0.6, 7, rng.randint(0, 50, size=5000))
+    probe = pd.DataFrame(
+        {"k": keys.astype(np.int64), "v": np.arange(5000, dtype=np.int64)}
+    )
+    build = pd.DataFrame(
+        {"k": np.arange(0, 40, dtype=np.int64),  # keys 40..49 unmatched
+         "attr": [f"a{i}" for i in range(40)]}
+    )
+    want = (
+        probe.merge(build, on="k")
+        .sort_values(["k", "v"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    pds = rd.from_pandas(probe).repartition(6)
+    bds = rd.from_pandas(build).repartition(2)
+    for thresh in (100, 10**9):  # hot path on / pure cold passthrough
+        got = (
+            skew_join(pds, bds, on="k", hot_threshold=thresh)
+            .to_pandas()
+            .sort_values(["k", "v"], kind="mergesort")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want)
