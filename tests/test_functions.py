@@ -1515,6 +1515,8 @@ def test_skew_join_matches_plain_join(ray_session):
     probe = pd.DataFrame(
         {"k": keys.astype(np.int64), "v": np.arange(5000, dtype=np.int64)}
     )
+    keys[:200] = 45  # a SECOND hot key that is absent from the build side
+    probe["k"] = keys.astype(np.int64)
     build = pd.DataFrame(
         {"k": np.arange(0, 40, dtype=np.int64),  # keys 40..49 unmatched
          "attr": [f"a{i}" for i in range(40)]}
