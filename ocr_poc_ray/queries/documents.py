@@ -743,6 +743,108 @@ MIXTURE_RATES = {"en": "cc", "fr": "99", "de": "66", "es": "33"}
 MIXTURE_DEFAULT_RATE = "1a"  # any other language ≈ 10%
 
 
+MIXTURE_TOTAL_N = 120  # exact total sample size across all languages
+
+
+def doc_mixture_allocate(sf_dir: str) -> pd.DataFrame:
+    """Exact-total mixture construction: sample EXACTLY N documents,
+    allocated across languages proportionally to their counts by the
+    largest-remainder (Hamilton) apportionment — the "build a training
+    mix of exactly N docs" primitive where per-stratum rates or fixed
+    per-stratum k cannot hit an exact global budget.  All allocation
+    arithmetic is integer (base = N·n // tot, remainders ranked by
+    N·n % tot) so both engines agree bit-for-bit; within a stratum the
+    deterministic md5 priority picks the members (partition-invariant).
+    Shape: a languages-sized count combine → driver-side apportionment
+    (dimension-sized) → per-batch local heads per lang → tiny merge."""
+    import hashlib as _hl
+
+    N = MIXTURE_TOTAL_N
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).size()
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "lang": pd.Series([], dtype="object")}
+    )
+    if counts.empty:
+        return empty
+    counts = counts.groupby("lang", as_index=False)["size"].sum().rename(
+        columns={"size": "n"}
+    )
+    tot = int(counts["n"].sum())
+    n_arr = counts["n"].to_numpy(np.int64)
+    base = (N * n_arr) // tot
+    rem = (N * n_arr) % tot
+    extra = N - int(base.sum())
+    # largest remainders get +1 (ties broken by lang, ascending)
+    order = np.lexsort((counts["lang"].to_numpy(), -rem))
+    alloc = base.copy()
+    alloc[order[:extra]] += 1
+    alloc_map = dict(zip(counts["lang"], alloc.astype(int)))
+    max_alloc = int(alloc.max()) if len(alloc) else 0
+    if max_alloc == 0:
+        return empty
+
+    def local_heads(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            _pri=[
+                _hl.md5(str(d).encode()).hexdigest() for d in b["doc_id"]
+            ]
+        )
+        return (
+            b.sort_values(["_pri", "doc_id"])
+            .groupby("lang", as_index=False, sort=False)
+            .head(max_alloc)
+        )
+
+    cands = ds.map_batches(local_heads, batch_format="pandas").to_pandas()
+    cands = cands.sort_values(["_pri", "doc_id"]).reset_index(drop=True)
+    keep = []
+    for lang, grp in cands.groupby("lang", sort=False):
+        keep.append(grp.head(alloc_map.get(lang, 0)))
+    out = pd.concat(keep, ignore_index=True)[["doc_id", "lang"]]
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
+DOC_MIXTURE_ALLOCATE_SQL = f"""
+with c as (
+  select lang, count(*) as n from documents group by lang
+), t as (
+  select sum(n) as tot from c
+), a as (
+  select lang, n,
+         ({MIXTURE_TOTAL_N} * n) // tot as base,
+         ({MIXTURE_TOTAL_N} * n) % tot as rem
+  from c cross join t
+), al as (
+  select lang,
+         base + case when row_number() over (order by rem desc, lang)
+                      <= {MIXTURE_TOTAL_N} - (select sum(base) from a)
+                 then 1 else 0 end as alloc
+  from a
+), r as (
+  select doc_id, lang,
+         row_number() over (
+           partition by lang
+           order by md5(cast(doc_id as varchar)), doc_id
+         ) as rk
+  from documents
+)
+select r.doc_id, r.lang from r join al using (lang) where r.rk <= al.alloc
+"""
+
+
 def doc_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Weighted dataset mixing: downsample each language stratum at its
     own deterministic hash rate (same subset on any engine / run /
@@ -3472,6 +3574,7 @@ REGISTRY = {
     "doc_curation_pipeline": (doc_curation_pipeline, DOC_CURATION_SQL),
     "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
     "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SAMPLE_SQL),
+    "doc_mixture_allocate": (doc_mixture_allocate, DOC_MIXTURE_ALLOCATE_SQL),
     "doc_temperature_sample": (doc_temperature_sample, DOC_TEMPERATURE_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
     "doc_pack_interleaved": (doc_pack_interleaved, DOC_PACK_INTERLEAVED_SQL),
