@@ -183,7 +183,11 @@ def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
 # --------------------------------------------------------------------------
 
 
-def _chunk_kernel(batch: pa.Table, text_col: str, id_col: str, chunk_size: int) -> pa.Table:
+def _chunk_kernel(
+    batch: pa.Table, text_col: str, id_col: str, chunk_size: int,
+    stride: int | None = None,
+) -> pa.Table:
+    stride = chunk_size if stride is None else stride
     out_schema = pa.schema(
         [
             (id_col, batch.schema.field(id_col).type),
@@ -205,15 +209,15 @@ def _chunk_kernel(batch: pa.Table, text_col: str, id_col: str, chunk_size: int) 
     empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
     counts = np.where(empty, 0, counts)
 
-    n_chunks = (counts + chunk_size - 1) // chunk_size
+    n_chunks = (counts + stride - 1) // stride
     total_chunks = int(n_chunks.sum())
     if total_chunks == 0:
         return out_schema.empty_table()
     doc_idx = np.repeat(np.arange(len(counts)), n_chunks)
     excl_chunks = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
     chunk_idx = np.arange(total_chunks) - excl_chunks[doc_idx]
-    starts = offsets[:-1][doc_idx] + chunk_idx * chunk_size
-    lens = np.minimum(counts[doc_idx] - chunk_idx * chunk_size, chunk_size)
+    starts = offsets[:-1][doc_idx] + chunk_idx * stride
+    lens = np.minimum(counts[doc_idx] - chunk_idx * stride, chunk_size)
 
     # gather the chunks' token ranges into one contiguous values array
     total_toks = int(lens.sum())
@@ -234,12 +238,17 @@ def _chunk_kernel(batch: pa.Table, text_col: str, id_col: str, chunk_size: int) 
 
 
 def chunk_tokens(
-    ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id", chunk_size: int = 32
+    ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+    chunk_size: int = 32, stride: int | None = None,
 ) -> Dataset:
     """(id, chunk_idx, chunk_text, n_chunk_tokens) — each document split
-    into consecutive `chunk_size`-token windows; empty docs emit none."""
+    into `chunk_size`-token windows starting every `stride` tokens
+    (default stride = chunk_size → consecutive non-overlapping windows;
+    stride < chunk_size → the overlapping RAG chunker).  Empty docs
+    emit none; fully vectorized flat-map (offset math + one
+    binary_join per batch)."""
     return ds.map_batches(
-        lambda b: _chunk_kernel(b, text_col, id_col, chunk_size),
+        lambda b: _chunk_kernel(b, text_col, id_col, chunk_size, stride),
         batch_format="pyarrow",
     )
 

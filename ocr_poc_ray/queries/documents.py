@@ -1095,6 +1095,55 @@ def doc_chunk_tokens(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CHUNK_OVERLAP_STRIDE = 24  # 32-token windows every 24 tokens (8 overlap)
+
+
+def doc_chunk_overlap(sf_dir: str) -> pd.DataFrame:
+    """Overlapping sliding-window chunking — the RAG/retrieval chunker:
+    32-token windows starting every 24 tokens, so consecutive chunks
+    share an 8-token overlap and no boundary sentence is lost.  Same
+    vectorized flat-map kernel as doc_chunk_tokens with a stride."""
+    from ocr_poc_ray.functions.textstats import chunk_tokens
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = chunk_tokens(
+        ds, chunk_size=CHUNK_SIZE_TOKENS, stride=CHUNK_OVERLAP_STRIDE
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object"),
+                "n_chunk_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.astype(
+        {"doc_id": "int64", "chunk_idx": "int64", "n_chunk_tokens": "int64"}
+    )
+
+
+DOC_CHUNK_OVERLAP_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks from documents
+), e as (
+  select doc_id, toks,
+         unnest(generate_series(0, (len(toks) + {CHUNK_OVERLAP_STRIDE} - 1)
+                                   // {CHUNK_OVERLAP_STRIDE} - 1)) as chunk_idx
+  from t
+)
+select doc_id, chunk_idx,
+       array_to_string(
+         toks[chunk_idx * {CHUNK_OVERLAP_STRIDE} + 1
+              : chunk_idx * {CHUNK_OVERLAP_STRIDE} + {CHUNK_SIZE_TOKENS}], ' '
+       ) as chunk_text,
+       least({CHUNK_SIZE_TOKENS},
+             len(toks) - chunk_idx * {CHUNK_OVERLAP_STRIDE})::BIGINT
+         as n_chunk_tokens
+from e
+"""
+
+
 DOC_CHUNK_TOKENS_SQL = rf"""
 with t as (
   select doc_id, regexp_extract_all(text, '\S+') as toks from documents
@@ -3581,6 +3630,7 @@ REGISTRY = {
     "doc_length_ntile": (doc_length_ntile, DOC_LENGTH_NTILE_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
+    "doc_chunk_overlap": (doc_chunk_overlap, DOC_CHUNK_OVERLAP_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),
     "doc_chunk_dedup": (doc_chunk_dedup, DOC_CHUNK_DEDUP_SQL),
     "doc_chunk_dup_histogram": (doc_chunk_dup_histogram, DOC_CHUNK_DUP_HISTOGRAM_SQL),
