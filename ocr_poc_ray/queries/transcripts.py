@@ -999,6 +999,104 @@ group by 1, 2
 """
 
 
+def xs_dialogue_pairs(sf_dir: str) -> pd.DataFrame:
+    """Instruction-tuning pair mining: adjacent (user → assistant)
+    turns per conversation become (prompt, response) training pairs —
+    the SFT-pair extraction every chat-data pipeline runs.  Roles come
+    from the same Knuth hash ``xs_role_stats`` uses; adjacency is a
+    per-conversation lag through the distributed ``keyed_sorted_match``
+    (interior batches vectorized, one bounded edge combine), so no
+    conversation is ever collected whole on the driver."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def tlen(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"],
+                # corpus is ASCII (CLAUDE.md) so chars == bytes == DuckDB length()
+                "tlen": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "doc_id"], kind="mergesort")
+        by = g.groupby("source", sort=False)
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "tlen": g["tlen"].to_numpy(),
+                "prev_id": by["doc_id"].shift().fillna(-1).astype("int64").to_numpy(),
+                "prev_len": by["tlen"].shift().fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+
+    lag = keyed_sorted_match(
+        ds.map_batches(tlen, batch_format="pyarrow"),
+        key_col="source",
+        sort_cols=["doc_id"],
+        in_cols=["source", "doc_id", "tlen"],
+        match_fn=_match,
+        out_meta={"source": "object", "doc_id": "int64", "tlen": "int64",
+                  "prev_id": "int64", "prev_len": "int64"},
+    )
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        prev = batch["prev_id"].to_numpy()
+        cur = batch["doc_id"].to_numpy()
+        keep = (
+            (prev >= 0)
+            & ((prev * 2654435761) % 4294967296 % 3 == 0)  # prompt: user
+            & ((cur * 2654435761) % 4294967296 % 3 == 1)  # response: assistant
+        )
+        b = batch[keep]
+        return pd.DataFrame(
+            {
+                "conv_id": b["source"].to_numpy(),
+                "prompt_id": b["prev_id"].to_numpy(),
+                "response_id": b["doc_id"].to_numpy(),
+                "prompt_chars": b["prev_len"].to_numpy(),
+                "response_chars": b["tlen"].to_numpy(),
+            }
+        )
+
+    out = lag.map_batches(pairs, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object)}
+            | {c: pd.Series([], dtype="int64")
+               for c in ("prompt_id", "response_id", "prompt_chars", "response_chars")}
+        )
+    return out.astype(
+        {c: "int64" for c in ("prompt_id", "response_id", "prompt_chars", "response_chars")}
+    )
+
+
+XS_DIALOGUE_PAIRS_SQL = """
+with t as (
+  select source, doc_id, length(text) as tlen,
+         lag(doc_id) over (partition by source order by doc_id) as prev_id,
+         lag(length(text)) over (partition by source order by doc_id) as prev_len
+  from documents
+)
+select source as conv_id,
+       prev_id as prompt_id, doc_id as response_id,
+       prev_len as prompt_chars, tlen as response_chars
+from t
+where prev_id is not null
+  and (prev_id * 2654435761) % 4294967296 % 3 = 0
+  and (doc_id * 2654435761) % 4294967296 % 3 = 1
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
@@ -1021,6 +1119,7 @@ REGISTRY = {
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
+    "xs_dialogue_pairs": (xs_dialogue_pairs, XS_DIALOGUE_PAIRS_SQL),
     "xs_extract_spans_documents": (
         xs_extract_spans_documents, XS_EXTRACT_SPANS_SQL,
     ),

@@ -101,6 +101,7 @@ FAST_ORACLE = [
     "rel_winsorized_stats",
     "rel_hourly_profile",
     "doc_filter_report",
+    "xs_dialogue_pairs",
 ]
 
 
