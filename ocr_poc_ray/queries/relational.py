@@ -2810,8 +2810,148 @@ group by user_id
 """
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def rel_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Wide pivot (long → one column per event type): one row per user
+    with its count of every event type plus total purchase spend — the
+    feature-matrix reshape every per-entity ML table needs.  Partial
+    per-batch crosstab, then the bounded hash-bucket exact combine (no
+    per-user groups; bucket count is fixed, users inside a bucket are
+    summed vectorized)."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+    cnt_cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        piv = (
+            b.pivot_table(index="user_id", columns="event_type",
+                          values="value", aggfunc="size", fill_value=0)
+            .reindex(columns=list(_PIVOT_TYPES), fill_value=0)
+        )
+        piv.columns = cnt_cols
+        spend = (
+            b[b["event_type"] == "purchase"].groupby("user_id")["value"].sum()
+        )
+        piv["purchase_value"] = spend.reindex(piv.index, fill_value=0.0)
+        return piv.reset_index()
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hb=(b["user_id"] % 16).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[
+            cnt_cols + ["purchase_value"]
+        ].sum()
+        out["purchase_value"] = out["purchase_value"].round(2)
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[["user_id"] + cnt_cols + ["purchase_value"]]
+    return out.astype({c: "int64" for c in ["user_id"] + cnt_cols})
+
+
+REL_EVENT_PIVOT_SQL = f"""
+select user_id,
+       {', '.join(f"count(*) filter (event_type = '{t}')::BIGINT as n_{t}"
+                  for t in _PIVOT_TYPES)},
+       round(coalesce(sum(value) filter (event_type = 'purchase'), 0),
+             2) as purchase_value
+from events
+group by user_id
+"""
+
+
+#: x for the per-type trend regression: whole days since this epoch —
+#: small magnitudes keep the normal-equation products exact-ish in
+#: float64 on both engines (CLAUDE.md: compute in float64, round sums).
+_REGR_X0 = "2024-01-01"
+_REGR_X0_US = pd.Timestamp(_REGR_X0).value // 1_000
+
+
+def rel_regr_slope(sf_dir: str) -> pd.DataFrame:
+    """Distributed simple linear regression (value vs event-day) per
+    event type via mergeable sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) — the normal-equation shape every distributed OLS/trend fit
+    uses; nothing wider than 5 numbers per (batch, type) ever moves.
+    Slope/intercept are derived FROM THE 2-DP-ROUNDED sums in both
+    engines, so the division sees bit-identical inputs and the 6-dp
+    outputs cannot diverge on summation order."""
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            (b["ts"].to_numpy("datetime64[us]").view("int64") - _REGR_X0_US)
+            // 86_400_000_000
+        ).astype("float64")
+        y = b["value"].to_numpy("float64")
+        d = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(),
+             "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}
+        )
+        return d.groupby("event_type", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = float(g["n"].sum())
+        sx, sy = round(g["sx"].sum(), 2), round(g["sy"].sum(), 2)
+        sxy, sxx = round(g["sxy"].sum(), 2), round(g["sxx"].sum(), 2)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [int(n)],
+                "sum_x": [sx], "sum_y": [sy],
+                "sum_xy": [sxy], "sum_xx": [sxx],
+                "slope": [round(slope, 6)],
+                "intercept": [round((sy - slope * sx) / n, 6)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype({"n": "int64"})
+
+
+REL_REGR_SLOPE_SQL = f"""
+with s as (
+  select event_type, count(*)::BIGINT as n,
+         round(sum(((epoch_us(ts) - epoch_us(timestamp '{_REGR_X0}'))
+                    // 86400000000)::DOUBLE), 2) as sx,
+         round(sum(value), 2) as sy,
+         round(sum(((epoch_us(ts) - epoch_us(timestamp '{_REGR_X0}'))
+                    // 86400000000)::DOUBLE * value), 2) as sxy,
+         round(sum((((epoch_us(ts) - epoch_us(timestamp '{_REGR_X0}'))
+                     // 86400000000)::DOUBLE) ^ 2), 2) as sxx
+  from events
+  group by event_type
+)
+select event_type, n, sx as sum_x, sy as sum_y, sxy as sum_xy, sxx as sum_xx,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) as intercept
+from s
+"""
+
+
 REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
+    "rel_event_pivot": (rel_event_pivot, REL_EVENT_PIVOT_SQL),
+    "rel_regr_slope": (rel_regr_slope, REL_REGR_SLOPE_SQL),
     "rel_decayed_user_value": (
         rel_decayed_user_value, REL_DECAYED_USER_VALUE_SQL,
     ),

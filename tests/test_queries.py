@@ -102,6 +102,8 @@ FAST_ORACLE = [
     "rel_hourly_profile",
     "doc_filter_report",
     "xs_dialogue_pairs",
+    "rel_event_pivot",
+    "rel_regr_slope",
 ]
 
 
