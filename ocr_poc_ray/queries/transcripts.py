@@ -338,6 +338,82 @@ from (select media_id, dur, unnest(range(0, dur, 500)) as start_ms from a)
 """
 
 
+def mm_exact_dup(sf_dir: str) -> pd.DataFrame:
+    """Binary-payload exact dedup — the image-corpus dedup every crawl
+    pipeline runs before training.  Payloads here are REAL encoded
+    images planted so content depends only on ``doc_id % 50`` (50 dup
+    groups); the engine sees only opaque bytes: digest per row, then
+    per-batch (digest → min id, count) partials and a per-digest
+    combine — group count is bounded by distinct contents, never rows.
+    The oracle re-derives winners relationally from the planted rule
+    (same style as the other mm_ oracles)."""
+    import hashlib
+
+    from ocr_poc_ray.functions.multimodal import make_image_payload
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    _payloads: dict[int, bytes] = {}
+
+    def _group_payload(gid: int) -> bytes:
+        p = _payloads.get(gid)
+        if p is None:
+            fmt = ("png", "bmp", "ppm")[gid % 3]
+            p = make_image_payload(
+                f"g-{gid:04d}", 32 + (gid % 5) * 8, 24 + (gid % 3) * 8, fmt=fmt
+            )
+            _payloads[gid] = p
+        return p
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": pa.array([f"m-{i:08d}" for i in ids], pa.string()),
+                "payload": pa.array(
+                    [_group_payload(int(i) % 50) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    def digest_partial(batch: pa.Table) -> pd.DataFrame:
+        dg = [hashlib.md5(p).hexdigest() for p in batch["payload"].to_pylist()]
+        d = pd.DataFrame(
+            {"digest": dg, "media_id": batch["media_id"].to_pylist()}
+        )
+        g = d.groupby("digest", as_index=False).agg(
+            kept_media_id=("media_id", "min"), n_copies=("media_id", "size")
+        )
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kept_media_id": [g["kept_media_id"].min()],
+                "n_copies": [int(g["n_copies"].sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(build, batch_format="pyarrow")
+        .map_batches(digest_partial, batch_format="pyarrow")
+        .groupby("digest")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype({"n_copies": "int64"})
+
+
+MM_EXACT_DUP_SQL = """
+select printf('m-%08d', min(doc_id)) as kept_media_id,
+       count(*)::BIGINT as n_copies
+from documents
+group by doc_id % 50
+"""
+
+
 def fields_extract_synth(sf_dir: str) -> pd.DataFrame:
     """Typed-field extraction (the reference's 8-stage heuristic
     pipeline: regex parse, fuzzy anchors, spatial proximity, positional
@@ -1117,6 +1193,7 @@ REGISTRY = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
+    "mm_exact_dup": (mm_exact_dup, MM_EXACT_DUP_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
     "xs_dialogue_pairs": (xs_dialogue_pairs, XS_DIALOGUE_PAIRS_SQL),

@@ -104,6 +104,7 @@ FAST_ORACLE = [
     "xs_dialogue_pairs",
     "rel_event_pivot",
     "rel_regr_slope",
+    "mm_exact_dup",
 ]
 
 
