@@ -1509,6 +1509,125 @@ def _tfidf_sql() -> str:
 DOC_TFIDF_SQL = _tfidf_sql()
 
 
+BM25_TERMS = ("merge", "window", "vector")
+BM25_K = 20
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def doc_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval against a fixed query — the text-search twin of
+    ``vec_knn_cosine``: one stats pass (N, Σdl, per-term df; one tiny
+    row per batch, combined on the driver), stats broadcast via
+    ``ray.put``, then a scoring pass with per-batch local top-k and a
+    bounded final merge (k × blocks rows ever leave a task).  Term
+    counts use RE2 word boundaries in BOTH engines; the score
+    expression is interpolated from the same constants so the float
+    arithmetic is order-identical."""
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial_stats(batch: pa.Table) -> pd.DataFrame:
+        txt = batch["text"]
+        row = {
+            "n_docs": len(batch),
+            "sum_dl": int(pc.sum(pc.count_substring_regex(txt, r"\S+")).as_py() or 0),
+        }
+        for t in BM25_TERMS:
+            cnt = pc.count_substring_regex(txt, rf"\b{t}\b")
+            row[f"df_{t}"] = int(
+                pc.sum(pc.cast(pc.greater(cnt, 0), pa.int64())).as_py() or 0
+            )
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial_stats, batch_format="pyarrow").to_pandas()
+    n = float(parts["n_docs"].sum())
+    avgdl = float(parts["sum_dl"].sum()) / n
+    idf = {
+        t: math.log((n - float(parts[f"df_{t}"].sum()) + 0.5)
+                    / (float(parts[f"df_{t}"].sum()) + 0.5) + 1.0)
+        for t in BM25_TERMS
+    }
+    stats_ref = _ray.put((avgdl, idf))
+
+    def score_topk(batch: pa.Table) -> pd.DataFrame:
+        avgdl_, idf_ = _ray.get(stats_ref)
+        txt = batch["text"]
+        dl = pc.count_substring_regex(txt, r"\S+").to_numpy().astype("float64")
+        score = np.zeros(len(batch))
+        for t in BM25_TERMS:
+            tf = pc.count_substring_regex(txt, rf"\b{t}\b").to_numpy().astype("float64")
+            score = score + idf_[t] * (
+                tf * (_BM25_K1 + 1.0)
+                / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl_))
+            )
+        keep = score > 0
+        d = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy()[keep], "score": score[keep]}
+        )
+        return d.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(BM25_K)
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(BM25_K).reset_index(drop=True)
+    cand["score"] = cand["score"].round(6)
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    return cand.astype({"doc_id": "int64", "score": "float64"})
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        rf"len(regexp_extract_all(text, '\b{t}\b'))::DOUBLE as tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum((tf_{t} > 0)::INT)::DOUBLE as df_{t}" for t in BM25_TERMS
+    )
+    # exact mirror of the numpy expression, same constants, same op order
+    terms = "\n       + ".join(
+        f"ln((s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)"
+        f" * (d.tf_{t} * ({_BM25_K1!r} + 1.0)"
+        f" / (d.tf_{t} + {_BM25_K1!r} * (1.0 - {_BM25_B!r}"
+        f" + {_BM25_B!r} * d.dl / s.avgdl)))"
+        for t in BM25_TERMS
+    )
+    return rf"""
+with d as (
+  select doc_id,
+         len(regexp_extract_all(text, '\S+'))::DOUBLE as dl,
+         {tf_cols}
+  from documents
+),
+s as (
+  select count(*)::DOUBLE as n,
+         sum(dl) / count(*) as avgdl,
+         {df_cols}
+  from d
+)
+select doc_id, round(score, 6) as score
+from (
+  select d.doc_id, {terms} as score
+  from d, s
+)
+where score > 0
+order by score desc, doc_id
+limit {BM25_K}
+"""
+
+
+DOC_BM25_SQL = _bm25_sql()
+
+
 TOP_TFIDF_K = 3
 
 
@@ -3608,6 +3727,7 @@ REGISTRY = {
     "doc_substring_dedup": (doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
+    "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "doc_top_tfidf_per_lang": (doc_top_tfidf_per_lang, DOC_TOP_TFIDF_SQL),
     "doc_sample_per_lang": (doc_sample_per_lang, DOC_SAMPLE_PER_LANG_SQL),
     "doc_lang_quality_stats": (doc_lang_quality_stats, DOC_LANG_QUALITY_STATS_SQL),

@@ -2870,6 +2870,95 @@ group by user_id
 """
 
 
+_MAD_SCALE = 1.4826  # normal-consistency constant
+_MAD_SIGMAS = 3.0
+
+
+def rel_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type outlier audit (median/MAD z-score — the skew-
+    and heavy-tail-proof cousin of the winsorized stats): exact
+    distributed median of the value, exact distributed median of the
+    absolute deviation (both via the iterative range-refinement
+    selection, no full sort), then one counting pass against the
+    3·1.4826·MAD fence.  Keys are few (event types) but every pass
+    over the values is partial-agg shaped, so the same code holds at
+    any row count."""
+    from ocr_poc_ray.functions.selection import exact_group_quantile_disc
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    med = exact_group_quantile_disc(
+        ds, key_col="event_type", value_col="value", q=0.5
+    )
+    med_keys = np.sort(med["event_type"].to_numpy(object))
+    med_vals = (
+        med.set_index("event_type")["value"].loc[med_keys].to_numpy("float64")
+    )
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(med_keys, b["event_type"].to_numpy(object))
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "absdev": np.abs(b["value"].to_numpy("float64") - med_vals[idx]),
+            }
+        )
+
+    # value-based transform: safe to recompute on the second (counting)
+    # scan — no positional logic, so lazy-branch re-execution is exact
+    dev_ds = ds.map_batches(dev, batch_format="pandas")
+    mad = exact_group_quantile_disc(
+        dev_ds, key_col="event_type", value_col="absdev", q=0.5
+    )
+    mad_vals = (
+        mad.set_index("event_type")["value"].loc[med_keys].to_numpy("float64")
+    )
+    fence = _MAD_SIGMAS * _MAD_SCALE * mad_vals
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(med_keys, b["event_type"].to_numpy(object))
+        out = np.abs(b["value"].to_numpy("float64") - med_vals[idx]) > fence[idx]
+        d = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "n_outliers": out.astype("int64"), "n": 1})
+        return d.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(count_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", as_index=False)[["n_outliers", "n"]].sum()
+    agg = agg.merge(
+        pd.DataFrame({"event_type": med_keys,
+                      "median_value": np.round(med_vals, 6),
+                      "mad": np.round(mad_vals, 6)}),
+        on="event_type",
+    )
+    out = agg[["event_type", "median_value", "mad", "n_outliers", "n"]]
+    return out.astype({"n_outliers": "int64", "n": "int64"})
+
+
+REL_MAD_OUTLIERS_SQL = f"""
+with med as (
+  select event_type, quantile_disc(value, 0.5) as med
+  from events group by event_type
+),
+dev as (
+  select e.event_type, e.value, abs(e.value - m.med) as absdev, m.med
+  from events e join med m using (event_type)
+),
+mad as (
+  select event_type, quantile_disc(absdev, 0.5) as mad
+  from dev group by event_type
+)
+select d.event_type,
+       round(min(d.med), 6) as median_value,
+       round(min(a.mad), 6) as mad,
+       sum((d.absdev > {_MAD_SIGMAS!r} * {_MAD_SCALE!r} * a.mad)::INT)::BIGINT
+           as n_outliers,
+       count(*)::BIGINT as n
+from dev d join mad a using (event_type)
+group by d.event_type
+"""
+
+
 #: x for the per-type trend regression: whole days since this epoch —
 #: small magnitudes keep the normal-equation products exact-ish in
 #: float64 on both engines (CLAUDE.md: compute in float64, round sums).
@@ -2952,6 +3041,7 @@ REGISTRY = {
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_event_pivot": (rel_event_pivot, REL_EVENT_PIVOT_SQL),
     "rel_regr_slope": (rel_regr_slope, REL_REGR_SLOPE_SQL),
+    "rel_mad_outliers": (rel_mad_outliers, REL_MAD_OUTLIERS_SQL),
     "rel_decayed_user_value": (
         rel_decayed_user_value, REL_DECAYED_USER_VALUE_SQL,
     ),

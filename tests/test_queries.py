@@ -105,6 +105,8 @@ FAST_ORACLE = [
     "rel_event_pivot",
     "rel_regr_slope",
     "mm_exact_dup",
+    "doc_bm25_topk",
+    "rel_mad_outliers",
 ]
 
 
