@@ -30,6 +30,7 @@ from ocr_poc_ray.functions.similarity import (
     knn_brute_force,
     knn_ivf,
     knn_lsh,
+    semantic_dedup,
 )
 from ocr_poc_ray.functions.sketches import (
     hll_count_distinct,

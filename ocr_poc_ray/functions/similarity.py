@@ -538,3 +538,86 @@ def knn_pq(
         return g
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style per-label semantic dedup (Abbas et al. 2023 shape)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds: Dataset,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    num_partitions: int = 8,
+) -> Dataset:
+    """Surviving ``(id_col, label_col)`` rows after per-label cosine dedup.
+
+    Drop rule (distributed-friendly SemDeDup variant): a row is dropped
+    iff SOME lower-id row with the SAME label is cosine-``threshold``
+    close.  Losers are exactly the distinct ``id_b`` of the same-label
+    near-dup pair set, which makes the rule one bounded pair pass + one
+    membership anti-join — no sequential greedy scan.  (The classic
+    greedy scan compares against *kept* rows only; that chain rule is
+    inherently sequential per cluster.  The lower-id-neighbor rule is
+    order-deterministic, partition-invariant, and mirrors 1:1 into a
+    ``NOT EXISTS`` SQL oracle.)
+
+    Scale shape: pairs come from ``embedding_near_dup_pairs`` (blocked
+    pair-grid / LSH), labels attach via two partitioned hash joins
+    capped at cluster width, and the anti-join runs through
+    ``membership_flag``'s broadcast-vs-bloom size switch — the driver
+    never holds the loser set.
+    """
+    from ocr_poc_ray.functions.dedup import _join_parallelism, membership_flag
+
+    labels = ds.select_columns([id_col, label_col])
+    pairs = embedding_near_dup_pairs(
+        ds, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).materialize()
+    if pairs.count() == 0:
+        return labels
+
+    jp = _join_parallelism(num_partitions)
+    # key/label projection only — the list-typed vector column must not
+    # enter the hash join (Acero rejects list non-key fields)
+    lab_join = labels.map_batches(
+        lambda b: b.rename(columns={id_col: "_lid", label_col: "_lab"}),
+        batch_format="pandas",
+    ).repartition(jp).materialize()  # feeds BOTH joins — pin it once
+
+    j1 = pairs.repartition(jp).join(
+        lab_join, "inner", num_partitions=jp, on=("id_a",), right_on=("_lid",)
+    ).map_batches(
+        lambda b: b.rename(columns={"_lab": "_lab_a"}), batch_format="pandas"
+    ).repartition(jp)
+    j2 = j1.join(
+        lab_join, "inner", num_partitions=jp, on=("id_b",), right_on=("_lid",)
+    )
+
+    # bounded-bucket distinct of the loser ids (never one Ray group per
+    # key — many-singleton groupbys dominate wall time, measured; and a
+    # dup key on the membership side would replicate probe rows)
+    _B = 256
+
+    def _local_losers(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.loc[b["_lab_a"] == b["_lab"], ["id_b"]].drop_duplicates()
+        return g.assign(_db=(g["id_b"].to_numpy() % _B).astype("int64"))
+
+    losers = (
+        j2.map_batches(_local_losers, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_b"])[["id_b"]],
+            batch_format="pandas",
+        )
+    )
+
+    flagged = membership_flag(labels, id_col, losers, "id_b")
+    return flagged.map_batches(
+        lambda b: b.loc[~b["_in_set"], [id_col, label_col]],
+        batch_format="pandas",
+    )

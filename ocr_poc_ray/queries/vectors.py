@@ -24,6 +24,7 @@ from ocr_poc_ray.functions.similarity import (
     knn_ivf,
     knn_lsh,
     knn_pq,
+    semantic_dedup,
 )
 
 KNN_K = 10
@@ -612,6 +613,38 @@ def vec_cluster_exemplars(sf_dir: str) -> pd.DataFrame:
     )
     return out.sort_values(["cluster", "rank"]).reset_index(drop=True)
 
+SEM_DEDUP_THRESHOLD = 0.35
+
+
+def vec_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style survivors: drop a vector iff a lower-id SAME-label
+    vector is cosine-0.35 close (per-label near-dup pair set -> distinct
+    losers -> membership anti-join; rule documented in
+    ``functions/similarity.py::semantic_dedup``)."""
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding", "label"]
+    )
+    out = semantic_dedup(ds, threshold=SEM_DEDUP_THRESHOLD).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int64")})
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return out[["vec_id", "label"]].astype({"vec_id": "int64", "label": "int64"})
+
+
+VEC_SEMANTIC_DEDUP_SQL = f"""
+select e.vec_id, e.label::BIGINT as label
+from embeddings e
+where not exists (
+  select 1 from embeddings a
+  where a.label = e.label and a.vec_id < e.vec_id
+    and list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        >= {SEM_DEDUP_THRESHOLD}
+)
+order by e.vec_id
+"""
+
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
@@ -623,6 +656,7 @@ REGISTRY = {
     "vec_knn_ivf": (vec_knn_ivf, None),
     "vec_knn_pq": (vec_knn_pq, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
+    "vec_semantic_dedup": (vec_semantic_dedup, VEC_SEMANTIC_DEDUP_SQL),
     "vec_norm_outliers": (vec_norm_outliers, VEC_NORM_OUTLIERS_SQL),
     "vec_cluster_exemplars": (vec_cluster_exemplars, None),
     "vec_label_medoid": (vec_label_medoid, VEC_LABEL_MEDOID_SQL),

@@ -1537,3 +1537,44 @@ def test_skew_join_matches_plain_join(ray_session):
             .reset_index(drop=True)[want.columns.tolist()]
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_semantic_dedup_label_scoped_rule():
+    """Drop iff SOME lower-id same-label vector is cosine-close; a
+    cross-label near-dup never triggers a drop."""
+    from ocr_poc_ray.functions import semantic_dedup
+
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0], "label": 0},
+        {"vec_id": 2, "embedding": [0.999, 0.01, 0.0], "label": 0},   # near 1, same label -> drop
+        {"vec_id": 3, "embedding": [0.998, -0.02, 0.0], "label": 1},  # near 1/2 but other label -> keep
+        {"vec_id": 4, "embedding": [0.0, 1.0, 0.0], "label": 0},
+        {"vec_id": 5, "embedding": [0.01, 0.999, 0.0], "label": 0},   # near 4, same label -> drop
+        {"vec_id": 6, "embedding": [0.0, 0.0, 1.0], "label": 1},
+    ]
+    out = semantic_dedup(
+        ray.data.from_items(rows), threshold=0.95
+    ).to_pandas().sort_values("vec_id")
+    assert out["vec_id"].tolist() == [1, 3, 4, 6]
+
+
+def test_semantic_dedup_chain_uses_any_lower_id_neighbor():
+    """The documented rule is NOT the greedy keep-chain: c is dropped
+    because its neighbor b has a lower id, even though b itself drops."""
+    import math
+
+    from ocr_poc_ray.functions import semantic_dedup
+
+    def on_circle(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    rows = [
+        {"vec_id": 1, "embedding": on_circle(0), "label": 0},
+        {"vec_id": 2, "embedding": on_circle(15), "label": 0},   # cos15=0.966>=0.95
+        {"vec_id": 3, "embedding": on_circle(30), "label": 0},   # near 2 only
+    ]
+    out = semantic_dedup(
+        ray.data.from_items(rows), threshold=0.95
+    ).to_pandas()
+    assert out["vec_id"].tolist() == [1]

@@ -36,6 +36,7 @@ FAST_ORACLE = [
     "doc_mixture_sample",
     "doc_temperature_sample",
     "doc_jaccard_pairs_prefix",
+    "vec_semantic_dedup",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
