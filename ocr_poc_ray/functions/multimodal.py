@@ -324,3 +324,180 @@ def resize_images(ds: Dataset, *, box: int = 64) -> Dataset:
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup: 64-bit difference hash (dHash) + banded pair gen
+# ---------------------------------------------------------------------------
+
+DHASH_COLS, DHASH_ROWS = 9, 8  # -> 8x8 gradient-sign bits = 64
+
+
+class ImageDHasher:
+    """Actor-pool stage: REAL pixel decode -> integer luma -> 9x8
+    nearest-neighbor downsample -> horizontal gradient-sign bits (the
+    public dHash algorithm).  Emits one int64 ``dhash`` per decodable
+    image row (the uint64 bit pattern viewed as int64 — sign is
+    irrelevant, the value is only ever grouped/XORed).  Luma is the
+    integer BT.601 form ``(77R + 150G + 29B) >> 8`` — exact on any
+    engine, and identity on grayscale pixels (77+150+29 = 256)."""
+
+    def __init__(self):
+        from ocr_poc_ray.functions import imagecodec as ic
+
+        self._ic = ic
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ic = self._ic
+        out_id, out_h = [], []
+        for media_id, payload in zip(batch["media_id"], batch["payload"]):
+            payload = bytes(payload)
+            try:
+                if ic.sniff(payload) is None:
+                    continue
+                px = ic.decode_image(payload)
+            except Exception:
+                continue
+            small = ic.resize_nn(px, DHASH_COLS, DHASH_ROWS).astype(np.uint32)
+            luma = (77 * small[:, :, 0] + 150 * small[:, :, 1] + 29 * small[:, :, 2]) >> 8
+            bits = (luma[:, 1:] > luma[:, :-1]).astype(np.uint8)  # (8, 8)
+            dh = np.frombuffer(np.packbits(bits.ravel()).tobytes(), dtype="<u8")[0]
+            out_id.append(media_id)
+            out_h.append(np.uint64(dh).astype(np.int64))
+        return pd.DataFrame(
+            {"media_id": out_id, "dhash": pd.array(out_h, dtype="int64")}
+        )
+
+
+def image_dhash(ds: Dataset) -> Dataset:
+    return ds.map_batches(
+        ImageDHasher,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array (bit_count needs
+    numpy>=2; unpackbits on the byte view is vectorized and exact)."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def dhash_near_dup_pairs(
+    hashes: Dataset,
+    *,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    n_meta_buckets: int = 64,
+) -> Dataset:
+    """(id_a, id_b, hamming) pairs with XOR-popcount ≤ ``max_hamming``.
+
+    EXACT under banding by pigeonhole: the 64-bit hash splits into 8
+    8-bit bands; ≤7 differing bits touch ≤7 bands, so every qualifying
+    pair shares at least one untouched band and is generated by that
+    band's bucket.  Band buckets hash into ``n_meta_buckets``
+    meta-groups and ONE vectorized kernel per group emits pairs for
+    every contained bucket (sort -> segment boundaries -> repeat/tile
+    pair indices — never one Ray group per bucket, the measured
+    many-group cliff).  Duplicate pairs from multiple shared bands are
+    removed by the bounded-bucket distinct; hamming is recomputed from
+    the pair rows themselves (hashes ride along — no verify join)."""
+    from ocr_poc_ray.functions.dedup import _distinct_pairs
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = batch["dhash"].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(ids)
+        bands = np.arange(8, dtype=np.uint64)
+        band_val = ((h[:, None] >> (bands * np.uint64(8))) & np.uint64(0xFF)).astype(
+            np.int64
+        )  # (n, 8)
+        band_id = np.broadcast_to(np.arange(8, dtype=np.int64), (n, 8))
+        # meta-bucket key mixes (band_id, band_val) so one Ray group
+        # serves many buckets
+        mix = pd.util.hash_array(
+            (band_id * 257 + band_val).ravel().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "_id": np.repeat(ids, 8),
+                "_h": np.repeat(h.view(np.int64), 8),
+                "_band": band_id.ravel(),
+                "_bval": band_val.ravel(),
+                "_mb": (mix % n_meta_buckets).astype("int64"),
+            }
+        )
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_band", "_bval", "_id"], kind="mergesort")
+        ids = g["_id"].to_numpy()
+        hs = g["_h"].to_numpy()
+        key = g["_band"].to_numpy() * (1 << 9) + g["_bval"].to_numpy()
+        # segment boundaries via shifted != (the keyed_sorted_match shape)
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_seg[1:])
+        seg_start = np.flatnonzero(new_seg)
+        seg_end = np.append(seg_start[1:], len(g))
+        a_idx, b_idx = [], []
+        CHUNK = 4096  # bound one segment's pair slab
+        for s, e in zip(seg_start, seg_end):
+            m = e - s
+            if m < 2:
+                continue
+            for cs in range(s, e, CHUNK):
+                ce = min(cs + CHUNK, e)
+                # intra-chunk upper triangle
+                iu, ju = np.triu_indices(ce - cs, k=1)
+                a_idx.append(iu + cs)
+                b_idx.append(ju + cs)
+                # chunk x remaining-rows grid
+                if ce < e:
+                    left = np.arange(cs, ce)
+                    right = np.arange(ce, e)
+                    a_idx.append(np.repeat(left, len(right)))
+                    b_idx.append(np.tile(right, len(left)))
+        if not a_idx:
+            return pd.DataFrame(
+                {"doc_a": pd.array([], dtype=object), "doc_b": pd.array([], dtype=object),
+                 "_ha": pd.array([], dtype="int64"), "_hb": pd.array([], dtype="int64")}
+            )
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        a, b = ids[ai], ids[bi]
+        ha, hb = hs[ai], hs[bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        ha2 = np.where(swap, hb, ha)
+        hb2 = np.where(swap, ha, hb)
+        keep = _popcount64(ha2 ^ hb2) <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": a2[keep], "doc_b": b2[keep],
+             "_ha": ha2[keep], "_hb": hb2[keep]}
+        )
+
+    pairs = (
+        hashes.map_batches(band_rows, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    distinct = _distinct_pairs(pairs, ["doc_a", "doc_b", "_ha", "_hb"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.array([], dtype=object), "id_b": pd.array([], dtype=object),
+                 "hamming": pd.array([], dtype="int64")}
+            )
+        ham = _popcount64(
+            batch["_ha"].to_numpy().astype(np.int64)
+            ^ batch["_hb"].to_numpy().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {"id_a": batch["doc_a"], "id_b": batch["doc_b"], "hamming": ham}
+        )
+
+    return distinct.map_batches(finish, batch_format="pandas")

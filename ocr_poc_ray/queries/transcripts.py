@@ -414,6 +414,86 @@ group by doc_id % 50
 """
 
 
+_PHASH_GROUPS = 40
+
+
+def mm_phash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual (dHash) image near-dup — the near-duplicate image
+    screen a multimodal crawl runs after exact digest dedup: re-encoded
+    or brightness-shifted copies share a dHash even though every byte
+    differs.  Payloads are REAL PNGs planted so each ``doc_id % 40``
+    group renders one md5-derived 8x8 gradient pattern, with a
+    per-member uniform brightness shift (+0/+1/+2) that changes the
+    bytes (and the md5 digest) but never flips a gradient sign — so the
+    engine's decode -> luma -> 9x8 downsample -> gradient-sign hash
+    lands identical within a group, and the md5-random cross-group
+    hashes stay far apart (min pairwise hamming asserted in tests).
+    The oracle re-derives the pair set relationally from the planted
+    rule, same style as the other mm_ oracles."""
+    import hashlib
+
+    from ocr_poc_ray.functions.imagecodec import encode_png, resize_nn
+    from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs, image_dhash
+
+    _cache: dict[tuple[int, int], bytes] = {}
+
+    def _payload(gid: int, shift: int) -> bytes:
+        key = (gid, shift)
+        p = _cache.get(key)
+        if p is None:
+            bits = np.unpackbits(
+                np.frombuffer(
+                    hashlib.md5(f"phash-{gid}".encode()).digest()[:8], dtype=np.uint8
+                )
+            ).reshape(8, 8)
+            luma = np.empty((8, 9), dtype=np.int32)
+            luma[:, 0] = 128
+            for c in range(8):
+                luma[:, c + 1] = luma[:, c] + np.where(bits[:, c] == 1, 10, -10)
+            rgb = np.repeat(luma[:, :, None], 3, axis=2).astype(np.uint8)
+            big = resize_nn(rgb, 36, 32)
+            p = encode_png(np.clip(big.astype(np.int32) + shift, 0, 255).astype(np.uint8))
+            _cache[key] = p
+        return p
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        _payload(int(i) % _PHASH_GROUPS, (int(i) // _PHASH_GROUPS) % 3)
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    hashes = image_dhash(ds.map_batches(build, batch_format="pyarrow"))
+    out = dhash_near_dup_pairs(hashes, max_hamming=7, id_col="media_id").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+
+MM_PHASH_NEARDUP_SQL = f"""
+select a.doc_id as id_a, b.doc_id as id_b, 0::BIGINT as hamming
+from documents a join documents b
+  on a.doc_id % {_PHASH_GROUPS} = b.doc_id % {_PHASH_GROUPS}
+ and a.doc_id < b.doc_id
+order by id_a, id_b
+"""
+
+
 def fields_extract_synth(sf_dir: str) -> pd.DataFrame:
     """Typed-field extraction (the reference's 8-stage heuristic
     pipeline: regex parse, fuzzy anchors, spatial proximity, positional
@@ -1194,6 +1274,7 @@ REGISTRY = {
     "mm_audio_windows": (mm_audio_windows, MM_AUDIO_WINDOWS_SQL),
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
     "mm_exact_dup": (mm_exact_dup, MM_EXACT_DUP_SQL),
+    "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_NEARDUP_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
     "xs_dialogue_pairs": (xs_dialogue_pairs, XS_DIALOGUE_PAIRS_SQL),

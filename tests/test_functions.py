@@ -1578,3 +1578,78 @@ def test_semantic_dedup_chain_uses_any_lower_id_neighbor():
         ray.data.from_items(rows), threshold=0.95
     ).to_pandas()
     assert out["vec_id"].tolist() == [1]
+
+
+# -- perceptual image near-dup ----------------------------------------------
+def test_image_dhash_real_decode_matches_planted_bits():
+    """Encode an image whose 9x8 luma walk encodes a known bit pattern;
+    the decode -> luma -> downsample -> gradient-sign pipeline must
+    recover exactly those 64 bits."""
+    from ocr_poc_ray.functions.imagecodec import encode_png, resize_nn
+    from ocr_poc_ray.functions.multimodal import image_dhash
+
+    rng = np.random.RandomState(7)
+    bits = rng.randint(0, 2, size=(8, 8)).astype(np.uint8)
+    luma = np.empty((8, 9), dtype=np.int32)
+    luma[:, 0] = 128
+    for c in range(8):
+        luma[:, c + 1] = luma[:, c] + np.where(bits[:, c] == 1, 10, -10)
+    rgb = np.repeat(luma[:, :, None], 3, axis=2).astype(np.uint8)
+    payload = encode_png(resize_nn(rgb, 36, 32))
+    ds = ray.data.from_items([{"media_id": 1, "payload": payload}])
+    got = image_dhash(ds).to_pandas()
+    # the hasher packs row-major bits and reads the 8 bytes little-endian
+    expected = np.frombuffer(np.packbits(bits.ravel()).tobytes(), dtype="<u8")[0]
+    assert len(got) == 1
+    assert got["dhash"].to_numpy().astype(np.int64).view(np.uint64)[0] == expected
+
+
+def test_dhash_near_dup_pairs_exact_vs_bruteforce():
+    """Banded pair generation (8x8-bit bands, pigeonhole-exact for
+    hamming <= 7) must equal the all-pairs popcount filter."""
+    from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 2**63, size=30, dtype=np.int64)
+    hashes = list(base)
+    # planted close pairs: flip 1..7 bits of some bases
+    for i, flips in [(0, 1), (1, 3), (2, 7), (3, 8)]:  # 8 flips -> excluded
+        h = np.uint64(base[i].astype(np.uint64))
+        for b in range(flips):
+            h ^= np.uint64(1) << np.uint64(b * 9 % 64)
+        hashes.append(np.int64(h.astype(np.int64)))
+    ids = list(range(len(hashes)))
+    ds = ray.data.from_items(
+        [{"media_id": i, "dhash": int(h)} for i, h in zip(ids, hashes)]
+    )
+    got = dhash_near_dup_pairs(ds, max_hamming=7).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+
+    arr = np.array(hashes, dtype=np.int64).view(np.uint64)
+    brute = set()
+    for i in range(len(arr)):
+        for j in range(i + 1, len(arr)):
+            ham = bin(int(arr[i] ^ arr[j])).count("1")
+            if ham <= 7:
+                brute.add((i, j, ham))
+    assert got_set == brute
+    assert len(brute) >= 3  # the planted 1/3/7-flip pairs
+
+
+def test_phash_fixture_groups_are_separable():
+    """The 40 planted md5 patterns must sit > 7 hamming apart so the
+    oracle's same-group pair rule is exactly the engine's output."""
+    import hashlib
+
+    hs = []
+    for gid in range(40):
+        bits = np.unpackbits(
+            np.frombuffer(hashlib.md5(f"phash-{gid}".encode()).digest()[:8], dtype=np.uint8)
+        )
+        hs.append(int.from_bytes(np.packbits(bits).tobytes(), "big"))
+    arr = np.array(hs, dtype=np.uint64)
+    worst = 64
+    for i in range(len(arr)):
+        for j in range(i + 1, len(arr)):
+            worst = min(worst, bin(int(arr[i] ^ arr[j])).count("1"))
+    assert worst > 7, worst

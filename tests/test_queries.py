@@ -37,6 +37,7 @@ FAST_ORACLE = [
     "doc_temperature_sample",
     "doc_jaccard_pairs_prefix",
     "vec_semantic_dedup",
+    "mm_phash_neardup",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
