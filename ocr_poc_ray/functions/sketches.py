@@ -296,3 +296,63 @@ def cm_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
     cols = _cm_rows(keys, width, depth)
     ests = np.stack([sketch[d][cols[d]] for d in range(depth)])
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter summary (mergeable form, Agarwal et al. 2012)
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Compress exact (token, count) rows to ≤ k Misra-Gries counters:
+    subtract the (k+1)-th largest count from all and drop non-positive.
+    Each compression of a summary covering n items loses ≤ n/(k+1) per
+    item; the loss bound survives arbitrary merges (mergeable-summary
+    property), so est(f) ≥ f − n_total/(k+1) always."""
+    if len(tokens) <= k:
+        return tokens, counts
+    order = np.argsort(counts, kind="mergesort")[::-1]
+    dec = counts[order[k]]
+    keep = order[:k]
+    adj = counts[keep] - dec
+    pos = adj > 0
+    return tokens[keep][pos], adj[pos]
+
+
+def mg_heavy_hitters(
+    ds, col: str, *, k: int = 511, text_tokens: bool = False
+) -> "pd.DataFrame":
+    """Misra-Gries candidate summary of ``ds[col]`` (or of lowercase
+    whitespace tokens of a text column when ``text_tokens``): ≤ k
+    (token, est) rows with est ≥ true − n/(k+1) — a guaranteed
+    SUPERSET of every item with frequency > n/(k+1).
+
+    Scale shape: one exact value_counts + MG compression per batch
+    (partial rows bounded by k, never by batch rows or vocabulary),
+    then one driver-side merge of the ≤ k×blocks partial counters —
+    the driver never sees the corpus or the vocabulary, only k rows
+    per block.  Pair with an exact distributed recount of the ≤ k
+    candidates for exact heavy-hitter queries."""
+    import pyarrow.compute as pc
+
+    def partial(batch) -> pd.DataFrame:
+        if text_tokens:
+            text = pc.utf8_trim_whitespace(pc.utf8_lower(batch[col]))
+            vc = pc.list_flatten(pc.utf8_split_whitespace(text)).value_counts()
+        else:
+            vc = batch[col].combine_chunks().value_counts()
+        toks = vc.field("values").to_pandas().to_numpy(dtype=object)
+        cnts = vc.field("counts").to_pandas().to_numpy().astype(np.int64)
+        mask = toks != ""
+        t2, c2 = _mg_compress(toks[mask], cnts[mask], k)
+        return pd.DataFrame({"token": t2, "est": c2})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("token", as_index=False)["est"].sum()
+    toks = agg["token"].to_numpy(dtype=object)
+    cnts = agg["est"].to_numpy().astype(np.int64)
+    t, c = _mg_compress(toks, cnts, k)
+    out = pd.DataFrame({"token": t, "est": c})
+    return out.sort_values(
+        ["est", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)

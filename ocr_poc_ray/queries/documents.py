@@ -1256,6 +1256,69 @@ select token, n from c order by n desc, token limit {TOP_TOKENS_K}
 """
 
 
+HEAVY_DIVISOR = 256
+
+
+def doc_heavy_tokens_mg(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus heavy hitters (count × 256 > total tokens) found
+    the SKETCH way: a Misra-Gries candidate pass (k=1023 mergeable
+    counters — ≤ k rows per block reach the driver, never the
+    vocabulary) guarantees a superset of the heavy set (est ≥ true −
+    n/(k+1), and even the conservative two-stage loss bound 2n/1024 is
+    under the n/256 threshold), then an exact distributed recount of
+    ONLY the candidates.  Oracle = the direct SQL heavy-hitter query:
+    candidate pruning provably cannot lose a heavy token.  The integer
+    comparison n*256 > total avoids any division-rounding divergence."""
+    import pyarrow.compute as pc
+
+    from ocr_poc_ray.functions.sketches import mg_heavy_hitters
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    summary = mg_heavy_hitters(ds, "text", k=1023, text_tokens=True)
+    cands = set(summary["token"])
+
+    def recount(batch: pa.Table) -> pd.DataFrame:
+        text = pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"]))
+        vc = pc.list_flatten(pc.utf8_split_whitespace(text)).value_counts()
+        df = pd.DataFrame(
+            {
+                "token": vc.field("values").to_pandas(),
+                "cnt": vc.field("counts").to_pandas().astype("int64"),
+            }
+        )
+        df = df[df["token"] != ""]
+        total = int(df["cnt"].sum())
+        df = df[df["token"].isin(cands)]
+        return pd.concat(
+            [df, pd.DataFrame({"token": ["\x00__total__"], "cnt": [total]})],
+            ignore_index=True,
+        )
+
+    parts = ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+    total = int(parts.loc[parts["token"] == "\x00__total__", "cnt"].sum())
+    counts = (
+        parts[parts["token"] != "\x00__total__"]
+        .groupby("token", as_index=False)["cnt"].sum()
+    )
+    heavy = counts[counts["cnt"] * HEAVY_DIVISOR > total]
+    out = heavy.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return pd.DataFrame({"token": out["token"], "n": out["cnt"].astype("int64")})
+
+
+DOC_HEAVY_TOKENS_MG_SQL = rf"""
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '\S+')) as token from documents
+), c as (
+  select token, count(*)::BIGINT as n from tok group by token
+)
+select token, n from c
+where n * {HEAVY_DIVISOR} > (select count(*) from tok)
+order by n desc, token
+"""
+
+
 def doc_chunk_dup_histogram(sf_dir: str) -> pd.DataFrame:
     """Passage-duplication profile: for every cluster size c, how many
     distinct 8-token chunks occur exactly c times corpus-wide — the
@@ -3752,6 +3815,7 @@ REGISTRY = {
     "doc_chunk_tokens": (doc_chunk_tokens, DOC_CHUNK_TOKENS_SQL),
     "doc_chunk_overlap": (doc_chunk_overlap, DOC_CHUNK_OVERLAP_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),
+    "doc_heavy_tokens_mg": (doc_heavy_tokens_mg, DOC_HEAVY_TOKENS_MG_SQL),
     "doc_chunk_dedup": (doc_chunk_dedup, DOC_CHUNK_DEDUP_SQL),
     "doc_chunk_dup_histogram": (doc_chunk_dup_histogram, DOC_CHUNK_DUP_HISTOGRAM_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

@@ -2088,6 +2088,47 @@ from events group by hour
 """
 
 
+HIST_WIDTH = 25
+
+
+def rel_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of event value (width-25 bins): exact count
+    and 2-dp total per bin — the profiling primitive behind range
+    pruning and skew diagnosis.  Row-local binning (values are
+    positive, so floor division is identical in numpy and DuckDB),
+    per-batch partial agg, ≤ range/width-group combine."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy()
+        bucket = np.floor(v / HIST_WIDTH).astype("int64")
+        return (
+            b.assign(bucket=bucket)
+            .groupby("bucket", as_index=False)
+            .agg(n=("value", "size"), s=("value", "sum"))
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bucket", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    return pd.DataFrame(
+        {
+            "bucket": agg["bucket"].astype("int64"),
+            "lo": (agg["bucket"] * HIST_WIDTH).astype("float64"),
+            "n_events": agg["n"].astype("int64"),
+            "total_value": agg["s"].round(2).astype("float64"),
+        }
+    )
+
+
+REL_VALUE_HISTOGRAM_SQL = f"""
+select floor(value / {HIST_WIDTH})::BIGINT as bucket,
+       (floor(value / {HIST_WIDTH}) * {HIST_WIDTH})::DOUBLE as lo,
+       count(*)::BIGINT as n_events,
+       round(sum(value), 2) as total_value
+from events group by 1, 2
+"""
+
+
 def rel_region_supplier_balance(sf_dir: str) -> pd.DataFrame:
     """Region rollup of the supplier dimension — two chained broadcast
     lookups (s_nationkey → n_regionkey → r_name; the dim tables are
@@ -3089,6 +3130,7 @@ REGISTRY = {
     "rel_first_touch_attribution": (rel_first_touch_attribution, REL_FIRST_TOUCH_SQL),
     "rel_winsorized_stats": (rel_winsorized_stats, REL_WINSORIZED_STATS_SQL),
     "rel_hourly_profile": (rel_hourly_profile, REL_HOURLY_PROFILE_SQL),
+    "rel_value_histogram": (rel_value_histogram, REL_VALUE_HISTOGRAM_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

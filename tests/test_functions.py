@@ -1653,3 +1653,50 @@ def test_phash_fixture_groups_are_separable():
         for j in range(i + 1, len(arr)):
             worst = min(worst, bin(int(arr[i] ^ arr[j])).count("1"))
     assert worst > 7, worst
+
+
+# -- Misra-Gries heavy hitters ----------------------------------------------
+def test_mg_heavy_hitters_guarantees():
+    """With k counters: (1) the summary is a superset of every item with
+    frequency > n/(k+1) (checked with the conservative 2n/(k+1) batch +
+    final loss margin), (2) every estimate is an undercount within that
+    loss, (3) the summary never exceeds k rows — on zipf-ish data split
+    across many blocks."""
+    from ocr_poc_ray.functions.sketches import mg_heavy_hitters
+
+    rng = np.random.RandomState(3)
+    vocab = np.array([f"t{i:03d}" for i in range(400)])
+    weights = 1.0 / np.arange(1, 401) ** 1.2
+    toks = rng.choice(vocab, size=20000, p=weights / weights.sum())
+    ds = ray.data.from_items([{"v": t} for t in toks]).repartition(16)
+
+    k = 63
+    got = mg_heavy_hitters(ds, "v", k=k)
+    assert len(got) <= k
+    n = len(toks)
+    exact = pd.Series(toks).value_counts()
+    loss = 2 * n / (k + 1)
+    est = dict(zip(got["token"], got["est"]))
+    for tok, f in exact.items():
+        if f > loss:
+            assert tok in est, (tok, f, loss)
+        if tok in est:
+            assert est[tok] <= f
+            assert est[tok] >= f - loss
+
+
+def test_mg_text_tokens_partition_invariant_superset():
+    """The MG candidate set over a text column must contain the exact
+    heavy set at any partitioning (the doc_heavy_tokens_mg pruning
+    soundness condition)."""
+    from ocr_poc_ray.functions.sketches import mg_heavy_hitters
+
+    texts = ["alpha beta gamma alpha", "beta alpha delta", "alpha beta beta"] * 200
+    exact = pd.Series(" ".join(texts).split()).value_counts()
+    n = int(exact.sum())
+    for parts in (1, 7):
+        ds = ray.data.from_items([{"text": t} for t in texts]).repartition(parts)
+        got = mg_heavy_hitters(ds, "text", k=255, text_tokens=True)
+        cands = set(got["token"])
+        heavy = {t for t, f in exact.items() if f * 256 > n}
+        assert heavy <= cands

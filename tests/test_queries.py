@@ -38,6 +38,8 @@ FAST_ORACLE = [
     "doc_jaccard_pairs_prefix",
     "vec_semantic_dedup",
     "mm_phash_neardup",
+    "rel_value_histogram",
+    "doc_heavy_tokens_mg",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
