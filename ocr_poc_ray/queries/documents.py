@@ -3779,6 +3779,56 @@ qualify rank <= {TOP_TOKENS_PER_SOURCE_K}
 """
 
 
+def doc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup — the append-mode operation a crawl
+    pipeline runs every batch: new shard docs are kept only if their
+    content fingerprint is UNSEEN in the existing corpus.  Base corpus
+    = doc_id % 5 != 0, incoming shard = doc_id % 5 == 0 (a fixed split
+    of the same table so the oracle can re-derive it).  Both sides
+    fingerprint row-locally (md5 of the text); the incoming side is
+    anti-joined against the base fingerprints through
+    ``membership_flag``'s broadcast-vs-bloom size switch — at crawl
+    scale the base fingerprint set never reaches the driver."""
+    import hashlib
+
+    from ocr_poc_ray.functions.dedup import membership_flag
+
+    def fp(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        dg = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pd.DataFrame({"doc_id": ids, "fp": dg})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    fps = ds.map_batches(fp, batch_format="pyarrow").materialize()  # feeds both sides
+
+    base = fps.map_batches(
+        lambda b: b.loc[b["doc_id"] % 5 != 0, ["fp"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    incoming = fps.map_batches(
+        lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas"
+    )
+    flagged = membership_flag(incoming, "fp", base, "fp")
+    out = flagged.map_batches(
+        lambda b: b.loc[~b["_in_set"], ["doc_id"]], batch_format="pandas"
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+DOC_INCREMENTAL_DEDUP_SQL = """
+select i.doc_id
+from documents i
+where i.doc_id % 5 = 0
+  and not exists (
+    select 1 from documents b
+    where b.doc_id % 5 <> 0 and md5(b.text) = md5(i.text)
+  )
+order by i.doc_id
+"""
+
+
 REGISTRY = {
     "doc_pii_redact": (doc_pii_redact, DOC_PII_REDACT_SQL),
     "doc_top_tokens_per_source": (
@@ -3799,6 +3849,7 @@ REGISTRY = {
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_incremental_dedup": (doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),

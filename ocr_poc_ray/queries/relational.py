@@ -443,6 +443,78 @@ def rel_mktsegment_revenue_hashjoin(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().astype({"n_orders": "int64"})
 
 
+def rel_nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: revenue flow between (customer nation, supplier
+    nation) pairs across lineitem⋈orders⋈customer⋈supplier⋈nation².
+    The only big-big exchange is lineitem⋈orders on orderkey (capped
+    partitioned hash join); every dimension attaches via zero-copy
+    broadcast lookups, and the lineitem side is projected down to
+    (orderkey, revenue, supp_nation) BEFORE the shuffle — prune at the
+    exchange, not after."""
+    sup = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    cus = _broadcast_lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nat = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_name")
+
+    li = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_project(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(sup)
+        nk, _ = _lookup(st, b["l_suppkey"].to_numpy())
+        names, _ = _lookup(ray.get(nat), nk)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy()),
+                "supp_nation": names,
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    joined = li.map_batches(li_project, batch_format="pandas").join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ck, _ = _lookup(ray.get(cus), b["o_custkey"].to_numpy())
+        names, _ = _lookup(ray.get(nat), ck)
+        d = pd.DataFrame(
+            {"cust_nation": names, "supp_nation": b["supp_nation"], "rev": b["rev"]}
+        )
+        d = d[d["cust_nation"] != d["supp_nation"]]
+        return d.groupby(["cust_nation", "supp_nation"], as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["cust_nation", "supp_nation"], as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    agg["revenue"] = agg["revenue"].round(2).astype("float64")
+    agg["n_items"] = agg["n_items"].astype("int64")
+    return agg
+
+
+REL_NATION_TRADE_MATRIX_SQL = """
+select cn.n_name as cust_nation, sn.n_name as supp_nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+       count(*)::BIGINT as n_items
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation cn on c.c_nationkey = cn.n_nationkey
+join nation sn on s.s_nationkey = sn.n_nationkey
+where cn.n_name <> sn.n_name
+group by 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tumbling-window aggregate + distinct count
 # ---------------------------------------------------------------------------
@@ -3131,6 +3203,7 @@ REGISTRY = {
     "rel_winsorized_stats": (rel_winsorized_stats, REL_WINSORIZED_STATS_SQL),
     "rel_hourly_profile": (rel_hourly_profile, REL_HOURLY_PROFILE_SQL),
     "rel_value_histogram": (rel_value_histogram, REL_VALUE_HISTOGRAM_SQL),
+    "rel_nation_trade_matrix": (rel_nation_trade_matrix, REL_NATION_TRADE_MATRIX_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

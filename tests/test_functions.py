@@ -1700,3 +1700,29 @@ def test_mg_text_tokens_partition_invariant_superset():
         cands = set(got["token"])
         heavy = {t for t, f in exact.items() if f * 256 > n}
         assert heavy <= cands
+
+
+def test_incremental_dedup_drops_replayed_texts(tmp_path):
+    """doc_incremental_dedup's drop path on a corpus WITH cross-shard
+    exact dups (the driver testdata has none): incoming docs replaying
+    a base doc's text must be dropped, unseen ones kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.queries.documents import doc_incremental_dedup
+
+    rows = []
+    for i in range(40):
+        if i % 5 == 0 and i % 10 == 0:
+            text = f"base text {i + 1}"      # replay of base doc i+1
+        else:
+            text = f"base text {i}" if i % 5 != 0 else f"fresh text {i}"
+        rows.append({"doc_id": i, "text": text, "lang": "en",
+                     "source": "s", "n_chars": len(text)})
+    tbl = pa.Table.from_pylist(rows)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = doc_incremental_dedup(str(d))
+    # incoming = ids 0,5,...,35; ids %10==0 replay a base text -> dropped
+    assert out["doc_id"].tolist() == [5, 15, 25, 35]

@@ -40,6 +40,8 @@ FAST_ORACLE = [
     "mm_phash_neardup",
     "rel_value_histogram",
     "doc_heavy_tokens_mg",
+    "rel_nation_trade_matrix",
+    "doc_incremental_dedup",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
