@@ -132,8 +132,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         rel_asof_purchase_click,
         rel_sessionize,
     )
-    from ocr_poc_ray.queries.transcripts import fields_extract_synth
-    from ocr_poc_ray.queries.vectors import vec_kmeans, vec_knn_cosine
+    from ocr_poc_ray.queries.transcripts import fields_extract_synth, mm_phash_neardup
+    from ocr_poc_ray.queries.vectors import vec_kmeans, vec_knn_cosine, vec_semantic_dedup
 
     out: dict[str, float] = {}
     for name, fn in (
@@ -149,6 +149,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("pii_redact", doc_pii_redact),
         ("source_contamination", doc_source_contamination),
         ("pack_interleaved", doc_pack_interleaved),
+        ("semantic_dedup", vec_semantic_dedup),
+        ("phash_neardup", mm_phash_neardup),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)

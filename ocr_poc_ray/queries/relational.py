@@ -515,6 +515,83 @@ group by 1, 2
 """
 
 
+def rel_window_dedup(sf_dir: str) -> pd.DataFrame:
+    """Windowed streaming dedup: first event per (user, event_type) per
+    tumbling hour — the at-least-once ingest guard that collapses
+    upstream retries/replays inside a bounded time horizon.  Window
+    assignment is row-local integer math (timestamps are post-1970 so
+    floor division == date_trunc, CLAUDE.md); winners via per-batch
+    partial (lexicographic-min (ts, event_id) + count per key) and a
+    bounded hash-bucket combine — group count is never a Ray group
+    count, and nothing key-set-sized reaches the driver."""
+    HOUR_US = 3_600_000_000
+    _B = 256
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["ts", "user_id", "event_type", "event_id"]
+    )
+
+    KEYS = ["user_id", "event_type", "window_start_us"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+                "window_start_us": (us // HOUR_US) * HOUR_US,
+                "_ts": us,
+                "event_id": b["event_id"].to_numpy(),
+            }
+        )
+        d = d.sort_values(["_ts", "event_id"], kind="mergesort")
+        n = d.groupby(KEYS, as_index=False).size().rename(columns={"size": "n_in_window"})
+        first = d.drop_duplicates(KEYS, keep="first")
+        out = first.merge(n, on=KEYS)
+        mix = (
+            pd.util.hash_array(out["user_id"].to_numpy())
+            ^ pd.util.hash_array(out["window_start_us"].to_numpy())
+            ^ pd.util.hash_array(out["event_type"].to_numpy(dtype=object))
+        )
+        return out.assign(_hb=(mix % _B).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_ts", "event_id"], kind="mergesort")
+        n = g.groupby(KEYS, as_index=False)["n_in_window"].sum()
+        first = g.drop_duplicates(KEYS, keep="first")[KEYS + ["event_id"]]
+        return first.merge(n, on=KEYS).rename(columns={"event_id": "first_event_id"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out[["user_id", "event_type", "window_start_us", "first_event_id", "n_in_window"]].astype(
+        {"user_id": "int64", "window_start_us": "int64",
+         "first_event_id": "int64", "n_in_window": "int64"}
+    )
+
+
+REL_WINDOW_DEDUP_SQL = """
+with r as (
+  select user_id, event_type,
+         epoch_us(date_trunc('hour', ts)) as window_start_us,
+         event_id,
+         row_number() over (
+           partition by user_id, event_type, date_trunc('hour', ts)
+           order by ts, event_id
+         ) as rn,
+         count(*) over (
+           partition by user_id, event_type, date_trunc('hour', ts)
+         ) as n_in_window
+  from events
+)
+select user_id, event_type, window_start_us,
+       event_id as first_event_id, n_in_window::BIGINT as n_in_window
+from r where rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tumbling-window aggregate + distinct count
 # ---------------------------------------------------------------------------
@@ -3204,6 +3281,7 @@ REGISTRY = {
     "rel_hourly_profile": (rel_hourly_profile, REL_HOURLY_PROFILE_SQL),
     "rel_value_histogram": (rel_value_histogram, REL_VALUE_HISTOGRAM_SQL),
     "rel_nation_trade_matrix": (rel_nation_trade_matrix, REL_NATION_TRADE_MATRIX_SQL),
+    "rel_window_dedup": (rel_window_dedup, REL_WINDOW_DEDUP_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

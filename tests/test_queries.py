@@ -42,6 +42,7 @@ FAST_ORACLE = [
     "doc_heavy_tokens_mg",
     "rel_nation_trade_matrix",
     "doc_incremental_dedup",
+    "rel_window_dedup",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
