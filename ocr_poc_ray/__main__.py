@@ -154,6 +154,23 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from ocr_poc_ray.state.compaction import compact_output
+
+    rep = compact_output(args.output, target_bytes=args.target_mb << 20)
+    print(
+        json.dumps(
+            {
+                "partitions": len(rep.partitions),
+                "files_before": rep.files_before,
+                "files_after": rep.files_after,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ocr_poc_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--tokens", action="store_true", help="include token lists")
     pk.add_argument("--num-cpus", type=int, default=0)
     pk.set_defaults(fn=cmd_pack)
+
+    cp = sub.add_parser("compact", help="compact small output files per partition")
+    cp.add_argument("output")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     bi = sub.add_parser("bench-info", help="list the operator registry")
     bi.set_defaults(fn=cmd_bench_info)
