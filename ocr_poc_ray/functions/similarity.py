@@ -621,3 +621,134 @@ def semantic_dedup(
         lambda b: b.loc[~b["_in_set"], [id_col, label_col]],
         batch_format="pandas",
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining (hardest positive / hardest negative per vector)
+# --------------------------------------------------------------------------
+
+
+def contrastive_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    chunk_rows: int = 8192,
+) -> Dataset:
+    """One row per vector: its hardest positive (max-cosine SAME-label
+    neighbor, self excluded) and hardest negative (max-cosine
+    OTHER-label neighbor) — the metric-learning / contrastive-training
+    mining pass.  Ties break to the smallest neighbor id.
+
+    Scale shape: the blocked C×C chunk pair-grid (each task holds two
+    chunks), but instead of emitting pairs each task emits a PARTIAL
+    best-per-(row, kind) — O(rows × chunks) partial rows total — and a
+    bounded hash-bucket combine keeps the final max per (id, kind)
+    without one Ray group per vector.  Vectors whose label has a single
+    member have no positive and are dropped (inner-join rule, mirrored
+    by the SQL oracle)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        X = _normalize(_to_matrix(batch[vec_col]))
+        return pd.DataFrame(
+            {
+                "ids_": batch[id_col],
+                "lab_": batch[label_col].astype("int64"),
+                "vec": [row.tobytes() for row in X],
+            }
+        )
+
+    packed = ds.map_batches(pack, batch_format="pandas").materialize()
+    n = packed.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "pos_id": pa.array([], pa.int64()),
+                      "pos_cos": pa.array([], pa.float64()),
+                      "neg_id": pa.array([], pa.int64()),
+                      "neg_cos": pa.array([], pa.float64())})
+        )
+    n_chunks = max(1, -(-n // chunk_rows))
+    blocks = packed.repartition(n_chunks).to_arrow_refs()
+
+    def _unpack(t):
+        ids = np.asarray(t["ids_"].to_pandas())
+        labs = np.asarray(t["lab_"].to_pandas())
+        X = np.vstack([np.frombuffer(v, dtype=np.float64) for v in t["vec"].to_pylist()])
+        order = np.argsort(ids, kind="mergesort")  # ascending ids → argmax
+        return ids[order], labs[order], X[order]   # ties pick the SMALLEST id
+
+    @ray.remote
+    def grid_partial(ta, tb, same_chunk: bool) -> pd.DataFrame:
+        ids_a, lab_a, Xa = _unpack(ta)
+        if same_chunk:
+            ids_b, lab_b, Xb = ids_a, lab_a, Xa
+        else:
+            ids_b, lab_b, Xb = _unpack(tb)
+        sims = Xa @ Xb.T
+        if same_chunk:
+            np.fill_diagonal(sims, -2.0)
+        same = lab_a[:, None] == lab_b[None, :]
+        out = []
+        for side in range(2 if not same_chunk else 1):
+            if side == 1:  # mirror: best for the RIGHT chunk's rows
+                s, sm = sims.T, same.T
+                rid, nid = ids_b, ids_a
+            else:
+                s, sm = sims, same
+                rid, nid = ids_a, ids_b
+            for kind, mask in (("pos", sm), ("neg", ~sm)):
+                masked = np.where(mask, s, -2.0)
+                j = masked.argmax(axis=1)
+                best = masked[np.arange(len(rid)), j]
+                ok = best > -1.5
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": rid[ok],
+                            "kind": kind,
+                            "nid": nid[j[ok]],
+                            "sim": best[ok],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    refs = [
+        grid_partial.remote(blocks[i], blocks[j] if j != i else blocks[i], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    partials = rd.from_pandas_refs(refs)
+
+    _B = 256
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hb=(b["vec_id"].to_numpy() % _B).astype("int64"))
+
+    def best(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["vec_id", "kind", "sim", "nid"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(["vec_id", "kind"])
+        pos = g[g["kind"] == "pos"][["vec_id", "nid", "sim"]].rename(
+            columns={"nid": "pos_id", "sim": "pos_cos"}
+        )
+        neg = g[g["kind"] == "neg"][["vec_id", "nid", "sim"]].rename(
+            columns={"nid": "neg_id", "sim": "neg_cos"}
+        )
+        m = pos.merge(neg, on="vec_id")  # inner: both kinds required
+        m["pos_cos"] = m["pos_cos"].round(4)
+        m["neg_cos"] = m["neg_cos"].round(4)
+        return m
+
+    return (
+        partials.map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(best, batch_format="pandas")
+    )

@@ -1083,6 +1083,78 @@ from s
 # combine.
 # ---------------------------------------------------------------------------
 
+TOOLS = ("", "browse", "code", "search")
+
+
+def xs_tool_runs(sf_dir: str) -> pd.DataFrame:
+    """Agent-loop detection: per-conversation runs of consecutive
+    IDENTICAL tool calls in turn order — the transcript-quality signal
+    that flags an agent stuck re-invoking one tool (long max_run) vs
+    healthy tool mixing (many short runs).  Tool values derive from
+    doc_id via the same Knuth multiplicative hash the role matrix uses
+    (exact int64 arithmetic in both engines); runs via the
+    ``keyed_streaks`` edge pattern — one range-sort, block-local run
+    detection, per-key edge rows only in the bounded combine."""
+    from ocr_poc_ray.functions.windows import keyed_streaks
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    tools = np.asarray(TOOLS, dtype=object)
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_pandas().to_numpy(dtype=object),
+                "doc_id": ids,
+                "turn_idx": ids,
+                "tool": tools[(ids * 2654435761) % 4294967296 % 4],
+            }
+        )
+
+    out = keyed_streaks(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key_col="conv_id",
+        ts_col="doc_id",
+        order_col="turn_idx",
+        label_col="tool",
+        key_dtype="object",
+    ).to_pandas()
+    out = out.rename(columns={"top_type": "top_tool"})
+    return out.sort_values("conv_id").reset_index(drop=True).astype(
+        {"n_runs": "int64", "max_run": "int64"}
+    )
+
+
+XS_TOOL_RUNS_SQL = """
+with t as (
+  select source as conv_id, doc_id,
+         list_value('', 'browse', 'code', 'search')[
+           (((doc_id * 2654435761) % 4294967296) % 4)::INT + 1] as tool
+  from documents
+), o as (
+  select conv_id, doc_id, tool,
+         case when lag(tool) over (partition by conv_id order by doc_id)
+              is distinct from tool then 1 else 0 end as brk
+  from t
+), g as (
+  select conv_id, tool,
+         sum(brk) over (partition by conv_id order by doc_id
+                        rows unbounded preceding) as grp
+  from o
+), r as (
+  select conv_id, tool, count(*) as run_len from g group by conv_id, tool, grp
+), m as (
+  select conv_id, count(*)::BIGINT as n_runs, max(run_len)::BIGINT as max_run
+  from r group by conv_id
+)
+select m.conv_id, m.n_runs, m.max_run, min(r.tool) as top_tool
+from m join r on r.conv_id = m.conv_id and r.run_len = m.max_run
+group by m.conv_id, m.n_runs, m.max_run
+"""
+
+
 def xs_role_transitions(sf_dir: str) -> pd.DataFrame:
     from ocr_poc_ray.functions.windows import keyed_sorted_match
 
@@ -1275,6 +1347,7 @@ REGISTRY = {
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
     "mm_exact_dup": (mm_exact_dup, MM_EXACT_DUP_SQL),
     "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_NEARDUP_SQL),
+    "xs_tool_runs": (xs_tool_runs, XS_TOOL_RUNS_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
     "xs_dialogue_pairs": (xs_dialogue_pairs, XS_DIALOGUE_PAIRS_SQL),

@@ -23,6 +23,7 @@ from ocr_poc_ray.functions.similarity import (
     knn_brute_force,
     knn_ivf,
     knn_lsh,
+    contrastive_pairs,
     knn_pq,
     semantic_dedup,
 )
@@ -645,6 +646,43 @@ order by e.vec_id
 """
 
 
+def vec_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
+    """Hard-pair mining for contrastive/metric training: per vector the
+    hardest positive (max-cosine same-label neighbor) and hardest
+    negative (max-cosine other-label neighbor), ties to the smallest
+    neighbor id (rule in ``functions/similarity.py::contrastive_pairs``)."""
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding", "label"]
+    )
+    out = contrastive_pairs(ds).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c.endswith("id") else "float64")
+                             for c in ["vec_id", "pos_id", "pos_cos", "neg_id", "neg_cos"]})
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return out[["vec_id", "pos_id", "pos_cos", "neg_id", "neg_cos"]].astype(
+        {"vec_id": "int64", "pos_id": "int64", "pos_cos": "float64",
+         "neg_id": "int64", "neg_cos": "float64"}
+    )
+
+
+VEC_CONTRASTIVE_PAIRS_SQL = """
+with s as (
+  select a.vec_id, b.vec_id as nid, (a.label = b.label) as same,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as sim
+  from embeddings a join embeddings b on a.vec_id <> b.vec_id
+), r as (
+  select vec_id, same, nid, sim,
+         row_number() over (partition by vec_id, same order by sim desc, nid) as rn
+  from s
+)
+select p.vec_id, p.nid as pos_id, round(p.sim, 4) as pos_cos,
+       n.nid as neg_id, round(n.sim, 4) as neg_cos
+from r p join r n on p.vec_id = n.vec_id
+where p.rn = 1 and n.rn = 1 and p.same and not n.same
+order by p.vec_id
+"""
+
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
@@ -657,6 +695,7 @@ REGISTRY = {
     "vec_knn_pq": (vec_knn_pq, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_semantic_dedup": (vec_semantic_dedup, VEC_SEMANTIC_DEDUP_SQL),
+    "vec_contrastive_pairs": (vec_contrastive_pairs, VEC_CONTRASTIVE_PAIRS_SQL),
     "vec_norm_outliers": (vec_norm_outliers, VEC_NORM_OUTLIERS_SQL),
     "vec_cluster_exemplars": (vec_cluster_exemplars, None),
     "vec_label_medoid": (vec_label_medoid, VEC_LABEL_MEDOID_SQL),

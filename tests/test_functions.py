@@ -1726,3 +1726,23 @@ def test_incremental_dedup_drops_replayed_texts(tmp_path):
     out = doc_incremental_dedup(str(d))
     # incoming = ids 0,5,...,35; ids %10==0 replay a base text -> dropped
     assert out["doc_id"].tolist() == [5, 15, 25, 35]
+
+
+def test_contrastive_pairs_grid_matches_single_chunk(emb_ds):
+    """The C×C partial grid (including the mirrored right-chunk side)
+    must equal the single-chunk result exactly."""
+    from ocr_poc_ray.functions.similarity import contrastive_pairs
+
+    def run(chunk_rows):
+        out = contrastive_pairs(emb_ds, chunk_rows=chunk_rows).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    one = run(10**9)
+    many = run(50)
+    pd.testing.assert_frame_equal(one, many)
+    assert len(one) == 500
+    # hardest positive is same-label by construction: verify on raw data
+    emb = emb_ds.to_pandas().set_index("vec_id")
+    row = one.iloc[17]
+    assert emb.loc[row["vec_id"], "label"] == emb.loc[row["pos_id"], "label"]
+    assert emb.loc[row["vec_id"], "label"] != emb.loc[row["neg_id"], "label"]

@@ -43,6 +43,8 @@ FAST_ORACLE = [
     "rel_nation_trade_matrix",
     "doc_incremental_dedup",
     "rel_window_dedup",
+    "xs_tool_runs",
+    "vec_contrastive_pairs",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
