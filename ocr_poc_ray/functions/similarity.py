@@ -567,19 +567,59 @@ def semantic_dedup(
     ``NOT EXISTS`` SQL oracle.)
 
     Scale shape: pairs come from ``embedding_near_dup_pairs`` (blocked
-    pair-grid / LSH), labels attach via two partitioned hash joins
-    capped at cluster width, and the anti-join runs through
-    ``membership_flag``'s broadcast-vs-bloom size switch — the driver
-    never holds the loser set.
+    pair-grid / LSH).  Up to ``BROADCAST_KEY_LIMIT`` pairs the label
+    attach is ONE filtered scan: the pair-id set broadcasts, each batch
+    ships back only (id, label) rows for ids that appear in a pair
+    (bounded by 2×pairs, never the corpus), and the loser derivation is
+    tiny driver arithmetic.  Above the limit labels attach via two
+    partitioned hash joins capped at cluster width.  Either way the
+    anti-join runs through ``membership_flag``'s broadcast-vs-bloom
+    size switch — the driver never holds a corpus-scale set.
     """
-    from ocr_poc_ray.functions.dedup import _join_parallelism, membership_flag
+    from ocr_poc_ray.functions.dedup import (
+        BROADCAST_KEY_LIMIT,
+        _join_parallelism,
+        membership_flag,
+    )
 
     labels = ds.select_columns([id_col, label_col])
     pairs = embedding_near_dup_pairs(
         ds, threshold=threshold, id_col=id_col, vec_col=vec_col
     ).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return labels
+
+    if n_pairs <= BROADCAST_KEY_LIMIT:
+        pdf = pairs.to_pandas()
+        a = pdf["id_a"].to_numpy()
+        b = pdf["id_b"].to_numpy()
+        wanted = ray.put(np.unique(np.concatenate([a, b])))
+
+        def lab_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(wanted)  # zero-copy plasma read, cached per worker
+            ids = batch[id_col].to_numpy()
+            pos = np.searchsorted(w, ids)
+            pos[pos >= len(w)] = len(w) - 1
+            hit = w[pos] == ids
+            return pd.DataFrame(
+                {"_lid": ids[hit], "_lab": batch[label_col].to_numpy()[hit]}
+            )
+
+        lab = labels.map_batches(lab_rows, batch_format="pandas").to_pandas()
+        lk = np.sort(lab["_lid"].to_numpy())
+        lv = lab["_lab"].to_numpy()[np.argsort(lab["_lid"].to_numpy(), kind="mergesort")]
+        la = lv[np.searchsorted(lk, a)]
+        lb = lv[np.searchsorted(lk, b)]
+        loser_ids = np.unique(b[la == lb])
+        import ray.data as rd
+
+        losers = rd.from_pandas(pd.DataFrame({"id_b": loser_ids}))
+        flagged = membership_flag(labels, id_col, losers, "id_b")
+        return flagged.map_batches(
+            lambda bt: bt.loc[~bt["_in_set"], [id_col, label_col]],
+            batch_format="pandas",
+        )
 
     jp = _join_parallelism(num_partitions)
     # key/label projection only — the list-typed vector column must not

@@ -1746,3 +1746,20 @@ def test_contrastive_pairs_grid_matches_single_chunk(emb_ds):
     row = one.iloc[17]
     assert emb.loc[row["vec_id"], "label"] == emb.loc[row["pos_id"], "label"]
     assert emb.loc[row["vec_id"], "label"] != emb.loc[row["neg_id"], "label"]
+
+
+def test_semantic_dedup_small_and_join_paths_agree(emb_ds, monkeypatch):
+    """The broadcast small-pair fast path and the crawl-scale join path
+    must produce identical survivors."""
+    from ocr_poc_ray.functions import dedup as dd
+    from ocr_poc_ray.functions.similarity import semantic_dedup
+
+    def run():
+        out = semantic_dedup(emb_ds, threshold=0.35).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    small = run()
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(small, joined)
+    assert 0 < len(small) < 500
