@@ -3779,6 +3779,111 @@ qualify rank <= {TOP_TOKENS_PER_SOURCE_K}
 """
 
 
+def doc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Corpus snapshot diff — the between-crawls audit: which docs were
+    added, removed, changed, or untouched per source.  The two
+    snapshots derive deterministically from the documents table (OLD
+    drops doc_id % 11 == 0, NEW drops % 13 == 0 and rewrites the text
+    of % 7 == 0) but flow through the engine as two INDEPENDENT
+    fingerprinted datasets co-grouped on doc_id in bounded hash buckets
+    — the honest distributed diff shape that works when the snapshots
+    are two different 100-TB file sets, never a row-local shortcut.
+    Per-source counts leave each bucket as 4-column partials; the
+    combine is source-cardinality sized."""
+    import hashlib
+
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    base = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "text"]
+    )
+    nb = _scaled_buckets(base, floor=16)
+
+    def old_rows(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 11 != 0
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "source": b["source"].to_pandas().to_numpy(dtype=object)[keep],
+                "fp": [
+                    hashlib.md5(t.encode()).hexdigest()
+                    for t, k in zip(b["text"].to_pylist(), keep) if k
+                ],
+                "side": 0,
+            }
+        )
+
+    def new_rows(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 13 != 0
+        texts = [
+            (t + " v2") if i % 7 == 0 else t
+            for t, i, k in zip(b["text"].to_pylist(), ids, keep) if k
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "source": b["source"].to_pandas().to_numpy(dtype=object)[keep],
+                "fp": [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                "side": 1,
+            }
+        )
+
+    tagged = base.map_batches(old_rows, batch_format="pyarrow").union(
+        base.map_batches(new_rows, batch_format="pyarrow")
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_hb=(b["doc_id"] % nb).astype("int64"))
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["doc_id", "source", "fp"]]
+        n = g[g["side"] == 1][["doc_id", "source", "fp"]]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+        src = m["source_o"].where(m["source_o"].notna(), m["source_n"])
+        added = m["fp_o"].isna()
+        removed = m["fp_n"].isna()
+        changed = ~added & ~removed & (m["fp_o"] != m["fp_n"])
+        unchanged = ~added & ~removed & ~changed
+        d = pd.DataFrame(
+            {"source": src, "n_added": added, "n_removed": removed,
+             "n_changed": changed, "n_unchanged": unchanged}
+        )
+        return d.groupby("source", as_index=False).sum()
+
+    parts = (
+        tagged.map_batches(bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(diff_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("source", as_index=False).sum()
+    for c in ("n_added", "n_removed", "n_changed", "n_unchanged"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+DOC_SNAPSHOT_DIFF_SQL = """
+with old as (
+  select doc_id, source, md5(text) as fp from documents where doc_id % 11 <> 0
+), new as (
+  select doc_id, source,
+         md5(case when doc_id % 7 = 0 then text || ' v2' else text end) as fp
+  from documents where doc_id % 13 <> 0
+)
+select coalesce(o.source, n.source) as source,
+       count(*) filter (where o.doc_id is null)::BIGINT as n_added,
+       count(*) filter (where n.doc_id is null)::BIGINT as n_removed,
+       count(*) filter (where o.doc_id is not null and n.doc_id is not null
+                        and o.fp <> n.fp)::BIGINT as n_changed,
+       count(*) filter (where o.fp = n.fp)::BIGINT as n_unchanged
+from old o full outer join new n on o.doc_id = n.doc_id
+group by 1
+order by 1
+"""
+
+
 def doc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental-ingest dedup — the append-mode operation a crawl
     pipeline runs every batch: new shard docs are kept only if their
@@ -3850,6 +3955,7 @@ REGISTRY = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     "doc_incremental_dedup": (doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
+    "doc_snapshot_diff": (doc_snapshot_diff, DOC_SNAPSHOT_DIFF_SQL),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),

@@ -464,11 +464,19 @@ def rel_nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
         st = ray.get(sup)
         nk, _ = _lookup(st, b["l_suppkey"].to_numpy())
         names, _ = _lookup(ray.get(nat), nk)
+        # EXACT integer revenue in 1e-4-dollar units: price and discount
+        # are 2-dp decimals stored as doubles, so cents = rint(x*100) is
+        # exact on both engines (never near a .5 tie), and the integer
+        # sum cannot hit a float rounding boundary — the first float
+        # appears only in the final division, computed from the SAME
+        # integer by both engines (a 2-dp SUM still flipped a boundary
+        # here: 4156627.685 summed in different orders)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_pct = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
         return pd.DataFrame(
             {
                 "l_orderkey": b["l_orderkey"],
-                "rev": b["l_extendedprice"].to_numpy()
-                * (1.0 - b["l_discount"].to_numpy()),
+                "rev_e4": cents * (100 - disc_pct),
                 "supp_nation": names,
             }
         )
@@ -484,25 +492,27 @@ def rel_nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
         ck, _ = _lookup(ray.get(cus), b["o_custkey"].to_numpy())
         names, _ = _lookup(ray.get(nat), ck)
         d = pd.DataFrame(
-            {"cust_nation": names, "supp_nation": b["supp_nation"], "rev": b["rev"]}
+            {"cust_nation": names, "supp_nation": b["supp_nation"],
+             "rev_e4": b["rev_e4"]}
         )
         d = d[d["cust_nation"] != d["supp_nation"]]
         return d.groupby(["cust_nation", "supp_nation"], as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "size")
+            rev_e4=("rev_e4", "sum"), n_items=("rev_e4", "size")
         )
 
     parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     agg = parts.groupby(["cust_nation", "supp_nation"], as_index=False).agg(
-        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        rev_e4=("rev_e4", "sum"), n_items=("n_items", "sum")
     )
-    agg["revenue"] = agg["revenue"].round(2).astype("float64")
+    agg["revenue"] = (agg["rev_e4"] / 10000.0).astype("float64")
     agg["n_items"] = agg["n_items"].astype("int64")
-    return agg
+    return agg[["cust_nation", "supp_nation", "revenue", "n_items"]]
 
 
 REL_NATION_TRADE_MATRIX_SQL = """
 select cn.n_name as cust_nation, sn.n_name as supp_nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+       sum(round(l.l_extendedprice * 100)::BIGINT
+           * (100 - round(l.l_discount * 100)::BIGINT)) / 10000.0 as revenue,
        count(*)::BIGINT as n_items
 from lineitem l
 join orders o on l.l_orderkey = o.o_orderkey

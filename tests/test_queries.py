@@ -45,6 +45,7 @@ FAST_ORACLE = [
     "rel_window_dedup",
     "xs_tool_runs",
     "vec_contrastive_pairs",
+    "doc_snapshot_diff",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
