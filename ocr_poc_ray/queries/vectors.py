@@ -683,6 +683,33 @@ order by p.vec_id
 """
 
 
+def vec_knn_ivf_index(sf_dir: str) -> pd.DataFrame:
+    """Build-once/query-many ANN: the persisted partitioned IVF index
+    (``functions/ann_index.py``) built under /tmp per corpus, then
+    queried reading ONLY the probed list partitions."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from ocr_poc_ray.functions.ann_index import build_ivf_index, knn_ivf_index
+
+    emb = _emb_path(sf_dir)
+    tag = hashlib.md5(
+        f"{emb}:{_os.path.getmtime(emb)}:{_os.path.getsize(emb)}".encode()
+    ).hexdigest()[:12]
+    idx = _os.path.join(tempfile.gettempdir(), f"ocr_poc_ray_ivf_{tag}")
+    if not _os.path.exists(_os.path.join(idx, "meta.json")):
+        ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+        build_ivf_index(ds, idx, nlist=16)
+    ids, vecs = _query_vectors(sf_dir)
+    out = knn_ivf_index(idx, ids, vecs, k=KNN_K, nprobe=8).to_pandas()
+    out = out[["query_id", "neighbor_id", "cosine", "rank"]]
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "neighbor_id": "int64",
+         "cosine": "float64", "rank": "int64"}
+    )
+
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
@@ -692,6 +719,7 @@ REGISTRY = {
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),
     "vec_knn_ivf": (vec_knn_ivf, None),
+    "vec_knn_ivf_index": (vec_knn_ivf_index, None),
     "vec_knn_pq": (vec_knn_pq, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_semantic_dedup": (vec_semantic_dedup, VEC_SEMANTIC_DEDUP_SQL),

@@ -1763,3 +1763,50 @@ def test_semantic_dedup_small_and_join_paths_agree(emb_ds, monkeypatch):
     joined = run()
     pd.testing.assert_frame_equal(small, joined)
     assert 0 < len(small) < 500
+
+
+# -- persisted IVF index ----------------------------------------------------
+def test_ivf_index_build_query_and_pruning(emb_ds, tmp_path):
+    """Build-once/query-many: the persisted index answers with recall
+    against brute force, and its read plan names ONLY the probed list
+    partitions (the partition-pruning contract)."""
+    import os
+
+    from ocr_poc_ray.functions.ann_index import (
+        build_ivf_index,
+        knn_ivf_index,
+        probed_list_paths,
+    )
+    from ocr_poc_ray.functions.similarity import knn_brute_force
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb_ds, idx, nlist=16, seed=42)
+    assert meta["nlist"] == 16 and meta["n_rows"] == 500
+    n_lists = len(os.listdir(os.path.join(idx, "lists")))
+    assert n_lists > 4  # real spread over lists
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.vstack(
+        [np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]]
+    )
+    exact = knn_brute_force(emb_ds, qids, qvecs, k=10).to_pandas()
+    got = knn_ivf_index(idx, qids, qvecs, k=10, nprobe=8).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(got[got["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6
+
+    # pruning: nprobe=2 for one query must touch at most 2 partitions
+    import pyarrow.parquet as pq
+
+    C = np.vstack(
+        pq.read_table(os.path.join(idx, "centroids.parquet"))["centroid"].to_pylist()
+    )
+    q = qvecs[:1] / np.linalg.norm(qvecs[:1])
+    probe = np.argsort(-(q @ C.T), axis=1)[:, :2]
+    paths = probed_list_paths(idx, probe)
+    assert 1 <= len(paths) <= 2
+    assert all(p.startswith(os.path.join(idx, "lists")) for p in paths)
