@@ -602,6 +602,77 @@ from r where rn = 1
 """
 
 
+PSI_WIDTH = 25
+PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+def rel_value_psi(sf_dir: str) -> pd.DataFrame:
+    """Population-stability-index drift monitor: compare the event-value
+    distribution before/after a fixed date over the width-25 bins, with
+    Laplace +1 smoothing over the OBSERVED bucket set (zero-count bins
+    would blow up the log ratio).  Per-batch (bucket, half) count
+    partials; the combine and the PSI fold are bucket-cardinality sized
+    driver arithmetic — ln parity with DuckDB is already proven by the
+    entropy/KL oracles (same libm)."""
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["ts", "value"])
+    split_us = pd.Timestamp(PSI_SPLIT).value // 1000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "bucket": np.floor(b["value"].to_numpy() / PSI_WIDTH).astype("int64"),
+                "cur": us >= split_us,
+            }
+        )
+        g = d.groupby(["bucket"], as_index=False).agg(
+            n_cur=("cur", "sum"), n_tot=("cur", "size")
+        )
+        g["n_ref"] = g["n_tot"] - g["n_cur"]
+        return g[["bucket", "n_ref", "n_cur"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bucket", as_index=False).agg(
+        n_ref=("n_ref", "sum"), n_cur=("n_cur", "sum")
+    ).sort_values("bucket").reset_index(drop=True)
+    k = len(agg)
+    tr = float(agg["n_ref"].sum() + k)
+    tc = float(agg["n_cur"].sum() + k)
+    p = (agg["n_ref"].to_numpy() + 1) / tr
+    q = (agg["n_cur"].to_numpy() + 1) / tc
+    return pd.DataFrame(
+        {
+            "bucket": agg["bucket"].astype("int64"),
+            "n_ref": agg["n_ref"].astype("int64"),
+            "n_cur": agg["n_cur"].astype("int64"),
+            "contrib": np.round((p - q) * np.log(p / q), 6),
+        }
+    )
+
+
+REL_VALUE_PSI_SQL = f"""
+with b as (
+  select floor(value / {{w}})::BIGINT as bucket,
+         (ts >= timestamp '{{split}}') as cur
+  from events
+), c as (
+  select bucket,
+         count(*) filter (where not cur)::BIGINT as n_ref,
+         count(*) filter (where cur)::BIGINT as n_cur
+  from b group by bucket
+), t as (
+  select (sum(n_ref) + count(*))::DOUBLE as tr,
+         (sum(n_cur) + count(*))::DOUBLE as tc
+  from c
+)
+select bucket, n_ref, n_cur,
+       round( ((n_ref + 1) / (select tr from t) - (n_cur + 1) / (select tc from t))
+            * ln( ((n_ref + 1) / (select tr from t))
+                / ((n_cur + 1) / (select tc from t)) ), 6) as contrib
+from c order by bucket
+""".format(w=PSI_WIDTH, split=PSI_SPLIT)
+
+
 # ---------------------------------------------------------------------------
 # Tumbling-window aggregate + distinct count
 # ---------------------------------------------------------------------------
@@ -3292,6 +3363,7 @@ REGISTRY = {
     "rel_value_histogram": (rel_value_histogram, REL_VALUE_HISTOGRAM_SQL),
     "rel_nation_trade_matrix": (rel_nation_trade_matrix, REL_NATION_TRADE_MATRIX_SQL),
     "rel_window_dedup": (rel_window_dedup, REL_WINDOW_DEDUP_SQL),
+    "rel_value_psi": (rel_value_psi, REL_VALUE_PSI_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

@@ -46,6 +46,7 @@ FAST_ORACLE = [
     "xs_tool_runs",
     "vec_contrastive_pairs",
     "doc_snapshot_diff",
+    "rel_value_psi",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
