@@ -29,6 +29,7 @@ from ocr_poc_ray.functions.similarity import (
     embedding_near_dup_pairs,
     knn_brute_force,
     knn_ivf,
+    contrastive_pairs,
     knn_lsh,
     semantic_dedup,
 )

@@ -34,8 +34,17 @@ _ALL.update(_xs.REGISTRY)
 #: 11 flagship pipelines, so that after round 4 EVERY registered query has
 #: appeared in at least one driver CORRECTNESS_r*.json.
 #: ROUND-5 NOTE: rotate the non-flagship window slots to the round-4
-#: additions (doc_pack_interleaved) plus a spread of the rounds-1/2
-#: queries whose driver rows are oldest.
+#: additions that have never had a driver row — doc_pack_interleaved,
+#: doc_length_ntile, doc_lang_source_cube, vec_label_medoid,
+#: rel_customer_name_fuzzy_pairs, xs_conv_pack, rel_skew_join_segments,
+#: doc_mixture_allocate, doc_chunk_overlap, xs_dialogue_pairs,
+#: rel_event_pivot, rel_regr_slope, mm_exact_dup, doc_bm25_topk,
+#: rel_mad_outliers, vec_semantic_dedup, mm_phash_neardup,
+#: rel_value_histogram, doc_heavy_tokens_mg, rel_nation_trade_matrix,
+#: doc_incremental_dedup, rel_window_dedup, xs_tool_runs,
+#: vec_contrastive_pairs, doc_snapshot_diff, rel_value_psi,
+#: vec_knn_ivf_index — plus a spread of the rounds-1/2 queries whose
+#: driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)
     "xs_extract_documents",
