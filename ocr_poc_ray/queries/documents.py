@@ -3779,6 +3779,83 @@ qualify rank <= {TOP_TOKENS_PER_SOURCE_K}
 """
 
 
+def doc_source_ttr(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-richness audit per source: token count, distinct
+    tokens, hapax count (tokens occurring once IN THAT SOURCE) and the
+    type-token ratio — the cheap lexical-diversity screen that flags
+    template-stamped or looped scrapes (low TTR) next to organic text.
+    One (source, token) count projection, hash-bucketed so every token
+    lives wholly in one combine task; per-source scalars leave each
+    bucket as 4-column partials (nothing vocabulary-sized reaches the
+    driver).  TTR reported ×1e6 as an exact integer ratio floor to
+    avoid any float-division rounding divergence."""
+    import pyarrow.compute as pc
+
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+    nb = _scaled_buckets(ds, floor=16)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"]))
+        toks = pc.utf8_split_whitespace(text)
+        n_tok = pc.list_value_length(toks).to_numpy()
+        src = batch["source"].to_pandas().to_numpy(dtype=object)
+        flat = pd.DataFrame(
+            {
+                "source": np.repeat(src, n_tok),
+                "token": pc.list_flatten(toks).to_pandas(),
+            }
+        )
+        flat = flat[flat["token"] != ""]
+        g = flat.groupby(["source", "token"], as_index=False).size()
+        mix = pd.util.hash_array(g["token"].to_numpy(dtype=object))
+        return g.rename(columns={"size": "n"}).assign(
+            _hb=(mix % nb).astype("int64")
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        out = agg.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"),
+            n_types=("n", "size"),
+            n_hapax=("n", lambda x: int((x == 1).sum())),
+        )
+        return out
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("source", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_types=("n_types", "sum"),
+        n_hapax=("n_hapax", "sum")
+    )
+    agg["ttr_ppm"] = (agg["n_types"] * 1_000_000) // agg["n_tokens"]
+    for c in ("n_tokens", "n_types", "n_hapax", "ttr_ppm"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+DOC_SOURCE_TTR_SQL = r"""
+with tok as (
+  select source, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+), st as (
+  select source, token, count(*) as n from tok group by source, token
+)
+select source,
+       sum(n)::BIGINT as n_tokens,
+       count(*)::BIGINT as n_types,
+       count(*) filter (where n = 1)::BIGINT as n_hapax,
+       (count(*) * 1000000) // sum(n) as ttr_ppm
+from st group by source
+order by source
+"""
+
+
 def doc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Corpus snapshot diff — the between-crawls audit: which docs were
     added, removed, changed, or untouched per source.  The two
@@ -3956,6 +4033,7 @@ REGISTRY = {
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     "doc_incremental_dedup": (doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
     "doc_snapshot_diff": (doc_snapshot_diff, DOC_SNAPSHOT_DIFF_SQL),
+    "doc_source_ttr": (doc_source_ttr, DOC_SOURCE_TTR_SQL),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),

@@ -602,6 +602,99 @@ from r where rn = 1
 """
 
 
+def rel_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV triangle: users grouped by first-activity week, purchase
+    revenue accumulated per week-age — the lifetime-value matrix every
+    growth team reads.  First-touch per user via bounded-bucket min
+    partials (the same winner shape as rel_window_dedup), broadcast of
+    the (user → cohort-week) map is avoided: cohort assignment joins
+    back through a second bounded-bucket co-group, so nothing user-set
+    sized reaches the driver.  Weeks are integer epoch-day // 7 — exact
+    in both engines for post-1970 data."""
+    DAY_US = 86_400_000_000
+    _B = 256
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["ts", "user_id", "event_type", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        week = us // DAY_US // 7
+        d = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "week": week,
+                # exact integer cents (value is a 2-dp decimal): the
+                # trade-matrix lesson — a 2-dp SUM can land on a
+                # rounding boundary that summation order flips
+                "rev": np.where(
+                    (b["event_type"] == "purchase").to_numpy(),
+                    np.rint(b["value"].to_numpy() * 100).astype(np.int64),
+                    np.int64(0),
+                ),
+            }
+        )
+        # per (user, week): min week partial rides along as the user's
+        # batch-local first week; revenue partials per (user, week)
+        g = d.groupby(["user_id", "week"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+        first = d.groupby("user_id", as_index=False)["week"].min().rename(
+            columns={"week": "first_week"}
+        )
+        out = g.merge(first, on="user_id")
+        return out.assign(_hb=(out["user_id"].to_numpy() % _B).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", as_index=False)["first_week"].min()
+        rev = g.groupby(["user_id", "week"], as_index=False)["rev"].sum()
+        m = rev.merge(first, on="user_id")
+        m["age_weeks"] = (m["week"] - m["first_week"]).astype("int64")
+        return m.groupby(["first_week", "age_weeks"], as_index=False).agg(
+            revenue=("rev", "sum"), n_user_weeks=("rev", "size")
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["first_week", "age_weeks"], as_index=False).agg(
+        revenue=("revenue", "sum"), n_user_weeks=("n_user_weeks", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "cohort_week": agg["first_week"].astype("int64"),
+            "age_weeks": agg["age_weeks"].astype("int64"),
+            "revenue": (agg["revenue"] / 100.0).astype("float64"),
+            "n_user_weeks": agg["n_user_weeks"].astype("int64"),
+        }
+    )
+
+
+REL_COHORT_LTV_SQL = """
+with e as (
+  select user_id,
+         epoch_us(ts) // 86400000000 // 7 as week,
+         case when event_type = 'purchase'
+              then round(value * 100)::BIGINT else 0 end as rev
+  from events
+), f as (
+  select user_id, min(week) as first_week from e group by user_id
+), uw as (
+  select e.user_id, f.first_week, e.week, sum(e.rev) as rev
+  from e join f using (user_id)
+  group by e.user_id, f.first_week, e.week
+)
+select first_week::BIGINT as cohort_week,
+       (week - first_week)::BIGINT as age_weeks,
+       sum(rev) / 100.0 as revenue,
+       count(*)::BIGINT as n_user_weeks
+from uw group by 1, 2
+"""
+
+
 PSI_WIDTH = 25
 PSI_SPLIT = "2024-01-16 00:00:00"
 
@@ -3364,6 +3457,7 @@ REGISTRY = {
     "rel_nation_trade_matrix": (rel_nation_trade_matrix, REL_NATION_TRADE_MATRIX_SQL),
     "rel_window_dedup": (rel_window_dedup, REL_WINDOW_DEDUP_SQL),
     "rel_value_psi": (rel_value_psi, REL_VALUE_PSI_SQL),
+    "rel_cohort_ltv": (rel_cohort_ltv, REL_COHORT_LTV_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

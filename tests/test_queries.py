@@ -47,6 +47,8 @@ FAST_ORACLE = [
     "vec_contrastive_pairs",
     "doc_snapshot_diff",
     "rel_value_psi",
+    "rel_cohort_ltv",
+    "doc_source_ttr",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
