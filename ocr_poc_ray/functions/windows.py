@@ -753,3 +753,85 @@ def attribution_first_touch(
                   touch_col: "int64", "gap_us": "int64"},
         sort_num_blocks=sort_num_blocks,
     )
+
+
+def attribution_linear(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    filter_col: str = "event_type",
+    value_col: str = "value",
+    touch_value: str = "click",
+    conversion_value: str = "purchase",
+    window_s: float = 21600.0,
+    sort_num_blocks: int | None = None,
+) -> Dataset:
+    """LINEAR multi-touch attribution: every conversion's value splits
+    EQUALLY across all touch events of the same key inside the
+    preceding window; a touch accumulates credit from every conversion
+    it assisted.  Same one-sort edge pattern as the first-touch
+    variant.  Credit is exact integer MICRO-CENTS with floor division
+    (cents × 1e6 // n_touches) — both engines floor identically on
+    positive operands, so no float division or summation order can
+    diverge.  Output: (touch_<order_col>, key_col, credit_ucents,
+    n_conversions)."""
+    touch_col = "touch_" + order_col
+    win_us = int(window_s * 1_000_000)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {touch_col: pd.Series([], dtype="int64"),
+             key_col: pd.Series([], dtype="int64"),
+             "credit_ucents": pd.Series([], dtype="int64"),
+             "n_conversions": pd.Series([], dtype="int64")}
+        )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        conv = group[group[filter_col] == conversion_value]
+        touch = group[group[filter_col] == touch_value]
+        if conv.empty or touch.empty:
+            return _empty()
+        c = conv[[order_col, key_col, ts_col, value_col]].copy()
+        c["_cents"] = np.rint(c[value_col].to_numpy() * 100).astype(np.int64)
+        t = touch[[order_col, key_col, ts_col]].rename(
+            columns={order_col: touch_col, ts_col: "_tts"}
+        )
+        m = c.merge(t, on=key_col)
+        gap = (
+            m[ts_col].astype("datetime64[us]").astype("int64")
+            - m["_tts"].astype("datetime64[us]").astype("int64")
+        )
+        m = m[(gap >= 0) & (gap <= win_us)]
+        if m.empty:
+            return _empty()
+        n = m.groupby(order_col, sort=False)[touch_col].transform("size")
+        m = m.assign(
+            _ucents=(m["_cents"].to_numpy() * 1_000_000) // n.to_numpy()
+        )
+        w = m.groupby([touch_col, key_col], as_index=False).agg(
+            credit_ucents=("_ucents", "sum"), n_conversions=("_ucents", "size")
+        )
+        return w.astype(
+            {touch_col: "int64", key_col: "int64",
+             "credit_ucents": "int64", "n_conversions": "int64"}
+        )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[filter_col].isin((touch_value, conversion_value))]
+
+    filtered = ds.select_columns(
+        [key_col, ts_col, order_col, filter_col, value_col]
+    ).map_batches(keep, batch_format="pandas")
+
+    return keyed_sorted_match(
+        filtered,
+        key_col=key_col,
+        sort_cols=[ts_col, order_col],
+        in_cols=[key_col, ts_col, order_col, filter_col, value_col],
+        match_fn=_match,
+        out_meta={touch_col: "int64", key_col: "int64",
+                  "credit_ucents": "int64", "n_conversions": "int64"},
+        sort_num_blocks=sort_num_blocks,
+    )

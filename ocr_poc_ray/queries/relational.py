@@ -695,6 +695,55 @@ from uw group by 1, 2
 """
 
 
+def rel_linear_attribution(sf_dir: str) -> pd.DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the preceding 6 h; a click sums
+    credit from every purchase it assisted
+    (functions.windows.attribution_linear).  Credit is exact integer
+    micro-cents (cents × 1e6 // n_touches) — positive-operand floor
+    division is identical in numpy and DuckDB, and the integer sum
+    cannot hit a float boundary."""
+    from ocr_poc_ray.functions.windows import attribution_linear
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    out = attribution_linear(
+        ds, window_s=float(ATTRIBUTION_WINDOW_S)
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            columns=["touch_event_id", "user_id", "credit_ucents", "n_conversions"]
+        )
+    out = out.sort_values("touch_event_id").reset_index(drop=True)
+    return out.astype(
+        {"touch_event_id": "int64", "user_id": "int64",
+         "credit_ucents": "int64", "n_conversions": "int64"}
+    )
+
+
+REL_LINEAR_ATTRIBUTION_SQL = """
+with c as (
+  select event_id, user_id, ts, round(value * 100)::BIGINT as cents
+  from events where event_type = 'purchase'
+), t as (
+  select event_id as touch_event_id, user_id, ts as tts
+  from events where event_type = 'click'
+), m as (
+  select c.event_id, c.user_id, t.touch_event_id, c.cents,
+         count(*) over (partition by c.event_id) as n_touches
+  from c join t on c.user_id = t.user_id
+   and epoch_us(c.ts) - epoch_us(t.tts) between 0 and 21600000000
+)
+select touch_event_id, user_id,
+       sum(cents * 1000000 // n_touches)::BIGINT as credit_ucents,
+       count(*)::BIGINT as n_conversions
+from m group by touch_event_id, user_id
+order by touch_event_id
+"""  # 21600000000 us = ATTRIBUTION_WINDOW_S (6 h), defined below
+
+
 PSI_WIDTH = 25
 PSI_SPLIT = "2024-01-16 00:00:00"
 
@@ -3458,6 +3507,7 @@ REGISTRY = {
     "rel_window_dedup": (rel_window_dedup, REL_WINDOW_DEDUP_SQL),
     "rel_value_psi": (rel_value_psi, REL_VALUE_PSI_SQL),
     "rel_cohort_ltv": (rel_cohort_ltv, REL_COHORT_LTV_SQL),
+    "rel_linear_attribution": (rel_linear_attribution, REL_LINEAR_ATTRIBUTION_SQL),
     "rel_sample_per_user": (rel_sample_per_user, REL_SAMPLE_PER_USER_SQL),
     "rel_props_json": (rel_props_json, REL_PROPS_JSON_SQL),
     "rel_user_funnel": (rel_user_funnel, REL_USER_FUNNEL_SQL),

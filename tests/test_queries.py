@@ -48,6 +48,7 @@ FAST_ORACLE = [
     "doc_snapshot_diff",
     "rel_value_psi",
     "rel_cohort_ltv",
+    "rel_linear_attribution",
     "doc_source_ttr",
     "rel_agg_lineitem",
     "rel_topk_orders",

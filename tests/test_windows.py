@@ -432,3 +432,57 @@ def test_hot_key_spanning_every_block(ray_session):
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "running_value"]], exp, check_dtype=False
     )
+
+
+def _oracle_linear_attribution(df: pd.DataFrame, window_s: float) -> pd.DataFrame:
+    win_us = int(window_s * 1_000_000)
+    out = {}
+    for u, g in df.groupby("user_id"):
+        conv = g[g["event_type"] == "purchase"]
+        touch = g[g["event_type"] == "click"]
+        for row in conv.itertuples():
+            cts = row.ts.value // 1000
+            cents = int(round(row.value * 100))
+            hits = [
+                t for t in touch.itertuples()
+                if 0 <= cts - t.ts.value // 1000 <= win_us
+            ]
+            for t in hits:
+                key = (t.event_id, u)
+                cr, n = out.get(key, (0, 0))
+                out[key] = (cr + cents * 1_000_000 // len(hits), n + 1)
+    rows = [
+        {"touch_event_id": k[0], "user_id": k[1],
+         "credit_ucents": v[0], "n_conversions": v[1]}
+        for k, v in out.items()
+    ]
+    return (
+        pd.DataFrame(rows)
+        .sort_values("touch_event_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+@pytest.mark.parametrize("nblocks", [2, 7, 16])
+def test_linear_attribution_split_boundaries(ray_session, nblocks):
+    """Linear multi-touch credit survives keys straddling sort blocks;
+    integer micro-cent credit matches a pure-python fold exactly."""
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.windows import attribution_linear
+
+    df = _events(seed=5)
+    rng = np.random.RandomState(5)
+    df["value"] = np.round(rng.uniform(1, 100, len(df)), 2)
+    got = (
+        attribution_linear(rd.from_pandas(df), window_s=7200.0,
+                           sort_num_blocks=nblocks)
+        .to_pandas()
+        .sort_values("touch_event_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = _oracle_linear_attribution(df, 7200.0)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (exp["n_conversions"] >= 1).all() and len(exp) > 5
