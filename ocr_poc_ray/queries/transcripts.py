@@ -417,23 +417,13 @@ group by doc_id % 50
 _PHASH_GROUPS = 40
 
 
-def mm_phash_neardup(sf_dir: str) -> pd.DataFrame:
-    """Perceptual (dHash) image near-dup — the near-duplicate image
-    screen a multimodal crawl runs after exact digest dedup: re-encoded
-    or brightness-shifted copies share a dHash even though every byte
-    differs.  Payloads are REAL PNGs planted so each ``doc_id % 40``
-    group renders one md5-derived 8x8 gradient pattern, with a
-    per-member uniform brightness shift (+0/+1/+2) that changes the
-    bytes (and the md5 digest) but never flips a gradient sign — so the
-    engine's decode -> luma -> 9x8 downsample -> gradient-sign hash
-    lands identical within a group, and the md5-random cross-group
-    hashes stay far apart (min pairwise hamming asserted in tests).
-    The oracle re-derives the pair set relationally from the planted
-    rule, same style as the other mm_ oracles."""
+def _phash_media_ds(sf_dir: str) -> ray.data.Dataset:
+    """Planted perceptual-dup media table (see mm_phash_neardup's
+    docstring for the construction) — shared by the pair and the
+    component pipelines."""
     import hashlib
 
     from ocr_poc_ray.functions.imagecodec import encode_png, resize_nn
-    from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs, image_dhash
 
     _cache: dict[tuple[int, int], bytes] = {}
 
@@ -452,7 +442,9 @@ def mm_phash_neardup(sf_dir: str) -> pd.DataFrame:
                 luma[:, c + 1] = luma[:, c] + np.where(bits[:, c] == 1, 10, -10)
             rgb = np.repeat(luma[:, :, None], 3, axis=2).astype(np.uint8)
             big = resize_nn(rgb, 36, 32)
-            p = encode_png(np.clip(big.astype(np.int32) + shift, 0, 255).astype(np.uint8))
+            p = encode_png(
+                np.clip(big.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+            )
             _cache[key] = p
         return p
 
@@ -475,7 +467,25 @@ def mm_phash_neardup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    hashes = image_dhash(ds.map_batches(build, batch_format="pyarrow"))
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def mm_phash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual (dHash) image near-dup — the near-duplicate image
+    screen a multimodal crawl runs after exact digest dedup: re-encoded
+    or brightness-shifted copies share a dHash even though every byte
+    differs.  Payloads are REAL PNGs planted so each ``doc_id % 40``
+    group renders one md5-derived 8x8 gradient pattern, with a
+    per-member uniform brightness shift (+0/+1/+2) that changes the
+    bytes (and the md5 digest) but never flips a gradient sign — so the
+    engine's decode -> luma -> 9x8 downsample -> gradient-sign hash
+    lands identical within a group, and the md5-random cross-group
+    hashes stay far apart (min pairwise hamming asserted in tests).
+    The oracle re-derives the pair set relationally from the planted
+    rule, same style as the other mm_ oracles."""
+    from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs, image_dhash
+
+    hashes = image_dhash(_phash_media_ds(sf_dir))
     out = dhash_near_dup_pairs(hashes, max_hamming=7, id_col="media_id").to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -491,6 +501,46 @@ from documents a join documents b
   on a.doc_id % {_PHASH_GROUPS} = b.doc_id % {_PHASH_GROUPS}
  and a.doc_id < b.doc_id
 order by id_a, id_b
+"""
+
+
+def mm_phash_components(sf_dir: str) -> pd.DataFrame:
+    """Multimodal → graph composition: decode → dHash → banded hamming
+    pairs → DISTRIBUTED connected components → cluster roll-up (min id
+    + size per perceptual-dup cluster).  Exactly the keep-one-per-
+    cluster reduction an image-corpus dedup ships; the oracle re-derives
+    clusters from the planted doc_id % 40 rule.  Isolated images (none
+    here — every group has ≥2 members at sf ≥ 0.001) would be absent
+    from the pair set and therefore from components, matching the SQL's
+    HAVING count ≥ 2 guard."""
+    from ocr_poc_ray.functions.dedup import connected_components_distributed
+    from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs, image_dhash
+
+    hashes = image_dhash(_phash_media_ds(sf_dir))
+    pairs = dhash_near_dup_pairs(hashes, max_hamming=7, id_col="media_id")
+    pairs = pairs.map_batches(
+        lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"}),
+        batch_format="pandas",
+    )
+    comp = connected_components_distributed(pairs).to_pandas()
+    agg = comp.groupby("component", as_index=False).agg(
+        n_members=("doc_id", "size")
+    )
+    out = pd.DataFrame(
+        {
+            "component": agg["component"].astype("int64"),
+            "n_members": agg["n_members"].astype("int64"),
+        }
+    )
+    return out.sort_values("component").reset_index(drop=True)
+
+
+MM_PHASH_COMPONENTS_SQL = f"""
+select min(doc_id)::BIGINT as component, count(*)::BIGINT as n_members
+from documents
+group by doc_id % {_PHASH_GROUPS}
+having count(*) >= 2
+order by component
 """
 
 
@@ -1348,6 +1398,7 @@ REGISTRY = {
     "mm_exact_dup": (mm_exact_dup, MM_EXACT_DUP_SQL),
     "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_NEARDUP_SQL),
     "xs_tool_runs": (xs_tool_runs, XS_TOOL_RUNS_SQL),
+    "mm_phash_components": (mm_phash_components, MM_PHASH_COMPONENTS_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
     "xs_dialogue_pairs": (xs_dialogue_pairs, XS_DIALOGUE_PAIRS_SQL),

@@ -38,6 +38,7 @@ FAST_ORACLE = [
     "doc_jaccard_pairs_prefix",
     "vec_semantic_dedup",
     "mm_phash_neardup",
+    "mm_phash_components",
     "rel_value_histogram",
     "doc_heavy_tokens_mg",
     "rel_nation_trade_matrix",
