@@ -3856,6 +3856,89 @@ order by source
 """
 
 
+WINNOW_K, WINNOW_W = 5, 4
+
+
+def doc_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): md5 the K=5-token k-grams, slide a W=4 window over the
+    hash sequence, select the RIGHTMOST minimal hash per window — the
+    guarantee-bearing local fingerprint scheme (any match of length
+    ≥ K+W-1 tokens shares a selected fingerprint, with bounded density
+    ~2/(W+1)).  Entirely row-local — the 100-TB shape is embarrassingly
+    parallel hashing; overlap detection downstream is a (fp, doc)
+    projection into the existing contamination machinery.  Docs with
+    fewer hashes than the window select their global min (the standard
+    short-document rule, mirrored in SQL)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def winnow(batch: pa.Table) -> pd.DataFrame:
+        out_id, out_g, out_s, out_d, out_m = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_numpy(), batch["text"].to_pylist()
+        ):
+            toks = text.lower().split()
+            m = len(toks) - WINNOW_K + 1
+            if m < 1:
+                continue
+            hs = [
+                hashlib.md5(" ".join(toks[i : i + WINNOW_K]).encode()).hexdigest()
+                for i in range(m)
+            ]
+            sel = set()
+            for j in range(max(m - WINNOW_W + 1, 1)):
+                win = hs[j : j + WINNOW_W]
+                mn = min(win)
+                # rightmost occurrence of the window minimum
+                idx = len(win) - 1 - win[::-1].index(mn)
+                sel.add(j + idx)
+            fps = [hs[p] for p in sel]
+            out_id.append(int(doc_id))
+            out_g.append(m)
+            out_s.append(len(sel))
+            out_d.append(len(set(fps)))
+            out_m.append(min(fps))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_id, dtype="int64"),
+                "n_grams": pd.array(out_g, dtype="int64"),
+                "n_selected": pd.array(out_s, dtype="int64"),
+                "n_distinct_fps": pd.array(out_d, dtype="int64"),
+                "min_fp": pd.array(out_m, dtype=object),
+            }
+        )
+
+    out = ds.map_batches(winnow, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_WINNOW_FINGERPRINTS_SQL = r"""
+with tok as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as t from documents
+), g as (
+  select doc_id,
+         list_transform(generate_series(1, len(t) - 4),
+                        i -> md5(array_to_string(t[i:i+4], ' '))) as hs
+  from tok where len(t) >= 5
+), sel as (
+  select doc_id, hs,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+            j -> j + len(hs[j:j+3])
+                 - list_position(list_reverse(hs[j:j+3]),
+                                 list_aggregate(hs[j:j+3], 'min')))) as pos
+  from g
+)
+select doc_id,
+       len(hs)::BIGINT as n_grams,
+       len(pos)::BIGINT as n_selected,
+       len(list_distinct(list_transform(pos, p -> hs[p])))::BIGINT as n_distinct_fps,
+       list_aggregate(list_transform(pos, p -> hs[p]), 'min') as min_fp
+from sel order by doc_id
+"""
+
+
 def doc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Corpus snapshot diff — the between-crawls audit: which docs were
     added, removed, changed, or untouched per source.  The two
@@ -4034,6 +4117,7 @@ REGISTRY = {
     "doc_incremental_dedup": (doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
     "doc_snapshot_diff": (doc_snapshot_diff, DOC_SNAPSHOT_DIFF_SQL),
     "doc_source_ttr": (doc_source_ttr, DOC_SOURCE_TTR_SQL),
+    "doc_winnow_fingerprints": (doc_winnow_fingerprints, DOC_WINNOW_FINGERPRINTS_SQL),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL),

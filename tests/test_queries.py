@@ -51,6 +51,7 @@ FAST_ORACLE = [
     "rel_cohort_ltv",
     "rel_linear_attribution",
     "doc_source_ttr",
+    "doc_winnow_fingerprints",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
