@@ -43,8 +43,10 @@ _ALL.update(_xs.REGISTRY)
 #: rel_value_histogram, doc_heavy_tokens_mg, rel_nation_trade_matrix,
 #: doc_incremental_dedup, rel_window_dedup, xs_tool_runs,
 #: vec_contrastive_pairs, doc_snapshot_diff, rel_value_psi,
-#: vec_knn_ivf_index — plus a spread of the rounds-1/2 queries whose
-#: driver rows are oldest.
+#: vec_knn_ivf_index, rel_cohort_ltv, doc_source_ttr,
+#: rel_linear_attribution, mm_phash_components,
+#: doc_winnow_fingerprints, xs_truncate_to_budget — plus a spread of the rounds-1/2 queries
+#: whose driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)
     "xs_extract_documents",

@@ -1136,6 +1136,84 @@ from s
 TOOLS = ("", "browse", "code", "search")
 
 
+CTX_BUDGET_CHARS = 2000
+
+
+def xs_truncate_to_budget(sf_dir: str) -> pd.DataFrame:
+    """Right-aligned context truncation: per conversation keep the LAST
+    turns whose cumulative character count fits the 2000-char budget —
+    the context-trimming pass a chat-template data loader runs before
+    tokenization (the newest turns survive, history drops).  A keyed
+    suffix-cumsum: one range-sort, per-block reverse cumulative sums
+    via keyed_sorted_match, string conversation keys on the object
+    path.  Emits every turn with its tail_sum so the kept mask is
+    auditable (not just the survivors)."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        return pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_pandas().to_numpy(dtype=object),
+                "turn_idx": batch["doc_id"].to_numpy(),
+                "n_chars": pc.utf8_length(batch["text"]).to_numpy().astype("int64"),
+            }
+        )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        # suffix sums: sort turn DESC inside each conversation, cumsum,
+        # then emit in natural order
+        g = group.sort_values(
+            ["conv_id", "turn_idx"], ascending=[True, False], kind="mergesort"
+        )
+        tail = g.groupby("conv_id", sort=False)["n_chars"].cumsum()
+        out = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(dtype=object),
+                "turn_idx": g["turn_idx"].to_numpy(np.int64),
+                "n_chars": g["n_chars"].to_numpy(np.int64),
+                "tail_chars": tail.to_numpy(np.int64),
+            }
+        )
+        out["kept"] = out["tail_chars"] <= CTX_BUDGET_CHARS
+        return out
+
+    out = keyed_sorted_match(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "n_chars"],
+        match_fn=_match,
+        out_meta={"conv_id": "object", "turn_idx": "int64",
+                  "n_chars": "int64", "tail_chars": "int64", "kept": "bool"},
+    ).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).astype(
+        {"turn_idx": "int64", "n_chars": "int64",
+         "tail_chars": "int64", "kept": "bool"}
+    )
+
+
+XS_TRUNCATE_TO_BUDGET_SQL = f"""
+with t as (
+  select source as conv_id, doc_id as turn_idx, length(text)::BIGINT as n_chars
+  from documents
+)
+select conv_id, turn_idx, n_chars,
+       sum(n_chars) over (partition by conv_id order by turn_idx desc
+                          rows unbounded preceding)::BIGINT as tail_chars,
+       sum(n_chars) over (partition by conv_id order by turn_idx desc
+                          rows unbounded preceding) <= {CTX_BUDGET_CHARS} as kept
+from t
+order by conv_id, turn_idx
+"""
+
+
 def xs_tool_runs(sf_dir: str) -> pd.DataFrame:
     """Agent-loop detection: per-conversation runs of consecutive
     IDENTICAL tool calls in turn order — the transcript-quality signal
@@ -1399,6 +1477,7 @@ REGISTRY = {
     "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_NEARDUP_SQL),
     "xs_tool_runs": (xs_tool_runs, XS_TOOL_RUNS_SQL),
     "mm_phash_components": (mm_phash_components, MM_PHASH_COMPONENTS_SQL),
+    "xs_truncate_to_budget": (xs_truncate_to_budget, XS_TRUNCATE_TO_BUDGET_SQL),
     "xs_role_stats": (xs_role_stats, XS_ROLE_STATS_SQL),
     "xs_role_transitions": (xs_role_transitions, XS_ROLE_TRANSITIONS_SQL),
     "xs_dialogue_pairs": (xs_dialogue_pairs, XS_DIALOGUE_PAIRS_SQL),

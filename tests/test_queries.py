@@ -52,6 +52,7 @@ FAST_ORACLE = [
     "rel_linear_attribution",
     "doc_source_ttr",
     "doc_winnow_fingerprints",
+    "xs_truncate_to_budget",
     "rel_agg_lineitem",
     "rel_topk_orders",
     "rel_event_type_stats",
