@@ -3850,7 +3850,7 @@ select source,
        sum(n)::BIGINT as n_tokens,
        count(*)::BIGINT as n_types,
        count(*) filter (where n = 1)::BIGINT as n_hapax,
-       (count(*) * 1000000) // sum(n) as ttr_ppm
+       ((count(*) * 1000000) // sum(n))::BIGINT as ttr_ppm
 from st group by source
 order by source
 """
