@@ -4094,7 +4094,375 @@ order by i.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by the
+# log-likelihood ratio of a hashed-unigram bag-of-words model of a
+# TARGET distribution (here: the lang='en' slice) against the raw
+# corpus.  Selection then resamples by weight — the standard
+# pretraining-mix targeting operator.
+#
+# Scale shape: one pass builds the two B-bucket count vectors (per-batch
+# partials → a native groupby over exactly B keys — bounded regardless
+# of corpus size); the B-float log-ratio table broadcasts once
+# (``ray.put``) and the second pass scores each doc row-locally.  Both
+# engines hash tokens with the md5-prefix rule (CLAUDE.md md5-parity).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _md5_buckets(tokens: np.ndarray, n_buckets: int) -> np.ndarray:
+    """md5-prefix bucket id per token — hash DISTINCT tokens once per
+    batch (the batch vocabulary), then map back via the inverse index."""
+    import hashlib as _hl
+
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.int64)
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    ub = np.fromiter(
+        (
+            int(_hl.md5(t.encode("utf-8", "ignore")).hexdigest()[:8], 16) % n_buckets
+            for t in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return ub[inv]
+
+
+def doc_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    import ray as _ray
+
+    B = DSIR_BUCKETS
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "lang"]
+    )
+
+    def _flat_tokens(batch: pd.DataFrame):
+        toks = batch["text"].str.lower().str.split()
+        lens = toks.str.len().to_numpy()
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        return flat, lens
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat_tokens(batch)
+        is_tgt = np.repeat(
+            batch["lang"].to_numpy(dtype=object) == DSIR_TARGET_LANG, lens
+        )
+        b = _md5_buckets(flat, B)
+        g = pd.DataFrame(
+            {"b": b, "n_raw": np.ones(len(b), dtype=np.int64),
+             "n_tgt": is_tgt.astype(np.int64)}
+        )
+        return g.groupby("b", as_index=False).sum()
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("b")
+        .sum(["n_raw", "n_tgt"])
+        .to_pandas()
+    )
+    n_raw = np.zeros(B, dtype=np.float64)
+    n_tgt = np.zeros(B, dtype=np.float64)
+    if len(counts):
+        n_raw[counts["b"].to_numpy(np.int64)] = counts["sum(n_raw)"].to_numpy()
+        n_tgt[counts["b"].to_numpy(np.int64)] = counts["sum(n_tgt)"].to_numpy()
+    nr, nt = n_raw.sum(), n_tgt.sum()
+    llr = np.log((n_tgt + 1.0) / (nt + B)) - np.log((n_raw + 1.0) / (nr + B))
+    llr_ref = _ray.put(llr)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lr = _ray.get(llr_ref)
+        flat, lens = _flat_tokens(batch)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w = np.zeros(len(lens), dtype=np.float64)
+        np.add.at(w, doc_idx, lr[_md5_buckets(flat, B)])
+        m = lens > 0  # docs with no tokens drop (SQL inner-join semantics)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[m],
+                "dsir_logw": np.round(w[m], 2),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "dsir_logw": pd.Series([], dtype="float64")}
+        )
+    return out.astype({"doc_id": "int64", "dsir_logw": "float64"})
+
+
+DOC_DSIR_WEIGHTS_SQL = rf"""
+with tok as (
+  select doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) as token
+  from documents
+), tb as (
+  select doc_id,
+         lang,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % {DSIR_BUCKETS} as b
+  from tok
+), cnt as (
+  select b,
+         count(*)::DOUBLE as n_raw,
+         count(*) filter (where lang = '{DSIR_TARGET_LANG}')::DOUBLE as n_tgt
+  from tb group by b
+), tot as (
+  select sum(n_raw) as nr, sum(n_tgt) as nt from cnt
+), lr as (
+  select b,
+         ln((n_tgt + 1) / (nt + {DSIR_BUCKETS}))
+           - ln((n_raw + 1) / (nr + {DSIR_BUCKETS})) as llr
+  from cnt cross join tot
+)
+select tb.doc_id, round(sum(lr.llr), 2) as dsir_logw
+from tb join lr using (b)
+group by tb.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication (inverse-multiplicity reweighting): instead of
+# DROPPING exact duplicates, every document keeps sampling weight 1/n
+# where n is its md5(text) duplicate-group size — the "SoftDedup"
+# reweighting scheme (She et al. 2024) that preserves high-quality
+# repeated text at reduced emphasis instead of deleting it.
+#
+# Scale shape: duplicate-group sizes come from the same bounded-bucket
+# discovery exact_dedup uses (only hashes with n >= 2 survive — the
+# true-duplicate volume, small relative to the corpus); the weight
+# attach broadcasts the (hash, n) table when it fits and switches to a
+# capped partitioned left join above BROADCAST_KEY_LIMIT.
+# ---------------------------------------------------------------------------
+
+
+def doc_soft_dedup_weights(sf_dir: str) -> pd.DataFrame:
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from ocr_poc_ray.functions.dedup import (
+        BROADCAST_KEY_LIMIT,
+        _join_parallelism,
+        _scaled_buckets,
+    )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    nb = _scaled_buckets(ds, floor=16)
+
+    def _hashes(texts: list) -> np.ndarray:
+        return np.array(
+            [_hl.md5((t or "").encode("utf-8", "ignore")).hexdigest() for t in texts],
+            dtype="U32",
+        )
+
+    def hash_partial(batch: pa.Table) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"h": _hashes(batch["text"].to_pylist())})
+            .groupby("h", as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        g["_hb"] = (
+            pd.util.hash_array(g["h"].to_numpy(dtype=object)) % nb
+        ).astype("int64")
+        return g
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", as_index=False)["c"].sum()
+        return agg[agg["c"] >= 2]
+
+    dups = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_dups, batch_format="pandas")
+        .materialize()  # counted, then read by whichever attach path runs
+    )
+    n_dup_hashes = dups.count()
+
+    def _finish(ids: np.ndarray, n: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype(np.int64),
+                "dup_count": n.astype(np.int64),
+                "soft_weight": np.round(1.0 / n.astype(np.float64), 6),
+            }
+        )
+
+    if n_dup_hashes <= BROADCAST_KEY_LIMIT:
+        dup_df = dups.to_pandas()
+        keys = (
+            dup_df["h"].to_numpy(dtype="U32")
+            if len(dup_df)
+            else np.array([], dtype="U32")
+        )
+        cnts = (
+            dup_df["c"].to_numpy(np.int64) if len(dup_df) else np.array([], np.int64)
+        )
+        order = np.argsort(keys)
+        kref = _ray.put(keys[order])
+        cref = _ray.put(cnts[order])
+
+        def attach(batch: pa.Table) -> pd.DataFrame:
+            k, c = _ray.get(kref), _ray.get(cref)
+            h = _hashes(batch["text"].to_pylist())
+            n = np.ones(len(h), dtype=np.int64)
+            if len(k) and len(h):
+                pos = np.minimum(np.searchsorted(k, h), len(k) - 1)
+                hit = k[pos] == h
+                n[hit] = c[pos[hit]]
+            return _finish(batch["doc_id"].to_numpy(), n)
+
+        out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    else:
+        jp = _join_parallelism(nb)
+        keyed = ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["doc_id"].to_numpy(),
+                 "h": _hashes(b["text"].to_pylist())}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = keyed.repartition(jp).join(
+            dups.repartition(jp), "left_outer", num_partitions=jp, on=("h",)
+        )
+        out = joined.map_batches(
+            lambda b: _finish(
+                b["doc_id"].to_numpy(), b["c"].fillna(1).to_numpy(np.int64)
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "dup_count": pd.Series([], dtype="int64"),
+             "soft_weight": pd.Series([], dtype="float64")}
+        )
+    return out.astype(
+        {"doc_id": "int64", "dup_count": "int64", "soft_weight": "float64"}
+    )
+
+
+DOC_SOFT_DEDUP_WEIGHTS_SQL = """
+with c as (
+  select md5(text) as h, count(*)::BIGINT as n from documents group by 1
+)
+select d.doc_id, c.n as dup_count, round(1.0 / c.n, 6) as soft_weight
+from documents d join c on md5(d.text) = c.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-iteration BPE merge census (Sennrich et al. 2016 operate on
+# characters; over a whitespace-pretokenized corpus the same counting
+# step ranks ADJACENT TOKEN PAIRS): the global top-K bigram merges a
+# tokenizer trainer would apply first.  Per-batch pair counts →
+# hash-bucketed combine (every pair lives wholly in one bucket task) →
+# per-bucket top-K partials → one K × buckets driver merge.  Nothing
+# vocabulary-sized leaves a task.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS_K = 30
+
+
+def doc_bpe_top_pairs(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    k = BPE_TOP_PAIRS_K
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    nb = _scaled_buckets(ds, floor=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split()
+        lens = toks.str.len().to_numpy()
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        empty = pd.DataFrame(
+            {"t1": pd.Series([], dtype=object), "t2": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"), "_hb": pd.Series([], dtype="int64")}
+        )
+        if len(flat) < 2:
+            return empty
+        # a position pairs with its successor unless it ends a document
+        last = np.zeros(len(flat), dtype=bool)
+        ends = np.cumsum(lens)
+        last[ends[lens > 0] - 1] = True
+        sel = ~last[:-1]
+        if not sel.any():
+            return empty
+        g = (
+            pd.DataFrame({"t1": flat[:-1][sel], "t2": flat[1:][sel]})
+            .groupby(["t1", "t2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        # separator only affects BUCKETING (collisions are harmless)
+        mix = pd.util.hash_array(
+            (g["t1"] + "\x1f" + g["t2"]).to_numpy(dtype=object)
+        )
+        return g.assign(_hb=(mix % nb).astype("int64"), n=g["n"].astype("int64"))
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["t1", "t2"], as_index=False)["n"].sum()
+        return agg.sort_values(
+            ["n", "t1", "t2"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+
+    cands = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if cands.empty:  # 0-row to_pandas drops columns (CLAUDE.md)
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "t1": pd.Series([], dtype=object),
+             "t2": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+    out = (
+        cands.sort_values(
+            ["n", "t1", "t2"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "t1", "t2", "n"]].astype({"rank": "int64", "n": "int64"})
+
+
+DOC_BPE_TOP_PAIRS_SQL = rf"""
+with l as (
+  select regexp_extract_all(lower(text), '\S+') as toks from documents
+), p as (
+  select unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) as pr
+  from l where length(toks) >= 2
+), c as (
+  select pr[1] as t1, pr[2] as t2, count(*)::BIGINT as n from p group by 1, 2
+)
+select row_number() over (order by n desc, t1, t2) as rank, t1, t2, n
+from c
+qualify rank <= {BPE_TOP_PAIRS_K}
+"""
+
+
 REGISTRY = {
+    "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
+    "doc_soft_dedup_weights": (
+        doc_soft_dedup_weights, DOC_SOFT_DEDUP_WEIGHTS_SQL,
+    ),
+    "doc_bpe_top_pairs": (doc_bpe_top_pairs, DOC_BPE_TOP_PAIRS_SQL),
     "doc_pii_redact": (doc_pii_redact, DOC_PII_REDACT_SQL),
     "doc_top_tokens_per_source": (
         doc_top_tokens_per_source, DOC_TOP_TOKENS_PER_SOURCE_SQL,

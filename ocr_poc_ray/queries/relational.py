@@ -3450,7 +3450,119 @@ from s
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov statistic between the value
+# distributions of two event types — the distribution-shift gate that,
+# unlike PSI (rel_value_psi), needs no binning choice: it is the max
+# gap between the two empirical CDFs over the POOLED distinct values.
+#
+# Scale shape: per-batch (value → count_a, count_b) partials →
+# value-hash-bucket combine to one row per DISTINCT value (each value
+# lives wholly in one bucket, so bucket counts add) → the global
+# ordered CDF via ``ordered_prefix_sum`` (one range-sort + O(blocks)
+# offsets, run once per side) → per-batch max-gap partials → a
+# driver max over O(blocks) scalars.  Raw events never shuffle; only
+# the distinct-value projection does.
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A, KS_TYPE_B = "click", "purchase"
+
+
+def rel_value_ks_drift(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    nb = _scaled_buckets(ds, floor=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin((KS_TYPE_A, KS_TYPE_B))]
+        df = pd.DataFrame(
+            {
+                "value": b["value"].to_numpy(np.float64),
+                "ca": (b["event_type"] == KS_TYPE_A).to_numpy().astype(np.int64),
+                "cb": (b["event_type"] == KS_TYPE_B).to_numpy().astype(np.int64),
+            }
+        )
+        g = df.groupby("value", as_index=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum")
+        )
+        g["_hb"] = (
+            pd.util.hash_array(g["value"].to_numpy()) % nb
+        ).astype(np.int64)
+        return g
+
+    def bucket_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("value", as_index=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum")
+        )
+
+    distinct = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_combine, batch_format="pandas")
+        .materialize()  # read by both totals and both prefix scans
+    )
+    na, nb_tot = int(distinct.sum("ca")), int(distinct.sum("cb"))
+    if na == 0 or nb_tot == 0:
+        return pd.DataFrame(
+            {"na": pd.Series([na], dtype="int64"),
+             "nb": pd.Series([nb_tot], dtype="int64"),
+             "ks_stat": pd.Series([0.0], dtype="float64")}
+        )
+    cum = ordered_prefix_sum(
+        distinct, sort_cols=["value"], value_col="ca", out_col="cuma",
+        unique_col="value",
+    )
+    cum = ordered_prefix_sum(
+        cum, sort_cols=["value"], value_col="cb", out_col="cumb",
+        unique_col="value",
+    )
+
+    def gap_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = np.abs(
+            b["cuma"].to_numpy(np.float64) / na
+            - b["cumb"].to_numpy(np.float64) / nb_tot
+        )
+        return pd.DataFrame({"g": [float(d.max()) if len(d) else 0.0]})
+
+    gaps = cum.map_batches(gap_partial, batch_format="pandas").to_pandas()
+    ks = float(gaps["g"].max()) if len(gaps) else 0.0
+    return pd.DataFrame(
+        {"na": pd.Series([na], dtype="int64"),
+         "nb": pd.Series([nb_tot], dtype="int64"),
+         "ks_stat": pd.Series([round(ks, 6)], dtype="float64")}
+    )
+
+
+REL_VALUE_KS_DRIFT_SQL = f"""
+with g as (
+  select value,
+         count(*) filter (where event_type = '{KS_TYPE_A}')::BIGINT as ca,
+         count(*) filter (where event_type = '{KS_TYPE_B}')::BIGINT as cb
+  from events
+  where event_type in ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  group by value
+), c as (
+  select value,
+         sum(ca) over (order by value) as cuma,
+         sum(cb) over (order by value) as cumb
+  from g
+), t as (
+  select sum(ca)::BIGINT as na, sum(cb)::BIGINT as nb from g
+)
+select t.na, t.nb,
+       round(max(abs(c.cuma::DOUBLE / t.na - c.cumb::DOUBLE / t.nb)), 6)
+           as ks_stat
+from c cross join t
+group by t.na, t.nb
+"""
+
+
 REGISTRY = {
+    "rel_value_ks_drift": (rel_value_ks_drift, REL_VALUE_KS_DRIFT_SQL),
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_event_pivot": (rel_event_pivot, REL_EVENT_PIVOT_SQL),
     "rel_regr_slope": (rel_regr_slope, REL_REGR_SLOPE_SQL),

@@ -124,6 +124,10 @@ FAST_ORACLE = [
     "mm_exact_dup",
     "doc_bm25_topk",
     "rel_mad_outliers",
+    "doc_dsir_weights",
+    "doc_soft_dedup_weights",
+    "doc_bpe_top_pairs",
+    "rel_value_ks_drift",
 ]
 
 
