@@ -4457,8 +4457,146 @@ qualify rank <= {BPE_TOP_PAIRS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Full BPE tokenizer training over the corpus: ONE distributed pass
+# reduces the corpus to a word-frequency table (bounded-bucket
+# vocabulary combine, per-bucket top-shard cap so the driver table is
+# capped at BPE_TOP_V regardless of crawl vocabulary), then the classic
+# Sennrich merge loop runs locally over that table — vocabulary-sized
+# work, never corpus-sized.  Iterative and therefore not
+# SQL-expressible (rows-only); the golden tests pin the learned merges
+# against an independent brute-force trainer and partition invariance.
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 30
+BPE_TOP_V = 4096
+
+
+def doc_bpe_learn(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.bpe import bpe_train, word_frequency_table
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    wf = word_frequency_table(ds, top_v=BPE_TOP_V)
+    return bpe_train(wf, BPE_N_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty: the fraction of a document's distinct
+# 3-token shingles whose FIRST corpus occurrence (min doc_id) is this
+# document — the incremental-contribution profile that separates
+# original content from remixes during curation.  Shingles hash to
+# int64 (the same negligible-collision contract the jaccard oracles
+# verify); each shingle lives wholly in one bucket task, which sees
+# every (doc, shingle) holder and emits per-doc (n_shingles, n_novel)
+# partials; a second doc-bucketed combine sums them.  Nothing
+# vocabulary- or corpus-sized reaches the driver before the per-doc
+# result itself.
+# ---------------------------------------------------------------------------
+
+
+def doc_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import (
+        _batch_token_hashes,
+        _doc_shingle_hashes,
+        _paths_bytes,
+        _scaled_buckets,
+    )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    nb = _scaled_buckets(ds, bytes_hint=_paths_bytes(_docs_path(sf_dir)) * 8,
+                         floor=16)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch["text"])
+        ids = batch["doc_id"].to_numpy(np.int64)
+        out_ps, out_id = [], []
+        for d in range(len(batch)):
+            tok = th[offsets[d] : offsets[d + 1]]
+            if len(tok) < 3:  # no 3-grams — absent on both engines
+                continue
+            sh = np.unique(_doc_shingle_hashes(tok, 3))
+            out_ps.append(sh)
+            out_id.append(np.full(len(sh), ids[d], dtype=np.int64))
+        if not out_ps:
+            return pd.DataFrame(
+                {"ps": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "_hb": pd.Series([], dtype="int64")}
+            )
+        b = pd.DataFrame(
+            {"ps": np.concatenate(out_ps).view(np.int64),
+             "doc_id": np.concatenate(out_id)}
+        )
+        return b.assign(_hb=(b["ps"] % nb).astype("int64"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("ps")["doc_id"].transform("min")
+        part = pd.DataFrame(
+            {"doc_id": g["doc_id"],
+             "n_sh": np.ones(len(g), dtype=np.int64),
+             "n_novel": (g["doc_id"].to_numpy() == win.to_numpy()).astype(np.int64)}
+        ).groupby("doc_id", as_index=False).sum()
+        part["_db"] = (part["doc_id"].to_numpy() % nb).astype(np.int64)
+        return part
+
+    def doc_combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n_shingles=("n_sh", "sum"), n_novel=("n_novel", "sum")
+        )
+        agg["novelty"] = np.round(
+            agg["n_novel"].to_numpy(np.float64)
+            / agg["n_shingles"].to_numpy(np.float64),
+            6,
+        )
+        return agg
+
+    out = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(doc_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # 0-row to_pandas drops columns (CLAUDE.md)
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_shingles": pd.Series([], dtype="int64"),
+             "n_novel": pd.Series([], dtype="int64"),
+             "novelty": pd.Series([], dtype="float64")}
+        )
+    out = out[["doc_id", "n_shingles", "n_novel", "novelty"]]
+    return out.astype(
+        {"doc_id": "int64", "n_shingles": "int64", "n_novel": "int64",
+         "novelty": "float64"}
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = r"""
+with t as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as toks from documents
+), g as (
+  select doc_id, unnest(list_zip(toks[1:-3], toks[2:-2], toks[3:-1])) as tri
+  from t where len(toks) >= 3
+), d as (
+  select distinct doc_id, tri from g
+), w as (
+  select tri, min(doc_id) as win from d group by tri
+)
+select d.doc_id,
+       count(*)::BIGINT as n_shingles,
+       count(*) filter (where w.win = d.doc_id)::BIGINT as n_novel,
+       round(count(*) filter (where w.win = d.doc_id)::DOUBLE / count(*), 6)
+           as novelty
+from d join w using (tri)
+group by d.doc_id
+"""
+
+
 REGISTRY = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
+    "doc_bpe_learn": (doc_bpe_learn, None),
+    "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
     "doc_soft_dedup_weights": (
         doc_soft_dedup_weights, DOC_SOFT_DEDUP_WEIGHTS_SQL,
     ),

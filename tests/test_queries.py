@@ -128,6 +128,7 @@ FAST_ORACLE = [
     "doc_soft_dedup_weights",
     "doc_bpe_top_pairs",
     "rel_value_ks_drift",
+    "doc_ngram_novelty",
 ]
 
 
