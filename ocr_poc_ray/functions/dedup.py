@@ -1693,6 +1693,23 @@ def connected_components(pairs: Dataset) -> Dataset:
     return rd.from_pandas(out)
 
 
+def connected_components_auto(
+    pairs: Dataset, *, limit: int = BROADCAST_KEY_LIMIT, num_buckets: int = 32
+) -> Dataset:
+    """Size-switched components: the union-find for output-sized edge
+    lists (≤ ``limit`` pairs — effectively linear, no per-round Ray
+    stages), the hash-partitioned min-label dataflow above it.  Both
+    paths emit identical exact (doc_id, component=min id) labels, so
+    callers — including DuckDB-oracle-checked queries — can switch on
+    size alone.  The same shape as ``membership_flag``'s broadcast ↔
+    bloom switch: pay the driver path only while the data provably
+    fits it."""
+    pairs = pairs.materialize()  # counted, then read by either path
+    if pairs.count() <= limit:
+        return connected_components(pairs)
+    return connected_components_distributed(pairs, num_buckets=num_buckets)
+
+
 def connected_components_distributed(
     pairs: Dataset, *, num_buckets: int = 32, max_rounds: int = 64
 ) -> Dataset:

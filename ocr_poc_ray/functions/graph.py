@@ -35,12 +35,23 @@ def pagerank(
     n_iters: int = 8,
     num_buckets: int = 16,
     id_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    local_max_edges: int | None = 1_000_000,
 ) -> Dataset:
     """(doc_id, rank) over the undirected graph given as id pairs.
 
     Ranks sum to ~1 over the nodes that appear in at least one pair
     (an undirected graph has no dangling nodes: every node has
     degree ≥ 1, so no leaked mass beyond float error).
+
+    Size switch: dup graphs are OUTPUT-sized (the near-duplicates
+    themselves) — at or below ``local_max_edges`` directed edges the
+    power iteration runs as one numpy loop on the driver (identical
+    update rule; float summation order differs, which is why the
+    registered query is rows-only and tests use tolerance).  Above it,
+    every round is the bucketed join/combine dataflow: node state is
+    graph-sized, so unlike k-means' k×d centroids it cannot ride
+    ``ray.put``.  ``local_max_edges=None`` forces the dataflow (used
+    by the equivalence tests).
     """
     import ray.data as rd
 
@@ -57,10 +68,30 @@ def pagerank(
         .repartition(num_buckets)
         .materialize()
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.float64())})
+        )
+
+    if local_max_edges is not None and n_edges <= local_max_edges:
+        import numpy as np
+
+        e = edges.to_pandas()
+        src, dst = e["src"].to_numpy(), e["dst"].to_numpy()
+        nodes, src_i = np.unique(src, return_inverse=True)
+        dst_i = np.searchsorted(nodes, dst)  # every dst is also a src
+        deg = np.bincount(src_i, minlength=len(nodes)).astype(np.float64)
+        n = len(nodes)
+        r = np.full(n, 1.0 / n)
+        base_l = (1.0 - damping) / n
+        for _ in range(n_iters):
+            sums = np.zeros(n)
+            np.add.at(sums, dst_i, (r / deg)[src_i])
+            r = base_l + damping * sums
+        return rd.from_pandas(
+            pd.DataFrame({"doc_id": nodes, "rank": np.round(r, 6)})
         )
 
     def bucket_combine(ds: Dataset, value_col: str) -> Dataset:

@@ -331,11 +331,13 @@ def doc_dup_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the near-duplicate graph: which documents are the
     HUBS of duplication (high rank = similar to many/central dups —
     the canonical-copy pick for a keep-one policy).  Pairs from the
-    prefix-filtered exact Jaccard join; ranks via the join-dataflow
-    power iteration (functions.graph.pagerank — node state is a
-    Dataset, never a broadcast).  Float summation order makes this
-    rows-only; the algorithm is tolerance-tested against a numpy power
-    iteration on random graphs."""
+    prefix-filtered exact Jaccard join; ranks via the size-switched
+    power iteration (functions.graph.pagerank: one numpy loop while
+    the OUTPUT-sized dup graph fits the driver, the bucketed
+    join-dataflow above it — node state is graph-sized, never a
+    broadcast).  Float summation order makes this rows-only; the two
+    paths and a numpy power iteration agree within tolerance on
+    random graphs."""
     from ocr_poc_ray.functions.dedup import ngram_jaccard_pairs_prefix
     from ocr_poc_ray.functions.graph import pagerank
 

@@ -513,7 +513,7 @@ def mm_phash_components(sf_dir: str) -> pd.DataFrame:
     here — every group has ≥2 members at sf ≥ 0.001) would be absent
     from the pair set and therefore from components, matching the SQL's
     HAVING count ≥ 2 guard."""
-    from ocr_poc_ray.functions.dedup import connected_components_distributed
+    from ocr_poc_ray.functions.dedup import connected_components_auto
     from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs, image_dhash
 
     hashes = image_dhash(_phash_media_ds(sf_dir))
@@ -522,7 +522,7 @@ def mm_phash_components(sf_dir: str) -> pd.DataFrame:
         lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"}),
         batch_format="pandas",
     )
-    comp = connected_components_distributed(pairs).to_pandas()
+    comp = connected_components_auto(pairs).to_pandas()
     agg = comp.groupby("component", as_index=False).agg(
         n_members=("doc_id", "size")
     )

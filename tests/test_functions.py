@@ -1037,10 +1037,21 @@ def test_pagerank_matches_numpy_power_iteration(ray_session):
     ds = ray.data.from_pandas(pairs).repartition(4)
 
     got = (
+        pagerank(ds, damping=0.85, n_iters=8, num_buckets=4,
+                 local_max_edges=None)  # force the join dataflow
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the size-switched local path must agree with the dataflow
+    local = (
         pagerank(ds, damping=0.85, n_iters=8, num_buckets=4)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), local["rank"].to_numpy(), atol=2e-6
     )
 
     nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
