@@ -356,3 +356,147 @@ def mg_heavy_hitters(
     return out.sort_values(
         ["est", "token"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# t-digest (the merging variant, Dunning & Ertl, "Computing Extremely
+# Accurate Quantiles Using t-Digests"): a mergeable centroid summary
+# whose k-scale clustering makes rank error shrink toward the TAILS —
+# the complement of the uniform bottom-k sample above (whose error is
+# flat in q).  Deterministic: clustering is a greedy scan over sorted
+# input, no randomness, so partials are reproducible across processes.
+# Merging two digests = re-clustering the concatenated centroid lists;
+# associativity holds only approximately, which is why the grouped
+# query is rows-only and tests bound the RANK error instead.
+# ---------------------------------------------------------------------------
+
+TDIGEST_DELTA = 100
+
+
+def _k1_inv(k: np.ndarray, delta: int) -> np.ndarray:
+    """Inverse of the k_1 scale function k(q) = δ/2π · asin(2q−1)."""
+    return (np.sin(k * (2.0 * np.pi / delta)) + 1.0) / 2.0
+
+
+def tdigest_build(
+    values: np.ndarray,
+    weights: np.ndarray | None = None,
+    *,
+    delta: int = TDIGEST_DELTA,
+) -> np.ndarray:
+    """(2, C) float64 array [means; weights], means ascending.
+
+    Greedy k-scale clustering over the sorted input: a cluster closes
+    when its cumulative quantile would cross the next k-boundary, so
+    clusters are O(1/δ) wide mid-distribution and single-point narrow
+    at the extremes."""
+    values = np.asarray(values, dtype=np.float64)
+    if weights is None:
+        weights = np.ones(len(values), dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if len(values) == 0:
+        return np.zeros((2, 0))
+    order = np.argsort(values, kind="mergesort")
+    v, w = values[order], weights[order]
+    total = w.sum()
+    means, wts = [], []
+    c_sum, c_w = v[0] * w[0], w[0]
+    q0 = 0.0  # cumulative quantile at the open cluster's left edge
+    k0 = (delta / (2.0 * np.pi)) * np.arcsin(2.0 * min(max(q0, 0.0), 1.0) - 1.0)
+    q_limit = _k1_inv(np.asarray(k0 + 1.0), delta)
+    for i in range(1, len(v)):
+        if (q0 * total + c_w + w[i]) <= q_limit * total + 1e-12:
+            c_sum += v[i] * w[i]
+            c_w += w[i]
+        else:
+            means.append(c_sum / c_w)
+            wts.append(c_w)
+            q0 += c_w / total
+            k0 = (delta / (2.0 * np.pi)) * np.arcsin(
+                2.0 * min(max(q0, 0.0), 1.0) - 1.0
+            )
+            q_limit = _k1_inv(np.asarray(k0 + 1.0), delta)
+            c_sum, c_w = v[i] * w[i], w[i]
+    means.append(c_sum / c_w)
+    wts.append(c_w)
+    return np.vstack([np.array(means), np.array(wts)])
+
+
+def tdigest_merge(sketches: list[np.ndarray], *, delta: int = TDIGEST_DELTA) -> np.ndarray:
+    """Merge digests by re-clustering the concatenated centroids."""
+    parts = [s for s in sketches if s.shape[1]]
+    if not parts:
+        return np.zeros((2, 0))
+    allc = np.hstack(parts)
+    return tdigest_build(allc[0], allc[1], delta=delta)
+
+
+def tdigest_quantile(sketch: np.ndarray, qs) -> np.ndarray:
+    """Quantile estimates by linear interpolation between centroid
+    means at their half-weight cumulative positions (the standard
+    t-digest read-out)."""
+    qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+    means, wts = sketch[0], sketch[1]
+    if len(means) == 0:
+        return np.full(len(qs), np.nan)
+    total = wts.sum()
+    centers = np.cumsum(wts) - wts / 2.0
+    targets = qs * total
+    return np.interp(targets, centers, means)
+
+
+def tdigest_by(
+    ds: Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    delta: int = TDIGEST_DELTA,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Per-key approximate quantiles via mergeable t-digests.
+
+    Scale shape: one digest per key per batch (≤ 2·δ floats — batch
+    partials are key-count-sized, never row-count-sized), serialized
+    to bytes and combined in hash buckets (every key lives wholly in
+    one bucket task, digests merge associatively enough for the rank
+    bound); the driver sees keys × qs result rows only."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_b = [], []
+        for k, grp in batch.groupby(key_col, sort=False):
+            sk = tdigest_build(grp[value_col].to_numpy(np.float64), delta=delta)
+            out_k.append(k)
+            out_b.append(sk.tobytes())
+        df = pd.DataFrame({key_col: out_k, "_sk": out_b})
+        df["_hb"] = (
+            pd.util.hash_array(df[key_col].to_numpy(dtype=object)) % n_buckets
+        ).astype("int64")
+        return df
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, grp in g.groupby(key_col, sort=False):
+            sks = [
+                np.frombuffer(b, dtype=np.float64).reshape(2, -1)
+                for b in grp["_sk"]
+            ]
+            merged = tdigest_merge(sks, delta=delta)
+            est = tdigest_quantile(merged, qs)
+            for q, v in zip(qs, est):
+                rows.append({key_col: k, "q": float(q), "value": float(v)})
+        return pd.DataFrame(rows, columns=[key_col, "q", "value"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {key_col: pd.Series([], dtype=object),
+             "q": pd.Series([], dtype="float64"),
+             "value": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values([key_col, "q"], kind="mergesort").reset_index(drop=True)

@@ -2038,18 +2038,21 @@ def rel_priority_returned_orders(sf_dir: str) -> pd.DataFrame:
         returned.map_batches(local_distinct, batch_format="pandas")
         .groupby("_hb")
         .map_groups(bucket_distinct, batch_format="pandas")
-        .repartition(n_buckets)  # merge 0-row blocks away (join pitfall)
     )
     orders = ray.data.read_parquet(
         _path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
-    ).repartition(n_buckets)
-    joined = orders.join(
-        distinct_keys, "inner", num_partitions=n_buckets,
-        on=("o_orderkey",), right_on=("l_orderkey",),
     )
+    # semi-join via the size-switched membership filter (sorted-numpy
+    # broadcast below BROADCAST_KEY_LIMIT distinct keys, bloom + exact
+    # verify join above): no hash-join pool for a one-bit question
+    from ocr_poc_ray.functions.dedup import membership_flag
+
+    joined = membership_flag(orders, "o_orderkey", distinct_keys, "l_orderkey")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_orderpriority", as_index=False).size()
+        return batch[batch["_in_set"]].groupby(
+            "o_orderpriority", as_index=False
+        ).size()
 
     parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
@@ -3561,8 +3564,32 @@ group by t.na, t.nb
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-type approximate quantiles via mergeable t-digests — the sketch
+# path for quantiles at 100 TB (exact grouped quantiles need the value
+# column to shuffle; digests ship ≤ 2δ floats per key per block).
+# Approximate by construction → rows-only; rank error is bounded by
+# the t-digest tests (tests/test_functions.py::test_tdigest_*).
+# ---------------------------------------------------------------------------
+
+
+def rel_value_tdigest(sf_dir: str) -> pd.DataFrame:
+    from ocr_poc_ray.functions.sketches import tdigest_by
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    out = tdigest_by(
+        ds, key_col="event_type", value_col="value", qs=(0.5, 0.9, 0.99)
+    )
+    out = out.rename(columns={"value": "est_value"})
+    out["est_value"] = np.round(out["est_value"].to_numpy(np.float64), 4)
+    return out.astype({"q": "float64", "est_value": "float64"})
+
+
 REGISTRY = {
     "rel_value_ks_drift": (rel_value_ks_drift, REL_VALUE_KS_DRIFT_SQL),
+    "rel_value_tdigest": (rel_value_tdigest, None),
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_event_pivot": (rel_event_pivot, REL_EVENT_PIVOT_SQL),
     "rel_regr_slope": (rel_regr_slope, REL_REGR_SLOPE_SQL),

@@ -649,6 +649,15 @@ def test_connected_components_distributed_matches_union_find():
     dist_map = dict(zip(dist["doc_id"], dist["component"]))
     assert exact_map == dist_map
 
+    # the size switch picks each path by pair count; both label sets
+    # are identical, so the switch is invisible to callers
+    from ocr_poc_ray.functions.dedup import connected_components_auto
+
+    auto_small = connected_components_auto(pairs).to_pandas()
+    assert dict(zip(auto_small["doc_id"], auto_small["component"])) == exact_map
+    auto_dist = connected_components_auto(pairs, limit=0, num_buckets=4).to_pandas()
+    assert dict(zip(auto_dist["doc_id"], auto_dist["component"])) == exact_map
+
 
 def test_quantile_sketch_by_within_rank_tolerance():
     """Bottom-k priority-sample quantiles: each estimate must lie inside
@@ -1821,3 +1830,62 @@ def test_ivf_index_build_query_and_pruning(emb_ds, tmp_path):
     paths = probed_list_paths(idx, probe)
     assert 1 <= len(paths) <= 2
     assert all(p.startswith(os.path.join(idx, "lists")) for p in paths)
+
+
+def test_tdigest_rank_error_and_merge(ray_session):
+    """t-digest rank error stays under 1% everywhere (incl. tails) on
+    a skewed distribution, and a 37-way chunked merge matches the
+    one-shot digest within the same bound."""
+    from ocr_poc_ray.functions.sketches import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.lognormal(0.0, 1.0, 50_000)
+    xs = np.sort(x)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+
+    for sk in (
+        tdigest_build(x),
+        tdigest_merge([tdigest_build(c) for c in np.array_split(x, 37)]),
+    ):
+        assert sk.shape[1] < 200  # bounded summary regardless of n
+        for q, e in zip(qs, tdigest_quantile(sk, qs)):
+            rank_err = abs(np.searchsorted(xs, e) / len(xs) - q)
+            assert rank_err < 0.01, (q, rank_err)
+
+
+def test_tdigest_by_grouped_rank_error(ray_session):
+    from ocr_poc_ray.functions.sketches import tdigest_by
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], 8000),
+            "v": np.concatenate(
+                [rng.normal(0, 1, 8000), rng.lognormal(0, 1, 8000),
+                 rng.uniform(5, 9, 8000)]
+            ),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = tdigest_by(ds, key_col="k", value_col="v", qs=(0.5, 0.9))
+    assert len(out) == 6
+    for key, grp in df.groupby("k"):
+        xs = np.sort(grp["v"].to_numpy())
+        for q in (0.5, 0.9):
+            est = float(
+                out[(out["k"] == key) & (out["q"] == q)]["value"].iloc[0]
+            )
+            rank_err = abs(np.searchsorted(xs, est) / len(xs) - q)
+            assert rank_err < 0.02, (key, q, rank_err)
+
+
+def test_tdigest_empty(ray_session):
+    from ocr_poc_ray.functions.sketches import tdigest_build, tdigest_quantile
+
+    sk = tdigest_build(np.array([]))
+    assert sk.shape == (2, 0)
+    assert np.isnan(tdigest_quantile(sk, [0.5])).all()
