@@ -119,22 +119,31 @@ def knn_lsh(
     *,
     k: int = 10,
     nbits: int = 4,
+    n_tables: int = 1,
     dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> Dataset:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
     With `nbits` hyperplanes each batch row lands in one of 2^nbits
-    buckets; a query only scores rows sharing its bucket.  Recall < 1
-    by design — measured against ``knn_brute_force`` in tests.
+    buckets per table; a query scores rows sharing its bucket in ANY
+    of the ``n_tables`` independent tables — the standard multi-table
+    recall lever (each extra table multiplies the chance a true
+    neighbor co-buckets while candidate volume grows only
+    additively).  Recall < 1 by design — measured against
+    ``knn_brute_force`` in tests (single- and multi-table floors).
     """
     q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     d = dim or q_mat.shape[1]
-    planes = np.random.RandomState(seed).standard_normal((nbits, d))
-    q_codes = _lsh_codes(q_mat, planes)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, nbits, d))
+    q_codes = np.stack(
+        [_lsh_codes(q_mat, planes[t]) for t in range(n_tables)], axis=1
+    )  # (Q, T)
     queries_ref = ray.put(
         {"ids": np.asarray(query_ids), "mat": q_mat, "codes": q_codes, "planes": planes}
     )
@@ -146,10 +155,12 @@ def knn_lsh(
         )
         X = _normalize(_to_matrix(batch[vec_col]))
         ids = batch[id_col].to_numpy()
-        codes = _lsh_codes(X, planes)
+        codes = np.stack(
+            [_lsh_codes(X, planes[t]) for t in range(planes.shape[0])], axis=1
+        )  # (n, T)
         out_q, out_n, out_s = [], [], []
         for qi in range(Q.shape[0]):
-            mask = codes == q_codes[qi]
+            mask = (codes == q_codes[qi][None, :]).any(axis=1)
             if not mask.any():
                 continue
             sub_ids = ids[mask]

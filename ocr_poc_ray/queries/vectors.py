@@ -79,7 +79,7 @@ def vec_knn_lsh(sf_dir: str) -> pd.DataFrame:
     brute-force baseline is asserted in tests/test_functions.py."""
     ids, vecs = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    out = knn_lsh(ds, ids, vecs, k=KNN_K, nbits=4).to_pandas()
+    out = knn_lsh(ds, ids, vecs, k=KNN_K, nbits=4, n_tables=16).to_pandas()
     out = out[["query_id", "neighbor_id", "cosine", "rank"]]
     return out.astype(
         {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int64"}
@@ -710,8 +710,44 @@ def vec_knn_ivf_index(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def vec_knn_recall(sf_dir: str) -> pd.DataFrame:
+    """ANN quality report: recall@k of every approximate path (LSH /
+    IVF / PQ) against the brute-force baseline on the SAME query set —
+    the measurement a corpus owner reads before trusting an index at
+    scale.  Both sides are deterministic, so the report is stable; it
+    is a cross-algorithm comparison, not a relational expression →
+    rows-only (the per-path recall floors are pinned by
+    tests/test_functions.py's ANN tests)."""
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    exact = knn_brute_force(ds, ids, vecs, k=KNN_K).to_pandas()
+    truth = exact.groupby("query_id")["neighbor_id"].agg(set)
+
+    rows = []
+    for method, got in (
+        ("lsh", knn_lsh(ds, ids, vecs, k=KNN_K, nbits=4, n_tables=16)),
+        ("ivf", knn_ivf(ds, ids, vecs, k=KNN_K, nlist=16, nprobe=6)),
+        ("pq", knn_pq(ds, ids, vecs, k=KNN_K, m=16, nbits=4)),
+    ):
+        g = got.to_pandas().groupby("query_id")["neighbor_id"].agg(set)
+        rec = np.array(
+            [len(g.get(q, set()) & truth[q]) / max(len(truth[q]), 1)
+             for q in truth.index]
+        )
+        rows.append(
+            {"method": method,
+             "n_queries": int(len(truth)),
+             "mean_recall": round(float(rec.mean()), 4),
+             "min_recall": round(float(rec.min()), 4)}
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_queries": "int64", "mean_recall": "float64", "min_recall": "float64"}
+    )
+
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
+    "vec_knn_recall": (vec_knn_recall, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
     "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
     "vec_top_eigen": (vec_top_eigen, None),

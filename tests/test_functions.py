@@ -397,6 +397,17 @@ def test_knn_lsh_recall(emb_ds):
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.2  # bucketed: partial recall by design
 
+    # multi-table: each extra independent table multiplies the chance
+    # a true neighbor co-buckets — recall must rise well past the
+    # single-table floor at the same nbits
+    multi = knn_lsh(emb_ds, qids, qvecs, k=10, nbits=4, n_tables=16).to_pandas()
+    recalls_m = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(multi[multi["query_id"] == qid]["neighbor_id"])
+        recalls_m.append(len(e & a) / len(e))
+    assert sum(recalls_m) / len(recalls_m) >= 0.6
+
 
 def test_embedding_near_dup_pairs():
     from ocr_poc_ray.functions import embedding_near_dup_pairs
