@@ -120,9 +120,11 @@ def bench_conversation_docs(sf: float) -> float:
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary pipelines over the driver's test tables."""
     from ocr_poc_ray.queries.documents import (
+        doc_dsir_weights,
         doc_exact_dedup,
         doc_jaccard_pairs_prefix,
         doc_minhash_pairs,
+        doc_ngram_novelty,
         doc_pack_interleaved,
         doc_pii_redact,
         doc_source_contamination,
@@ -151,6 +153,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("pack_interleaved", doc_pack_interleaved),
         ("semantic_dedup", vec_semantic_dedup),
         ("phash_neardup", mm_phash_neardup),
+        ("dsir_weights", doc_dsir_weights),
+        ("ngram_novelty", doc_ngram_novelty),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)

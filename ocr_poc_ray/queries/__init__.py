@@ -47,9 +47,9 @@ _ALL.update(_xs.REGISTRY)
 #: rel_linear_attribution, mm_phash_components,
 #: doc_winnow_fingerprints, xs_truncate_to_budget, doc_dsir_weights,
 #: doc_soft_dedup_weights, doc_bpe_top_pairs, rel_value_ks_drift,
-#: doc_bpe_learn, doc_ngram_novelty, rel_value_tdigest, vec_knn_recall
-#: — plus a spread of the rounds-1/2 queries whose driver rows are
-#: oldest.
+#: doc_bpe_learn, doc_ngram_novelty, rel_value_tdigest, vec_knn_recall,
+#: doc_source_contamination_sketch — plus a spread of the rounds-1/2
+#: queries whose driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)
     "xs_extract_documents",

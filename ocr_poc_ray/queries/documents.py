@@ -4595,8 +4595,90 @@ group by d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketched cross-source contamination (bottom-k set signatures): the
+# scale path paired with the exact matrix above.  The exact
+# ``doc_source_contamination`` ships every distinct (shingle, source)
+# row through the bucketed self-merge — correct, but the exchange is
+# shingle-volume sized.  The sketch ships ONE k-hash signature per
+# source per batch (k·8 bytes, merge = re-take the k smallest —
+# associative, so any combine tree is exact), and the driver estimates
+# each pair's Jaccard from the k-min of the signature union.  Error
+# ≈ 1/√k; tolerance-tested against the exact matrix on planted
+# overlaps, rows-only in the registry (approximate by construction).
+# ---------------------------------------------------------------------------
+
+CONTAM_SKETCH_K = 4096
+
+
+def doc_source_contamination_sketch(
+    sf_dir: str, *, k: int = CONTAM_SKETCH_K
+) -> pd.DataFrame:
+    from ocr_poc_ray.functions.dedup import (
+        _batch_token_hashes,
+        _doc_shingle_hashes,
+    )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["source", "text"])
+
+    def sig_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch["text"])
+        srcs = batch["source"].to_numpy()
+        per_src: dict = {}
+        for d in range(len(batch)):
+            tok = th[offsets[d] : offsets[d + 1]]
+            if len(tok) < 3:
+                continue
+            per_src.setdefault(srcs[d], []).append(_doc_shingle_hashes(tok, 3))
+        rows = []
+        for s, parts in per_src.items():
+            u = np.unique(np.concatenate(parts))  # uint64 ascending
+            rows.append({"source": s, "_sig": u[:k].tobytes()})
+        return pd.DataFrame(rows, columns=["source", "_sig"])
+
+    def sig_merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.uint64) for b in g["_sig"]]
+            )
+        )
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "_sig": [u[:k].tobytes()]}
+        )
+
+    sigs = (
+        ds.map_batches(sig_partial, batch_format="pandas")
+        .groupby("source")  # sources are bounded — safe per-key groups
+        .map_groups(sig_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if sigs.empty:
+        return pd.DataFrame(
+            {"source_a": pd.Series([], dtype=object),
+             "source_b": pd.Series([], dtype=object),
+             "est_jaccard": pd.Series([], dtype="float64")}
+        )
+    sig_map = {
+        s: np.frombuffer(b, dtype=np.uint64)
+        for s, b in zip(sigs["source"], sigs["_sig"])
+    }
+    srcs = sorted(sig_map)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sa, sb = sig_map[a], sig_map[b]
+            union_kmin = np.unique(np.concatenate([sa, sb]))[:k]
+            inter = np.isin(union_kmin, sa) & np.isin(union_kmin, sb)
+            est = float(inter.sum()) / max(len(union_kmin), 1)
+            rows.append(
+                {"source_a": a, "source_b": b, "est_jaccard": round(est, 6)}
+            )
+    return pd.DataFrame(rows).astype({"est_jaccard": "float64"})
+
+
 REGISTRY = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
+    "doc_source_contamination_sketch": (doc_source_contamination_sketch, None),
     "doc_bpe_learn": (doc_bpe_learn, None),
     "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
     "doc_soft_dedup_weights": (

@@ -260,3 +260,44 @@ def test_conv_turn_offsets_slice_doc_text(ray_session):
         doc = docs.loc[r.conv_id, "doc_text"]
         expect = turns.loc[(r.conv_id, r.turn_idx), "extracted_text"]
         assert doc[r.start_c : r.end_c] == expect
+
+
+def test_contamination_sketch_matches_exact(ray_session, tmp_path):
+    """Bottom-k contamination estimates vs the exact matrix on planted
+    overlap: exact when signatures are complete (k > universe), within
+    the 1/√k band when truncated."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.queries.documents import (
+        doc_source_contamination,
+        doc_source_contamination_sketch,
+    )
+
+    rng = np.random.default_rng(5)
+    shared = [" ".join(f"s{rng.integers(0, 500)}" for _ in range(40))
+              for _ in range(25)]
+    only_a = [" ".join(f"a{rng.integers(0, 500)}" for _ in range(40))
+              for _ in range(25)]
+    only_b = [" ".join(f"b{rng.integers(0, 500)}" for _ in range(40))
+              for _ in range(25)]
+    texts = shared + only_a + shared + only_b
+    srcs = ["srcA"] * 50 + ["srcB"] * 50
+    pq.write_table(
+        pa.table({"source": srcs, "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    exact = doc_source_contamination(str(tmp_path))
+    true_j = float(exact["jaccard"].iloc[0])
+    assert true_j > 0.2  # the plant is real
+
+    # complete signatures (k beyond the shingle universe) → exact
+    full = doc_source_contamination_sketch(str(tmp_path), k=100_000)
+    assert abs(float(full["est_jaccard"].iloc[0]) - true_j) < 1e-9
+
+    # truncated signatures → within the sampling band
+    small = doc_source_contamination_sketch(str(tmp_path), k=256)
+    err = abs(float(small["est_jaccard"].iloc[0]) - true_j)
+    assert err < 4.0 / np.sqrt(256), (true_j, float(small["est_jaccard"].iloc[0]))
