@@ -51,14 +51,26 @@ def ordered_prefix_sum(
     out_col: str,
     unique_col: str | None = None,
     sort_num_blocks: int | None = None,
+    op: str = "sum",
 ) -> Dataset:
-    """Inclusive global prefix sum of ``value_col`` in ``sort_cols``
+    """Inclusive global prefix scan of ``value_col`` in ``sort_cols``
     order (``value_col=None`` → 1-based global row number).
+
+    ``op`` picks the (associative) scan operator: ``"sum"`` (default)
+    or ``"max"`` — the latter is the streaming-watermark primitive
+    (``max(ts) over (order by arrival rows unbounded preceding)``);
+    same two-pass shape, the per-batch stitch just switches from
+    ``local + offset`` to ``max(local, offset)`` with an int64-min
+    identity.
 
     ``unique_col`` (default: last sort col) must be globally unique.
     Output keeps the input columns plus ``out_col`` (int64); row order
     is the sorted order up to Ray's block interleaving.
     """
+    if op not in ("sum", "max"):
+        raise ValueError(f"op must be 'sum' or 'max', got {op!r}")
+    if op == "max" and value_col is None:
+        raise ValueError("op='max' requires a value_col")
     unique_col = unique_col or sort_cols[-1]
     sk_cols = [f"_psum_sk{j}" for j in range(len(sort_cols))]
 
@@ -75,6 +87,8 @@ def ordered_prefix_sum(
             return batch
         if value_col is None:
             local = np.arange(1, len(batch) + 1, dtype=np.int64)
+        elif op == "max":
+            local = np.maximum.accumulate(batch[value_col].to_numpy(np.int64))
         else:
             local = np.cumsum(batch[value_col].to_numpy(np.int64))
         batch[_LOCAL] = local
@@ -102,9 +116,17 @@ def ordered_prefix_sum(
     groups = groups.drop_duplicates(_TAG).sort_values(
         [*sk_cols, _TAG], kind="mergesort"
     )
-    offsets = np.concatenate(
-        [[0], np.cumsum(groups[_TOT].to_numpy(np.int64))[:-1]]
-    ).astype(np.int64)
+    if op == "max":
+        # exclusive running max with the int64-min identity: batch 0
+        # has no predecessor, so its offset must never win the stitch.
+        tots = groups[_TOT].to_numpy(np.int64)
+        offsets = np.concatenate(
+            [[np.iinfo(np.int64).min], np.maximum.accumulate(tots)[:-1]]
+        ).astype(np.int64)
+    else:
+        offsets = np.concatenate(
+            [[0], np.cumsum(groups[_TOT].to_numpy(np.int64))[:-1]]
+        ).astype(np.int64)
     tags = groups[_TAG].to_numpy()
     order = np.argsort(tags, kind="stable")
     tags_ref = ray.put(tags[order])
@@ -119,7 +141,11 @@ def ordered_prefix_sum(
         tags_s = ray.get(tags_ref)
         offs = ray.get(offs_ref)
         idx = np.searchsorted(tags_s, batch[_TAG].to_numpy())
-        batch[out_col] = batch[_LOCAL].to_numpy(np.int64) + offs[idx]
+        local = batch[_LOCAL].to_numpy(np.int64)
+        if op == "max":
+            batch[out_col] = np.maximum(local, offs[idx])
+        else:
+            batch[out_col] = local + offs[idx]
         return batch.drop(columns=drop)
 
     return pinned.map_batches(add_offset, batch_format="pandas")

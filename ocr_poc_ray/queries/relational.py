@@ -3587,7 +3587,103 @@ def rel_value_tdigest(sf_dir: str) -> pd.DataFrame:
     return out.astype({"q": "float64", "est_value": "float64"})
 
 
+# ---------------------------------------------------------------------------
+# Watermark late-data quarantine — the streaming-ingest guard.  The
+# watermark is the running max event-time seen so far in ARRIVAL order
+# minus a fixed allowed lateness; events whose timestamp falls behind
+# it would miss their (already-closed) window and must be quarantined
+# for backfill.  The fixture's events are written pre-sorted by ts, so
+# arrival order is synthesized as the Knuth multiplicative permutation
+# of event_id (odd multiplier mod 2^32 is a bijection → unique arrival
+# keys; the same derivation idiom as the role/tool columns) — a
+# deterministic stand-in for shuffled multi-source ingest.  The running
+# max is `ordered_prefix_sum(op="max")` — one range-sort by arrival +
+# an O(blocks) stitch; the watermark test and lateness are row-local.
+# At 100 TB arrival order is the real ingest file/offset sequence and
+# the same two-pass scan applies.
+# ---------------------------------------------------------------------------
+
+LATE_WATERMARK_S = 14 * 86_400  # allowed lateness: 14 days (corpus spans 30)
+
+
+def rel_late_events(sf_dir: str) -> pd.DataFrame:
+    """Events later than the watermark (running max ts over arrival
+    order minus ``LATE_WATERMARK_S``), with integer lateness seconds.
+    Lateness is (runmax − ts) − W, both positive by the filter, so
+    DuckDB's truncating ``//`` and numpy's flooring ``//`` agree."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["event_id", "ts", "event_type"]
+    )
+
+    def to_us(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "arrival": (ids * 2654435761) % 4294967296,
+                "event_type": batch["event_type"].to_numpy(dtype=object),
+                "ts_us": batch["ts"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    scanned = ordered_prefix_sum(
+        ds.map_batches(to_us, batch_format="pandas"),
+        sort_cols=["arrival"],
+        value_col="ts_us",
+        out_col="wm_us",
+        op="max",
+    )
+
+    w_us = LATE_WATERMARK_S * 1_000_000
+
+    def quarantine(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts_us"].to_numpy(np.int64)
+        wm = batch["wm_us"].to_numpy(np.int64)
+        late = ts < wm - w_us
+        b = batch[late]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "event_type": b["event_type"].to_numpy(dtype=object),
+                "late_s": (wm[late] - ts[late] - w_us) // 1_000_000,
+            }
+        )
+
+    out = scanned.map_batches(quarantine, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "event_type": pd.Series([], dtype="object"),
+             "late_s": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("event_id")
+        .reset_index(drop=True)
+        .astype({"event_id": "int64", "late_s": "int64"})
+    )
+
+
+REL_LATE_EVENTS_SQL = f"""
+with w as (
+  select event_id, event_type, epoch_us(ts) as ts_us,
+         max(epoch_us(ts)) over (order by (event_id * 2654435761) % 4294967296
+                                 rows unbounded preceding) as wm_us
+  from events
+)
+select event_id, event_type,
+       ((wm_us - ts_us - {LATE_WATERMARK_S * 1_000_000}::BIGINT)
+          // 1000000)::BIGINT as late_s
+from w
+where ts_us < wm_us - {LATE_WATERMARK_S * 1_000_000}::BIGINT
+"""
+
+
 REGISTRY = {
+    "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
     "rel_value_ks_drift": (rel_value_ks_drift, REL_VALUE_KS_DRIFT_SQL),
     "rel_value_tdigest": (rel_value_tdigest, None),
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),

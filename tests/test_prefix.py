@@ -59,6 +59,39 @@ def test_row_number_with_duplicate_sort_prefix(ray_session):
     assert (out["rank"].to_numpy() == np.arange(1, len(df) + 1)).all()
 
 
+@pytest.mark.parametrize("n,blocks", [(1, 1), (97, 3), (5000, 16)])
+def test_prefix_max_matches_numpy(ray_session, n, blocks):
+    """op='max' — the watermark scan: running max including negatives
+    (the int64-min identity must not leak into batch 0's rows)."""
+    rng = np.random.default_rng(n + 1)
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(n).astype("int64"),
+            "v": rng.integers(-(10**6), 10**6, n).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    out = (
+        ordered_prefix_sum(
+            ds, sort_cols=["id"], value_col="v", out_col="wm",
+            sort_num_blocks=blocks, op="max",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("id").reset_index(drop=True)
+    exp["wm"] = np.maximum.accumulate(exp["v"].to_numpy())
+    pd.testing.assert_frame_equal(out[["id", "v", "wm"]], exp[["id", "v", "wm"]])
+
+
+def test_prefix_max_rejects_row_number():
+    with pytest.raises(ValueError):
+        ordered_prefix_sum(
+            None, sort_cols=["id"], value_col=None, out_col="x", op="max"
+        )
+
+
 def test_prefix_sum_string_sort_key(ray_session):
     """Rank by a string key (the deterministic-shuffle use case)."""
     df = pd.DataFrame({"id": np.arange(300, dtype="int64")})

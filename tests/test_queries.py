@@ -129,6 +129,7 @@ FAST_ORACLE = [
     "doc_bpe_top_pairs",
     "rel_value_ks_drift",
     "doc_ngram_novelty",
+    "rel_late_events",
 ]
 
 
