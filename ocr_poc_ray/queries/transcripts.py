@@ -1453,6 +1453,271 @@ where prev_id is not null
 """
 
 
+# ---------------------------------------------------------------------------
+# Role balance — the degenerate-conversation gate.  A healthy agent
+# transcript has comparable user and assistant character volume; a
+# conversation where one side is >10× the other is a training-data
+# smell (prompt spam, runaway generation, scraped monologue).  Pure
+# integer arithmetic end to end (no float ratio → no rounding-boundary
+# risk at the oracle): per-batch (conv, role) partial char sums, one
+# bounded combine (convs × 3 rows), row-local pivot + flag.
+# ---------------------------------------------------------------------------
+
+ROLE_BALANCE_FACTOR = 10  # degenerate when one side exceeds 10× the other
+
+
+def xs_role_balance(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation user/assistant/tool char volume and an
+    integer-exact degeneracy flag.  Roles derive from doc_id via the
+    Knuth permutation (the dialogue-pairs derivation)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        role = (ids * 2654435761) % 4294967296 % 3
+        b = pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_numpy(dtype=object),
+                "role": role,
+                "nc": batch["text"].str.len().to_numpy(np.int64),
+            }
+        )
+        return b.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
+    wide = g.pivot_table(
+        index="conv_id", columns="role", values="nc", aggfunc="sum", fill_value=0
+    )
+    out = pd.DataFrame({"conv_id": wide.index.to_numpy(dtype=object)})
+    for j, name in enumerate(["user", "assistant", "tool"]):
+        col = wide.get(j)
+        out[f"{name}_chars"] = (
+            col.to_numpy(np.int64) if col is not None else np.zeros(len(out), np.int64)
+        )
+    u = out["user_chars"].to_numpy(np.int64)
+    a = out["assistant_chars"].to_numpy(np.int64)
+    out["degenerate"] = (a > u * ROLE_BALANCE_FACTOR) | (u > a * ROLE_BALANCE_FACTOR)
+    return (
+        out.sort_values("conv_id")
+        .reset_index(drop=True)
+        .astype(
+            {"user_chars": "int64", "assistant_chars": "int64",
+             "tool_chars": "int64", "degenerate": "bool"}
+        )
+    )
+
+
+XS_ROLE_BALANCE_SQL = f"""
+with t as (
+  select source as conv_id,
+         (doc_id * 2654435761) % 4294967296 % 3 as role,
+         length(text) as nc
+  from documents
+), g as (
+  select conv_id,
+         sum(case when role = 0 then nc else 0 end)::BIGINT as user_chars,
+         sum(case when role = 1 then nc else 0 end)::BIGINT as assistant_chars,
+         sum(case when role = 2 then nc else 0 end)::BIGINT as tool_chars
+  from t group by conv_id
+)
+select conv_id, user_chars, assistant_chars, tool_chars,
+       (assistant_chars > user_chars * {ROLE_BALANCE_FACTOR}
+        or user_chars > assistant_chars * {ROLE_BALANCE_FACTOR}) as degenerate
+from g
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-turn (prompt-template) dedup — conversations opening with an
+# identical first turn share a prompt template; at crawl scale the
+# template census drives both dedup (keep k per template) and mixture
+# design.  Shape: per-batch (conv, min turn) partials → bounded
+# combine → broadcast sorted (conv → first-turn) arrays → one filtered
+# scan md5s ONLY the first turns → tiny template groupby.  Nothing
+# text-sized shuffles; the broadcast is O(conversations).
+# ---------------------------------------------------------------------------
+
+
+def xs_first_turn_dedup(sf_dir: str) -> pd.DataFrame:
+    """Template census: md5 of each conversation's first turn text,
+    with conversation counts and the lexicographically first conv_id
+    as the representative."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "conv_id": batch["source"].to_numpy(dtype=object),
+                    "doc_id": batch["doc_id"].to_numpy(np.int64),
+                }
+            )
+            .groupby("conv_id", as_index=False)
+            .agg(first_id=("doc_id", "min"))
+        )
+
+    firsts = (
+        ds.map_batches(partial_min, batch_format="pandas")
+        .to_pandas()
+        .groupby("conv_id", as_index=False)
+        .agg(first_id=("first_id", "min"))
+    )
+    convs = firsts["conv_id"].to_numpy(dtype=object)
+    order = np.argsort(convs, kind="stable")
+    convs_ref = ray.put(convs[order])
+    ids_ref = ray.put(firsts["first_id"].to_numpy(np.int64)[order])
+
+    def hash_first_turns(batch: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(convs_ref)
+        fid = ray.get(ids_ref)
+        conv = batch["source"].to_numpy(dtype=object)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        idx = np.searchsorted(cs, conv)
+        keep = fid[idx] == ids
+        b = batch[keep]
+        return pd.DataFrame(
+            {
+                "conv_id": b["source"].to_numpy(dtype=object),
+                "template_hash": [
+                    hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
+                    for t in b["text"].to_list()
+                ],
+            }
+        )
+
+    hashed = ds.map_batches(hash_first_turns, batch_format="pandas").to_pandas()
+    out = hashed.groupby("template_hash", as_index=False).agg(
+        n_convs=("conv_id", "size"), first_conv=("conv_id", "min")
+    )
+    return (
+        out.sort_values("template_hash")
+        .reset_index(drop=True)
+        .astype({"n_convs": "int64"})
+    )
+
+
+XS_FIRST_TURN_DEDUP_SQL = """
+with m as (
+  select source as conv_id, min(doc_id) as first_id
+  from documents group by source
+)
+select md5(d.text) as template_hash,
+       count(*)::BIGINT as n_convs,
+       min(d.source) as first_conv
+from documents d join m on d.source = m.conv_id and d.doc_id = m.first_id
+group by md5(d.text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding window export — overlapping fixed-size turn windows (window
+# 8, stride 4) per conversation: the training-data shape for long
+# conversations that exceed the context budget (each window is one
+# training example; the overlap preserves cross-boundary turns).  One
+# range-sort; each complete conversation is windowed inside
+# `keyed_sorted_match` (rank → the ≤2 windows a turn belongs to →
+# in-kernel aggregate), so output is O(turns / stride) window rows and
+# nothing per-turn shuffles twice.
+# ---------------------------------------------------------------------------
+
+WINDOW_TURNS = 8
+WINDOW_STRIDE = 4
+
+
+def xs_window_export(sf_dir: str) -> pd.DataFrame:
+    """Per (conversation, window) spans: start/end turn ids, turn count
+    and char volume, windows anchored every ``WINDOW_STRIDE`` ranks."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_numpy(dtype=object),
+                "turn_idx": batch["doc_id"].to_numpy(np.int64),
+                "nc": batch["text"].str.len().to_numpy(np.int64),
+            }
+        )
+
+    narrow = ds.map_batches(project, batch_format="pandas")
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        r = g.groupby("conv_id", sort=False).cumcount().to_numpy(np.int64)
+        w0 = r // WINDOW_STRIDE
+        frames = []
+        for w in (w0, w0 - 1):
+            keep = w >= 0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": g["conv_id"].to_numpy(dtype=object)[keep],
+                        "window_id": w[keep],
+                        "turn_idx": g["turn_idx"].to_numpy(np.int64)[keep],
+                        "nc": g["nc"].to_numpy(np.int64)[keep],
+                    }
+                )
+            )
+        e = pd.concat(frames, ignore_index=True)
+        return e.groupby(["conv_id", "window_id"], as_index=False).agg(
+            start_turn=("turn_idx", "min"),
+            end_turn=("turn_idx", "max"),
+            n_turns=("turn_idx", "size"),
+            n_chars=("nc", "sum"),
+        )
+
+    out = keyed_sorted_match(
+        narrow,
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "nc"],
+        match_fn=_match,
+        out_meta={
+            "conv_id": "object", "window_id": "int64", "start_turn": "int64",
+            "end_turn": "int64", "n_turns": "int64", "n_chars": "int64",
+        },
+    ).to_pandas()
+    return (
+        out.sort_values(["conv_id", "window_id"])
+        .reset_index(drop=True)
+        .astype(
+            {"window_id": "int64", "start_turn": "int64", "end_turn": "int64",
+             "n_turns": "int64", "n_chars": "int64"}
+        )
+    )
+
+
+XS_WINDOW_EXPORT_SQL = f"""
+with r as (
+  select source as conv_id, doc_id as turn_idx, length(text) as nc,
+         row_number() over (partition by source order by doc_id) - 1 as r
+  from documents
+), e as (
+  select conv_id, turn_idx, nc,
+         unnest(list_value(r // {WINDOW_STRIDE}, r // {WINDOW_STRIDE} - 1)) as w
+  from r
+)
+select conv_id, w as window_id,
+       min(turn_idx)::BIGINT as start_turn,
+       max(turn_idx)::BIGINT as end_turn,
+       count(*)::BIGINT as n_turns,
+       sum(nc)::BIGINT as n_chars
+from e
+where w >= 0
+group by conv_id, w
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_training_pipeline": (xs_training_pipeline, None),
@@ -1485,4 +1750,7 @@ REGISTRY = {
         xs_extract_spans_documents, XS_EXTRACT_SPANS_SQL,
     ),
     "xs_conv_turn_offsets": (xs_conv_turn_offsets, XS_CONV_TURN_OFFSETS_SQL),
+    "xs_role_balance": (xs_role_balance, XS_ROLE_BALANCE_SQL),
+    "xs_first_turn_dedup": (xs_first_turn_dedup, XS_FIRST_TURN_DEDUP_SQL),
+    "xs_window_export": (xs_window_export, XS_WINDOW_EXPORT_SQL),
 }

@@ -130,6 +130,9 @@ FAST_ORACLE = [
     "rel_value_ks_drift",
     "doc_ngram_novelty",
     "rel_late_events",
+    "xs_role_balance",
+    "xs_first_turn_dedup",
+    "xs_window_export",
 ]
 
 

@@ -1,0 +1,178 @@
+"""Planted-edge-case tests for the transcript export/gate operators
+(xs_role_balance, xs_first_turn_dedup, xs_window_export) and the
+watermark quarantine (rel_late_events) — engineered inputs the oracle
+tables can't produce: shared prompt templates, degenerate role
+balances on the exact 10× boundary, 1-turn conversations, a conv
+spanning every block, and an in-order arrival stream (zero late)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_poc_ray.queries.transcripts import (
+    XS_FIRST_TURN_DEDUP_SQL,
+    XS_ROLE_BALANCE_SQL,
+    XS_WINDOW_EXPORT_SQL,
+    xs_first_turn_dedup,
+    xs_role_balance,
+    xs_window_export,
+)
+
+
+def _write_docs(dirpath: str, df: pd.DataFrame) -> str:
+    df.to_parquet(os.path.join(dirpath, "documents.parquet"), index=False)
+    return dirpath
+
+
+def _oracle(dirpath: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{dirpath}/documents.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(tmp_path_factory):
+    """30 conversations: convs p0..p9 share first-turn text 'TEMPLATE A',
+    q0..q4 share 'TEMPLATE B', the rest are unique.  Conv 'solo' has a
+    single turn; conv 'giant' has 40 turns (spans blocks when
+    repartitioned).  doc_ids interleave conversations so batch-local
+    assumptions break."""
+    rows = []
+    did = 0
+
+    def add(conv, text):
+        nonlocal did
+        rows.append((did, text, "en", conv, len(text)))
+        did += 3  # non-contiguous ids; min-per-conv still first-added
+
+    for i in range(10):
+        add(f"p{i}", "TEMPLATE A")
+        add(f"p{i}", f"followup {i}")
+    for i in range(5):
+        add(f"q{i}", "TEMPLATE B")
+    for i in range(12):
+        add(f"u{i:02d}", f"unique opener {i}")
+        add(f"u{i:02d}", f"body {i} " * (i + 1))
+    add("solo", "just one turn")
+    for t in range(40):
+        add("giant", f"turn {t} of the giant conversation")
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path_factory.mktemp("planted_docs")
+    return _write_docs(str(d), df)
+
+
+def test_first_turn_dedup_counts_templates(ray_session, planted_docs):
+    out = xs_first_turn_dedup(planted_docs)
+    by_rep = out.set_index("first_conv")["n_convs"]
+    assert by_rep["p0"] == 10
+    assert by_rep["q0"] == 5
+    # every other conversation opens uniquely: 10+5+12+1+1 convs total
+    assert (out["n_convs"].sum()) == 29
+    assert len(out) == 1 + 1 + 12 + 1 + 1  # 16 distinct templates
+    exp = _oracle(planted_docs, XS_FIRST_TURN_DEDUP_SQL)
+    pd.testing.assert_frame_equal(
+        _canon(out), _canon(exp).astype({"n_convs": "int64"})
+    )
+
+
+def test_role_balance_integer_boundary(ray_session, tmp_path):
+    """Degeneracy is a strict > on exact integers: assistant == 10×user
+    must NOT flag; one char more must."""
+    # doc_ids chosen so knuth(id) % 3 gives role 0 (user) / 1 (assistant)
+    ids = np.arange(2000)
+    role = (ids * 2654435761) % 4294967296 % 3
+    u_ids = ids[role == 0]
+    a_ids = ids[role == 1]
+    rows = [
+        # conv 'edge': user 10 chars, assistant exactly 100 → NOT degenerate
+        (int(u_ids[0]), "u" * 10, "en", "edge", 10),
+        (int(a_ids[0]), "a" * 100, "en", "edge", 100),
+        # conv 'over': user 10 chars, assistant 101 → degenerate
+        (int(u_ids[1]), "u" * 10, "en", "over", 10),
+        (int(a_ids[1]), "a" * 101, "en", "over", 101),
+        # conv 'mono': assistant only (user_chars 0) → degenerate
+        (int(a_ids[2]), "a" * 5, "en", "mono", 5),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = _write_docs(str(tmp_path), df)
+    out = xs_role_balance(d).set_index("conv_id")
+    assert not out.loc["edge", "degenerate"]
+    assert out.loc["over", "degenerate"]
+    assert out.loc["mono", "degenerate"]
+    exp = _oracle(d, XS_ROLE_BALANCE_SQL)
+    pd.testing.assert_frame_equal(
+        _canon(out.reset_index()),
+        _canon(exp).astype(
+            {"user_chars": "int64", "assistant_chars": "int64",
+             "tool_chars": "int64", "degenerate": "bool"}
+        ),
+    )
+
+
+def test_window_export_spans_and_overlap(ray_session, planted_docs):
+    out = xs_window_export(planted_docs)
+    # solo conv: one window, rank 0 only
+    solo = out[out["conv_id"] == "solo"]
+    assert len(solo) == 1 and solo.iloc[0]["n_turns"] == 1
+    assert solo.iloc[0]["window_id"] == 0
+    # giant conv: 40 turns, stride 4 → windows 0..9, interior full at 8
+    giant = out[out["conv_id"] == "giant"].sort_values("window_id")
+    assert list(giant["window_id"]) == list(range(10))
+    assert (giant["n_turns"].to_numpy()[:-1] == 8).all()
+    assert giant["n_turns"].to_numpy()[-1] == 4  # tail window
+    # consecutive windows overlap by stride: window w starts 4 ranks in
+    g_turns = giant[["start_turn", "end_turn"]].to_numpy()
+    assert (g_turns[1:, 0] > g_turns[:-1, 0]).all()
+    assert (g_turns[1:, 0] <= g_turns[:-1, 1]).all()  # genuine overlap
+    exp = _oracle(planted_docs, XS_WINDOW_EXPORT_SQL)
+    pd.testing.assert_frame_equal(
+        _canon(out),
+        _canon(exp).astype(
+            {"window_id": "int64", "start_turn": "int64", "end_turn": "int64",
+             "n_turns": "int64", "n_chars": "int64"}
+        ),
+    )
+
+
+def test_late_events_in_order_stream_is_empty(ray_session, tmp_path):
+    """An arrival stream whose event-times are non-decreasing in the
+    PERMUTED arrival order has lateness 0 everywhere — the regression
+    that caught the original ns-vs-us timestamp bug."""
+    from ocr_poc_ray.queries.relational import rel_late_events
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    arrival = np.argsort((ids * 2654435761) % 4294967296, kind="stable")
+    ts = np.empty(n, dtype="datetime64[us]")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # assign increasing timestamps along the arrival sequence
+    ts[arrival] = base + np.arange(n).astype("timedelta64[s]")
+    df = pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": ts,
+            "user_id": ids % 7,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = rel_late_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_id", "event_type", "late_s"]
