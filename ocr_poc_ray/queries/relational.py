@@ -3682,8 +3682,69 @@ where ts_us < wm_us - {LATE_WATERMARK_S * 1_000_000}::BIGINT
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact grouped count-distinct — the pattern the sketches (HLL / CM)
+# approximate, done exactly: distinct (group, member) pairs via
+# per-batch local dedup + a hash-bucket distinct (buckets partition
+# members, so per-bucket counts ADD per group), then a bounded per-group
+# sum.  Nothing member-cardinality-sized is broadcast or collected; at
+# 100 TB the bucket count scales with `_scaled_buckets`.  The group
+# dimension (brand) attaches via a broadcast lookup, not a join.
+# ---------------------------------------------------------------------------
+
+
+def rel_brand_supplier_distinct(sf_dir: str) -> pd.DataFrame:
+    """Per part-brand EXACT distinct supplier count over lineitem (the
+    supply-base concentration audit; TPC-H Q16 shape without the
+    exclusion filters)."""
+    from ocr_poc_ray.functions.dedup import _scaled_buckets
+
+    brand_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_brand")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    )
+    nb = _scaled_buckets(ds, floor=16)
+
+    def local_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        brand, _hit = _lookup(ray.get(brand_ref), batch["l_partkey"].to_numpy())
+        b = pd.DataFrame(
+            {"p_brand": brand, "l_suppkey": batch["l_suppkey"].to_numpy(np.int64)}
+        ).drop_duplicates()
+        b["_hb"] = (b["l_suppkey"].to_numpy(np.int64) % nb).astype("int64")
+        return b
+
+    def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["p_brand", "l_suppkey"])
+        return d.groupby("p_brand", as_index=False).agg(n=("l_suppkey", "size"))
+
+    parts = (
+        ds.map_batches(local_pairs, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("p_brand", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_suppliers"})
+        .sort_values("p_brand", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_suppliers": "int64"})
+
+
+REL_BRAND_SUPPLIER_DISTINCT_SQL = """
+select p_brand, count(distinct l_suppkey)::BIGINT as n_suppliers
+from lineitem join part on l_partkey = p_partkey
+group by p_brand
+"""
+
+
 REGISTRY = {
     "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
+    "rel_brand_supplier_distinct": (
+        rel_brand_supplier_distinct, REL_BRAND_SUPPLIER_DISTINCT_SQL,
+    ),
     "rel_value_ks_drift": (rel_value_ks_drift, REL_VALUE_KS_DRIFT_SQL),
     "rel_value_tdigest": (rel_value_tdigest, None),
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),

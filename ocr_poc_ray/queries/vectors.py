@@ -353,6 +353,53 @@ def vec_top_eigen(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PCA_COMPONENTS = 2
+
+
+def vec_pca_project(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA projection: every embedding mapped onto the top
+    ``PCA_COMPONENTS`` principal axes — the dimensionality-reduction
+    step before visualization / cheap clustering at corpus scale.
+
+    Scale shape: the covariance comes from the same mergeable
+    (n, Σx, Σxᵀx) partials as ``vec_top_eigen`` (KB-sized per block);
+    ``eigh`` runs once on the driver (d×d); mean + basis broadcast via
+    ``ray.put`` (zero-copy numpy) and the projection is one matmul per
+    batch.  Nothing corpus-sized leaves the workers.
+
+    Determinism: eigenvectors are sign-ambiguous, so each axis is
+    canonicalized to have its largest-|coordinate| entry positive.
+    Rows-only driver check (no SQL eigendecomposition); exactness vs a
+    single-process numpy PCA is pinned by
+    tests/test_transcript_exports.py::test_pca_project_matches_numpy."""
+    n, s, xtx = _combined_moments(sf_dir)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    k = min(PCA_COMPONENTS, len(evals))
+    V = evecs[:, ::-1][:, :k]  # descending eigenvalue order
+    # sign canon: largest-|entry| coordinate of each axis is positive
+    flip = V[np.argmax(np.abs(V), axis=0), np.arange(k)] < 0
+    V = V * np.where(flip, -1.0, 1.0)
+    state = ray.put({"mean": mean, "V": V})
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(state)
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        P = (X - st["mean"]) @ st["V"]
+        out = {"vec_id": batch["vec_id"].to_numpy(np.int64)}
+        for j in range(P.shape[1]):
+            out[f"pc{j + 1}"] = np.round(P[:, j], 6)
+        return pd.DataFrame(out)
+
+    out = ds.map_batches(project, batch_format="pandas").to_pandas()
+    cast = {"vec_id": "int64"}
+    cast.update({f"pc{j + 1}": "float64" for j in range(k)})
+    return out.sort_values("vec_id").reset_index(drop=True).astype(cast)
+
+
 JOIN_PARTS = 8
 
 
@@ -751,6 +798,7 @@ REGISTRY = {
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
     "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
     "vec_top_eigen": (vec_top_eigen, None),
+    "vec_pca_project": (vec_pca_project, None),
     "vec_quality_centroids": (vec_quality_centroids, _vec_quality_centroids_sql()),
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),

@@ -133,6 +133,7 @@ FAST_ORACLE = [
     "xs_role_balance",
     "xs_first_turn_dedup",
     "xs_window_export",
+    "rel_brand_supplier_distinct",
 ]
 
 

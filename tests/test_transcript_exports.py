@@ -176,3 +176,32 @@ def test_late_events_in_order_stream_is_empty(ray_session, tmp_path):
     out = rel_late_events(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["event_id", "event_type", "late_s"]
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed moments + broadcast projection == single-process
+    numpy PCA with the same sign canon, to float64 round-off."""
+    from ocr_poc_ray.queries.vectors import PCA_COMPONENTS, vec_pca_project
+
+    sf = "/root/testdata/sf0.001"
+    out = vec_pca_project(sf)
+    t = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    V = evecs[:, ::-1][:, :PCA_COMPONENTS]
+    flip = V[np.argmax(np.abs(V), axis=0), np.arange(V.shape[1])] < 0
+    V = V * np.where(flip, -1.0, 1.0)
+    P = (X - mean) @ V
+    ref = pd.DataFrame(
+        {"vec_id": t["vec_id"].to_numpy(np.int64),
+         "pc1": P[:, 0], "pc2": P[:, 1]}
+    ).sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(ref)
+    np.testing.assert_allclose(
+        out[["pc1", "pc2"]].to_numpy(), ref[["pc1", "pc2"]].to_numpy(),
+        atol=1.5e-6,  # the 6-dp output rounding
+    )
+    # variance along pc1 ≈ top eigenvalue (population)
+    assert abs(out["pc1"].var(ddof=0) - evals[::-1][0]) < 1e-6
