@@ -1541,10 +1541,9 @@ from g
 # ---------------------------------------------------------------------------
 
 
-def xs_first_turn_dedup(sf_dir: str) -> pd.DataFrame:
-    """Template census: md5 of each conversation's first turn text,
-    with conversation counts and the lexicographically first conv_id
-    as the representative."""
+def _first_turn_hashes(sf_dir: str) -> pd.DataFrame:
+    """(conv_id, template_hash) — md5 of each conversation's first-turn
+    text.  Shared by the template census and the leakage-safe split."""
     import hashlib
 
     ds = ray.data.read_parquet(
@@ -1592,7 +1591,14 @@ def xs_first_turn_dedup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    hashed = ds.map_batches(hash_first_turns, batch_format="pandas").to_pandas()
+    return ds.map_batches(hash_first_turns, batch_format="pandas").to_pandas()
+
+
+def xs_first_turn_dedup(sf_dir: str) -> pd.DataFrame:
+    """Template census: md5 of each conversation's first turn text,
+    with conversation counts and the lexicographically first conv_id
+    as the representative."""
+    hashed = _first_turn_hashes(sf_dir)
     out = hashed.groupby("template_hash", as_index=False).agg(
         n_convs=("conv_id", "size"), first_conv=("conv_id", "min")
     )
@@ -1613,6 +1619,51 @@ select md5(d.text) as template_hash,
        min(d.source) as first_conv
 from documents d join m on d.source = m.conv_id and d.doc_id = m.first_id
 group by md5(d.text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Template-safe train/val split — the leakage unit for transcripts is
+# the prompt template, not the conversation: two conversations opening
+# with the same template share enough structure that putting one in
+# train and one in val leaks.  Split assignment is a pure function of
+# the template hash (an integer md5-prefix fraction, the
+# doc_train_split idiom), so same-template conversations land on the
+# same side BY CONSTRUCTION, the split is stable under corpus growth,
+# and both engines compare the same integers.
+# ---------------------------------------------------------------------------
+
+TEMPLATE_TRAIN_PCT = 90
+
+
+def xs_template_safe_split(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation train/val assignment keyed on the first-turn
+    template hash."""
+    hashed = _first_turn_hashes(sf_dir)
+    frac = np.asarray(
+        [int(h[:8], 16) % 100 for h in hashed["template_hash"]], dtype=np.int64
+    )
+    out = pd.DataFrame(
+        {
+            "conv_id": hashed["conv_id"].to_numpy(dtype=object),
+            "template_hash": hashed["template_hash"].to_numpy(dtype=object),
+            "split": np.where(frac < TEMPLATE_TRAIN_PCT, "train", "val").astype(
+                object
+            ),
+        }
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+XS_TEMPLATE_SAFE_SPLIT_SQL = f"""
+with m as (
+  select source as conv_id, min(doc_id) as first_id
+  from documents group by source
+)
+select d.source as conv_id, md5(d.text) as template_hash,
+       case when ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100
+                 < {TEMPLATE_TRAIN_PCT} then 'train' else 'val' end as split
+from documents d join m on d.source = m.conv_id and d.doc_id = m.first_id
 """
 
 
@@ -1752,5 +1803,6 @@ REGISTRY = {
     "xs_conv_turn_offsets": (xs_conv_turn_offsets, XS_CONV_TURN_OFFSETS_SQL),
     "xs_role_balance": (xs_role_balance, XS_ROLE_BALANCE_SQL),
     "xs_first_turn_dedup": (xs_first_turn_dedup, XS_FIRST_TURN_DEDUP_SQL),
+    "xs_template_safe_split": (xs_template_safe_split, XS_TEMPLATE_SAFE_SPLIT_SQL),
     "xs_window_export": (xs_window_export, XS_WINDOW_EXPORT_SQL),
 }

@@ -134,6 +134,7 @@ FAST_ORACLE = [
     "xs_first_turn_dedup",
     "xs_window_export",
     "rel_brand_supplier_distinct",
+    "xs_template_safe_split",
 ]
 
 

@@ -205,3 +205,24 @@ def test_pca_project_matches_numpy(ray_session):
     )
     # variance along pc1 ≈ top eigenvalue (population)
     assert abs(out["pc1"].var(ddof=0) - evals[::-1][0]) < 1e-6
+
+
+def test_template_safe_split_no_leakage(ray_session, planted_docs):
+    """Every conversation sharing a first-turn template lands on the
+    same side — the leakage invariant, by construction but asserted."""
+    from ocr_poc_ray.queries.transcripts import (
+        XS_TEMPLATE_SAFE_SPLIT_SQL,
+        xs_template_safe_split,
+    )
+
+    out = xs_template_safe_split(planted_docs)
+    assert len(out) == 29
+    per_template = out.groupby("template_hash")["split"].nunique()
+    assert (per_template == 1).all()
+    # the two planted template clusters are intact groups
+    a = out[out["conv_id"].str.startswith("p")]
+    b = out[out["conv_id"].str.startswith("q")]
+    assert a["template_hash"].nunique() == 1 and a["split"].nunique() == 1
+    assert b["template_hash"].nunique() == 1 and b["split"].nunique() == 1
+    exp = _oracle(planted_docs, XS_TEMPLATE_SAFE_SPLIT_SQL)
+    pd.testing.assert_frame_equal(_canon(out), _canon(exp))
