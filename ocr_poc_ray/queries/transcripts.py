@@ -1769,8 +1769,121 @@ group by conv_id, w
 """
 
 
+# ---------------------------------------------------------------------------
+# Transcript curation composite — the end-to-end "what ships to
+# training" pipeline for conversations, one oracle: extract every turn
+# → drop degenerate conversations (role balance) → drop duplicate
+# conversations (order-stable assembled fingerprint, min-conv winner)
+# → keep the template-safe TRAIN side → per-conversation rollup of the
+# surviving extracted turns.  The conv-level gates are each
+# conversation-count sized (every stage's own query returns them to
+# the driver anyway); the final pass broadcasts the sorted survivor
+# array and aggregates turn partials in one scan.  At crawl scale the
+# driver intersect becomes the `membership_flag` broadcast↔bloom
+# switch — the same size-switch every other gate in the repo uses.
+# ---------------------------------------------------------------------------
+
+
+def xs_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Surviving conversations with extracted-turn counts and char
+    volume after the role gate, exact conv dedup, and train-side
+    template split."""
+    balance = xs_role_balance(sf_dir)
+    ok_balance = set(balance.loc[~balance["degenerate"], "conv_id"])
+    winners = set(xs_conv_dedup(sf_dir)["conv_id"])
+    split = xs_template_safe_split(sf_dir)
+    train = set(split.loc[split["split"] == "train", "conv_id"])
+    survivors = np.sort(
+        np.asarray(list(ok_balance & winners & train), dtype=object)
+    )
+    surv_ref = ray.put(survivors)
+
+    ds = extract_transcripts(_documents_as_transcripts(sf_dir), ordered=False)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["success"]]
+        conv = b["conv_id"].to_numpy(dtype=object)
+        sv = ray.get(surv_ref)
+        if len(sv):
+            idx = np.searchsorted(sv, conv)
+            idx = np.minimum(idx, len(sv) - 1)
+            b = b[sv[idx] == conv]
+        else:
+            b = b.iloc[:0]
+        g = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(dtype=object),
+                "nc": b["extracted_text"].str.len().to_numpy(np.int64),
+            }
+        )
+        return g.groupby("conv_id", as_index=False).agg(
+            n_turns=("nc", "size"), total_chars=("nc", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "n_turns": pd.Series([], dtype="int64"),
+             "total_chars": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("conv_id", as_index=False).agg(
+        n_turns=("n_turns", "sum"), total_chars=("total_chars", "sum")
+    )
+    return (
+        out.sort_values("conv_id")
+        .reset_index(drop=True)
+        .astype({"n_turns": "int64", "total_chars": "int64"})
+    )
+
+
+XS_CURATION_PIPELINE_SQL = rf"""
+with t as (
+  select source as conv_id, doc_id,
+         (doc_id * 2654435761) % 4294967296 % 3 as role, text
+  from documents
+), bal as (
+  select conv_id
+  from (
+    select conv_id,
+           sum(case when role = 0 then length(text) else 0 end) as uc,
+           sum(case when role = 1 then length(text) else 0 end) as ac
+    from t group by conv_id
+  )
+  where not (ac > uc * {ROLE_BALANCE_FACTOR} or uc > ac * {ROLE_BALANCE_FACTOR})
+), e as (
+  select source as conv_id, doc_id as turn_idx,
+         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
+                        '\s+', ' ', 'g') as extracted_text
+  from documents
+), d as (
+  select conv_id,
+         string_agg(extracted_text, ' ' order by turn_idx) as doc_text
+  from e where extracted_text <> '' group by conv_id
+), win as (
+  select conv_id from d
+  qualify row_number() over (partition by md5(doc_text) order by conv_id) = 1
+), m as (
+  select source as conv_id, min(doc_id) as first_id from documents group by source
+), tr as (
+  select d2.source as conv_id
+  from documents d2 join m on d2.source = m.conv_id and d2.doc_id = m.first_id
+  where ('0x' || substr(md5(d2.text), 1, 8))::BIGINT % 100 < {TEMPLATE_TRAIN_PCT}
+)
+select e.conv_id, count(*)::BIGINT as n_turns,
+       sum(length(e.extracted_text))::BIGINT as total_chars
+from e
+join bal on e.conv_id = bal.conv_id
+join win on e.conv_id = win.conv_id
+join tr on e.conv_id = tr.conv_id
+where e.extracted_text <> ''
+group by e.conv_id
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
+    "xs_curation_pipeline": (xs_curation_pipeline, XS_CURATION_PIPELINE_SQL),
     "xs_training_pipeline": (xs_training_pipeline, None),
     "fields_extract_synth": (fields_extract_synth, None),
     "fields_postprocessed": (fields_postprocessed, None),

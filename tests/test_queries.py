@@ -135,6 +135,7 @@ FAST_ORACLE = [
     "xs_window_export",
     "rel_brand_supplier_distinct",
     "xs_template_safe_split",
+    "xs_curation_pipeline",
 ]
 
 

@@ -226,3 +226,64 @@ def test_template_safe_split_no_leakage(ray_session, planted_docs):
     assert b["template_hash"].nunique() == 1 and b["split"].nunique() == 1
     exp = _oracle(planted_docs, XS_TEMPLATE_SAFE_SPLIT_SQL)
     pd.testing.assert_frame_equal(_canon(out), _canon(exp))
+
+
+def test_curation_pipeline_gates(ray_session, tmp_path):
+    """Composite: the dedup loser, the role-degenerate conv, and
+    val-side convs are all absent; output matches the one-SQL mirror."""
+    import hashlib
+
+    from ocr_poc_ray.queries.transcripts import (
+        XS_CURATION_PIPELINE_SQL,
+        TEMPLATE_TRAIN_PCT,
+        xs_curation_pipeline,
+    )
+
+    ids = np.arange(4000)
+    role = (ids * 2654435761) % 4294967296 % 3
+    u_ids = list(map(int, ids[role == 0]))
+    a_ids = list(map(int, ids[role == 1]))
+    rows = []
+
+    def conv(name, texts, id_pool_pairs):
+        for text, did in zip(texts, id_pool_pairs):
+            rows.append((did, text, "en", name, len(text)))
+
+    used = set()
+
+    def a_after(u):
+        # assembled text follows doc_id order: the reply id must exceed
+        # the opener id or the two dup convs fingerprint differently
+        a = next(x for x in a_ids if x > u and x not in used)
+        used.add(a)
+        return a
+
+    # adup/bdup: identical balanced conversations → winner = min conv_id
+    dup_texts = ["shared duplicate opener", "shared duplicate reply"]
+    conv("adup", dup_texts, [u_ids[0], a_after(u_ids[0])])
+    conv("bdup", dup_texts, [u_ids[1], a_after(u_ids[1])])
+    # mono: assistant-only → degenerate
+    conv("mono", ["unbalanced monologue text"], [a_ids[20]])
+    # norm: balanced unique conversation
+    conv("norm", ["hello agent please help", "certainly here is the answer"],
+         [u_ids[2], a_after(u_ids[2])])
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = _write_docs(str(tmp_path), df)
+
+    out = xs_curation_pipeline(d)
+    got = set(out["conv_id"])
+
+    def in_train(first_text):
+        return int(hashlib.md5(first_text.encode()).hexdigest()[:8], 16) % 100 \
+            < TEMPLATE_TRAIN_PCT
+
+    assert "bdup" not in got            # dedup loser
+    assert "mono" not in got            # degenerate
+    assert ("adup" in got) == in_train("shared duplicate opener")
+    assert ("norm" in got) == in_train("hello agent please help")
+    assert "norm" in got                # fraction 36 — pinned train
+
+    exp = _oracle(d, XS_CURATION_PIPELINE_SQL).astype(
+        {"n_turns": "int64", "total_chars": "int64"}
+    )
+    pd.testing.assert_frame_equal(_canon(out), _canon(exp))
