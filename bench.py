@@ -134,7 +134,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         rel_asof_purchase_click,
         rel_sessionize,
     )
-    from ocr_poc_ray.queries.transcripts import fields_extract_synth, mm_phash_neardup
+    from ocr_poc_ray.queries.transcripts import (
+        fields_extract_synth,
+        mm_phash_neardup,
+        xs_curation_pipeline,
+    )
     from ocr_poc_ray.queries.vectors import vec_kmeans, vec_knn_cosine, vec_semantic_dedup
 
     out: dict[str, float] = {}
@@ -155,6 +159,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("phash_neardup", mm_phash_neardup),
         ("dsir_weights", doc_dsir_weights),
         ("ngram_novelty", doc_ngram_novelty),
+        ("curation_pipeline", xs_curation_pipeline),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)
