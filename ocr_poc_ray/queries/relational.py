@@ -3693,6 +3693,9 @@ where ts_us < wm_us - {LATE_WATERMARK_S * 1_000_000}::BIGINT
 # ---------------------------------------------------------------------------
 
 
+PACK_SUPP_BASE = 1 << 40  # suppkey < 2^40; brand codes tiny — no overflow
+
+
 def rel_brand_supplier_distinct(sf_dir: str) -> pd.DataFrame:
     """Per part-brand EXACT distinct supplier count over lineitem (the
     supply-base concentration audit; TPC-H Q16 shape without the
@@ -3706,16 +3709,31 @@ def rel_brand_supplier_distinct(sf_dir: str) -> pd.DataFrame:
     nb = _scaled_buckets(ds, floor=16)
 
     def local_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        brand, _hit = _lookup(ray.get(brand_ref), batch["l_partkey"].to_numpy())
-        b = pd.DataFrame(
-            {"p_brand": brand, "l_suppkey": batch["l_suppkey"].to_numpy(np.int64)}
-        ).drop_duplicates()
-        b["_hb"] = (b["l_suppkey"].to_numpy(np.int64) % nb).astype("int64")
-        return b
+        # dedup on INTEGER (brand code, suppkey) — np.unique over a
+        # packed int64, no object-string hashing in the corpus pass
+        st = ray.get(brand_ref)
+        keys = st["keys"]
+        pos = np.minimum(
+            np.searchsorted(keys, batch["l_partkey"].to_numpy()), len(keys) - 1
+        )
+        code = st["codes"][pos]
+        supp = batch["l_suppkey"].to_numpy(np.int64)
+        packed = np.unique(code * PACK_SUPP_BASE + supp)
+        return pd.DataFrame(
+            {
+                "_code": packed // PACK_SUPP_BASE,
+                "l_suppkey": packed % PACK_SUPP_BASE,
+                "_hb": (packed % PACK_SUPP_BASE) % nb,
+            }
+        )
 
     def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
-        d = group.drop_duplicates(["p_brand", "l_suppkey"])
-        return d.groupby("p_brand", as_index=False).agg(n=("l_suppkey", "size"))
+        packed = np.unique(
+            group["_code"].to_numpy(np.int64) * PACK_SUPP_BASE
+            + group["l_suppkey"].to_numpy(np.int64)
+        )
+        codes, counts = np.unique(packed // PACK_SUPP_BASE, return_counts=True)
+        return pd.DataFrame({"_code": codes, "n": counts})
 
     parts = (
         ds.map_batches(local_pairs, batch_format="pandas")
@@ -3723,14 +3741,19 @@ def rel_brand_supplier_distinct(sf_dir: str) -> pd.DataFrame:
         .map_groups(bucket_count, batch_format="pandas")
         .to_pandas()
     )
-    out = (
-        parts.groupby("p_brand", as_index=False)["n"]
-        .sum()
-        .rename(columns={"n": "n_suppliers"})
-        .sort_values("p_brand", kind="mergesort")
-        .reset_index(drop=True)
+    agg = parts.groupby("_code", as_index=False)["n"].sum()
+    cats = ray.get(brand_ref)["cats"]
+    out = pd.DataFrame(
+        {
+            "p_brand": cats[agg["_code"].to_numpy(np.int64)],
+            "n_suppliers": agg["n"].to_numpy(np.int64),
+        }
     )
-    return out.astype({"n_suppliers": "int64"})
+    return (
+        out.sort_values("p_brand", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_suppliers": "int64"})
+    )
 
 
 REL_BRAND_SUPPLIER_DISTINCT_SQL = """
