@@ -1584,10 +1584,15 @@ def _first_turn_hashes(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "conv_id": b["source"].to_numpy(dtype=object),
-                "template_hash": [
-                    hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
-                    for t in b["text"].to_list()
-                ],
+                # explicit object dtype: an all-filtered batch must not
+                # degrade the column to float64 (schema flip-flop)
+                "template_hash": pd.Series(
+                    [
+                        hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
+                        for t in b["text"].to_list()
+                    ],
+                    dtype=object,
+                ),
             }
         )
 
