@@ -1487,6 +1487,14 @@ def xs_role_balance(sf_dir: str) -> pd.DataFrame:
         return b.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "user_chars": pd.Series([], dtype="int64"),
+             "assistant_chars": pd.Series([], dtype="int64"),
+             "tool_chars": pd.Series([], dtype="int64"),
+             "degenerate": pd.Series([], dtype="bool")}
+        )
     g = parts.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
     wide = g.pivot_table(
         index="conv_id", columns="role", values="nc", aggfunc="sum", fill_value=0
@@ -1562,11 +1570,14 @@ def _first_turn_hashes(sf_dir: str) -> pd.DataFrame:
             .agg(first_id=("doc_id", "min"))
         )
 
-    firsts = (
-        ds.map_batches(partial_min, batch_format="pandas")
-        .to_pandas()
-        .groupby("conv_id", as_index=False)
-        .agg(first_id=("first_id", "min"))
+    firsts = ds.map_batches(partial_min, batch_format="pandas").to_pandas()
+    if firsts.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
+        firsts = pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "first_id": pd.Series([], dtype="int64")}
+        )
+    firsts = firsts.groupby("conv_id", as_index=False).agg(
+        first_id=("first_id", "min")
     )
     convs = firsts["conv_id"].to_numpy(dtype=object)
     order = np.argsort(convs, kind="stable")
@@ -1596,7 +1607,13 @@ def _first_turn_hashes(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return ds.map_batches(hash_first_turns, batch_format="pandas").to_pandas()
+    out = ds.map_batches(hash_first_turns, batch_format="pandas").to_pandas()
+    if out.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "template_hash": pd.Series([], dtype=object)}
+        )
+    return out
 
 
 def xs_first_turn_dedup(sf_dir: str) -> pd.DataFrame:
@@ -1743,6 +1760,15 @@ def xs_window_export(sf_dir: str) -> pd.DataFrame:
             "end_turn": "int64", "n_turns": "int64", "n_chars": "int64",
         },
     ).to_pandas()
+    if out.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "window_id": pd.Series([], dtype="int64"),
+             "start_turn": pd.Series([], dtype="int64"),
+             "end_turn": pd.Series([], dtype="int64"),
+             "n_turns": pd.Series([], dtype="int64"),
+             "n_chars": pd.Series([], dtype="int64")}
+        )
     return (
         out.sort_values(["conv_id", "window_id"])
         .reset_index(drop=True)

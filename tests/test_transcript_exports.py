@@ -287,3 +287,49 @@ def test_curation_pipeline_gates(ray_session, tmp_path):
         {"n_turns": "int64", "total_chars": "int64"}
     )
     pd.testing.assert_frame_equal(_canon(out), _canon(exp))
+
+
+def test_new_ops_empty_inputs(ray_session, tmp_path):
+    """Every operator added this wave returns a typed empty frame on an
+    empty table (the Ray 2.49 empty-to_pandas column-drop pitfall)."""
+    from ocr_poc_ray.queries.transcripts import (
+        xs_curation_pipeline,
+        xs_first_turn_dedup,
+        xs_role_balance,
+        xs_template_safe_split,
+        xs_window_export,
+    )
+    from ocr_poc_ray.queries.relational import rel_late_events
+
+    docs = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object),
+         "lang": pd.Series([], dtype=object),
+         "source": pd.Series([], dtype=object),
+         "n_chars": pd.Series([], dtype="int64")}
+    )
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    ev = pd.DataFrame(
+        {"event_id": pd.Series([], dtype="int64"),
+         "ts": pd.Series([], dtype="datetime64[us]"),
+         "user_id": pd.Series([], dtype="int64"),
+         "event_type": pd.Series([], dtype=object),
+         "value": pd.Series([], dtype="float64"),
+         "props": pd.Series([], dtype=object)}
+    )
+    ev.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    d = str(tmp_path)
+
+    for fn, cols in [
+        (xs_role_balance,
+         ["conv_id", "user_chars", "assistant_chars", "tool_chars", "degenerate"]),
+        (xs_first_turn_dedup, ["template_hash", "n_convs", "first_conv"]),
+        (xs_window_export,
+         ["conv_id", "window_id", "start_turn", "end_turn", "n_turns", "n_chars"]),
+        (xs_template_safe_split, ["conv_id", "template_hash", "split"]),
+        (xs_curation_pipeline, ["conv_id", "n_turns", "total_chars"]),
+        (rel_late_events, ["event_id", "event_type", "late_s"]),
+    ]:
+        out = fn(d)
+        assert len(out) == 0, fn.__name__
+        assert list(out.columns) == cols, (fn.__name__, list(out.columns))
