@@ -197,3 +197,165 @@ def kmeans_predict(
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Density-based clustering (DBSCAN) over cosine neighborhoods — the
+# non-parametric sibling of k-means for corpus structure discovery:
+# no k, arbitrary cluster shapes, an explicit noise label for the
+# isolated tail.  Composition of existing scale primitives:
+#
+#   1. ε-neighbor pairs  = `embedding_near_dup_pairs` (blocked exact
+#      grid, or LSH buckets via nbits for the 100-TB path);
+#   2. degrees           = per-batch endpoint counts + bounded
+#      hash-bucket combine (never vocabulary-sized on the driver);
+#   3. core flags        = `membership_flag`'s broadcast ↔ bloom switch;
+#   4. clusters          = `connected_components_auto` over core-core
+#      edges (union-find below 1 M edges, min-label dataflow above);
+#   5. border attach     = min core-neighbor cluster per non-core id —
+#      a bounded-bucket min combine over (non-core, core-cluster) rows.
+#
+# Rules (deterministic): core iff ≥ min_neighbors ε-neighbors
+# (excluding self); cluster id = min core vec_id in the component;
+# border point = non-core with ≥1 core neighbor, labeled with the MIN
+# cluster id among its core neighbors; everything else noise = -1.
+# ---------------------------------------------------------------------------
+
+
+def dbscan_cosine(
+    ds: Dataset,
+    *,
+    threshold: float,
+    min_neighbors: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 0,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """(vec_id, cluster, is_core) for every input id; noise = -1."""
+    import ray as _ray
+
+    from ocr_poc_ray.functions.dedup import (
+        connected_components_auto,
+        membership_flag,
+    )
+    from ocr_poc_ray.functions.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        ds, threshold=threshold, nbits=nbits, id_col=id_col, vec_col=vec_col
+    ).materialize()  # read by the degree, core-core, and border passes
+
+    # --- degrees (neighbor counts, self excluded by pair construction)
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame(
+            {"vec_id": u, "n": c, "_hb": u % num_buckets}
+        )
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("vec_id", as_index=False)["n"].sum()
+        return agg[agg["n"] >= min_neighbors][["vec_id"]]
+
+    core_ds = (
+        pairs.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(deg_combine, batch_format="pandas")
+    )
+
+    # --- flag pair endpoints against the core set (broadcast↔bloom)
+    flagged = membership_flag(pairs, "id_a", core_ds, "vec_id").map_batches(
+        lambda b: b.rename(columns={"_in_set": "a_core"}), batch_format="pandas"
+    )
+    flagged = membership_flag(flagged, "id_b", core_ds, "vec_id").map_batches(
+        lambda b: b.rename(columns={"_in_set": "b_core"}), batch_format="pandas"
+    ).materialize()  # read by the core-core and border passes
+
+    # --- clusters over core-core edges (component = min core id)
+    core_edges = flagged.map_batches(
+        lambda b: b.loc[b["a_core"] & b["b_core"], ["id_a", "id_b"]].rename(
+            columns={"id_a": "doc_a", "id_b": "doc_b"}
+        ),
+        batch_format="pandas",
+    )
+    comp = connected_components_auto(core_edges).to_pandas()
+    if comp.empty:
+        comp = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "component": pd.Series([], dtype="int64")}
+        )
+    # an isolated core point (all neighbors border) forms its own
+    # cluster: components only sees EDGES, so add singletons explicitly
+    core_all = core_ds.to_pandas()
+    core_ids = (
+        core_all["vec_id"].to_numpy(np.int64) if len(core_all)
+        else np.array([], dtype=np.int64)
+    )
+    missing = np.setdiff1d(core_ids, comp["doc_id"].to_numpy(np.int64))
+    if len(missing):
+        comp = pd.concat(
+            [comp, pd.DataFrame({"doc_id": missing, "component": missing})],
+            ignore_index=True,
+        )
+    comp_sorted = comp.sort_values("doc_id")
+    comp_ids = comp_sorted["doc_id"].to_numpy(np.int64)
+    comp_lbl = comp_sorted["component"].to_numpy(np.int64)
+    cref = _ray.put(comp_ids)
+    lref = _ray.put(comp_lbl)
+
+    # --- border attach: min core-neighbor cluster per non-core id
+    def border_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ci = _ray.get(cref)
+        cl = _ray.get(lref)
+        rows = []
+        for nc, co in (("id_a", "id_b"), ("id_b", "id_a")):
+            m = (~b[f"{nc[3]}_core"].to_numpy()) & b[f"{co[3]}_core"].to_numpy()
+            if not m.any():
+                continue
+            non = b[nc].to_numpy(np.int64)[m]
+            cor = b[co].to_numpy(np.int64)[m]
+            pos = np.searchsorted(ci, cor)
+            rows.append(pd.DataFrame({"vec_id": non, "cluster": cl[pos]}))
+        if not rows:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64"),
+                 "_hb": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat(rows, ignore_index=True)
+        out = out.groupby("vec_id", as_index=False)["cluster"].min()
+        out["_hb"] = out["vec_id"].to_numpy(np.int64) % num_buckets
+        return out
+
+    def border_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("vec_id", as_index=False)["cluster"].min()
+
+    border = (
+        flagged.map_batches(border_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(border_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if border.empty:
+        border = pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cluster": pd.Series([], dtype="int64")}
+        )
+    border = border[~border["vec_id"].isin(comp_ids)]
+
+    # --- assemble full labeling over every input id
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].to_numpy(np.int64)
+    out = pd.DataFrame({"vec_id": np.sort(all_ids)})
+    lbl = np.full(len(out), -1, dtype=np.int64)
+    pos = np.searchsorted(out["vec_id"].to_numpy(), comp_ids)
+    lbl[pos] = comp_lbl
+    is_core = np.zeros(len(out), dtype=bool)
+    is_core[np.searchsorted(out["vec_id"].to_numpy(), core_ids)] = True
+    if len(border):
+        bpos = np.searchsorted(out["vec_id"].to_numpy(), border["vec_id"].to_numpy(np.int64))
+        lbl[bpos] = border["cluster"].to_numpy(np.int64)
+    out["cluster"] = lbl
+    out["is_core"] = is_core
+    return out.astype({"vec_id": "int64", "cluster": "int64", "is_core": "bool"})

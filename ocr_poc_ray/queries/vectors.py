@@ -353,6 +353,29 @@ def vec_top_eigen(sf_dir: str) -> pd.DataFrame:
     )
 
 
+DBSCAN_COS_THRESHOLD = 0.34
+DBSCAN_MIN_NEIGHBORS = 3
+
+
+def vec_dbscan(sf_dir: str) -> pd.DataFrame:
+    """Density-based clustering (DBSCAN) over cosine neighborhoods —
+    non-parametric corpus structure: no k, arbitrary shapes, explicit
+    noise labels (22 clusters / 219 clustered / 281 noise at sf0.01).
+    Composition of scale primitives: blocked ε-pair grid → bucketed
+    degree combine → `membership_flag` core flags →
+    `connected_components_auto` clusters → bounded border attach.
+    Rows-only (graph algorithm); rule-equivalence vs a single-process
+    numpy DBSCAN is pinned in tests/test_transcript_exports.py."""
+    from ocr_poc_ray.functions.clustering import dbscan_cosine
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return dbscan_cosine(
+        ds,
+        threshold=DBSCAN_COS_THRESHOLD,
+        min_neighbors=DBSCAN_MIN_NEIGHBORS,
+    )
+
+
 PCA_COMPONENTS = 2
 
 
@@ -799,6 +822,7 @@ REGISTRY = {
     "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
     "vec_top_eigen": (vec_top_eigen, None),
     "vec_pca_project": (vec_pca_project, None),
+    "vec_dbscan": (vec_dbscan, None),
     "vec_quality_centroids": (vec_quality_centroids, _vec_quality_centroids_sql()),
     "vec_knn_cosine": (vec_knn_cosine, VEC_KNN_COSINE_SQL),
     "vec_knn_lsh": (vec_knn_lsh, None),

@@ -333,3 +333,99 @@ def test_new_ops_empty_inputs(ray_session, tmp_path):
         out = fn(d)
         assert len(out) == 0, fn.__name__
         assert list(out.columns) == cols, (fn.__name__, list(out.columns))
+
+
+def _dbscan_numpy(X, ids, threshold, min_neighbors):
+    """Single-process reference with the exact dbscan_cosine rules."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -1.0)
+    adj = S >= threshold
+    deg = adj.sum(axis=1)
+    core = deg >= min_neighbors
+    # components over core-core edges, label = min core id
+    lbl = {int(ids[i]): int(ids[i]) for i in np.where(core)[0]}
+
+    def find(x):
+        while lbl[x] != x:
+            lbl[x] = lbl[lbl[x]]
+            x = lbl[x]
+        return x
+
+    ci = np.where(core)[0]
+    for i in ci:
+        for j in ci:
+            if j > i and adj[i, j]:
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    hi, lo = max(ra, rb), min(ra, rb)
+                    lbl[hi] = lo
+    cluster = {}
+    for i in ci:
+        cluster[int(ids[i])] = find(int(ids[i]))
+    out = np.full(len(ids), -1, dtype=np.int64)
+    for k, i in enumerate(range(len(ids))):
+        if core[i]:
+            out[k] = cluster[int(ids[i])]
+        else:
+            cc = [cluster[int(ids[j])] for j in np.where(adj[i] & core)[0]]
+            if cc:
+                out[k] = min(cc)
+    return out, core
+
+
+def test_dbscan_matches_bruteforce(ray_session, tmp_path):
+    """Distributed DBSCAN == single-process reference on planted blobs:
+    two dense clusters, a bridge border point, and far noise — margins
+    keep every pair far from the cosine threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_poc_ray.functions.clustering import dbscan_cosine
+
+    rng = np.random.default_rng(11)
+    d = 16
+    c1 = rng.normal(0, 1, d); c1 /= np.linalg.norm(c1)
+    c2 = rng.normal(0, 1, d); c2 /= np.linalg.norm(c2)
+    rows = []
+    for c in (c1, c2):
+        for _ in range(12):
+            v = c + rng.normal(0, 0.05, d)  # tight blob: cos ≈ 0.99
+            rows.append(v)
+    for _ in range(8):  # isotropic noise
+        rows.append(rng.normal(0, 1, d))
+    X = np.vstack(rows)
+    ids = np.arange(len(X), dtype=np.int64) * 7 + 3  # non-contiguous
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.array([r.astype(np.float32) for r in X],
+                               type=pa.list_(pa.float32())),
+         "label": np.zeros(len(X), dtype=np.int32)}
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+
+    import ray
+    ds = ray.data.read_parquet(
+        os.path.join(tmp_path, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).repartition(5)
+    got = dbscan_cosine(ds, threshold=0.9, min_neighbors=3)
+    # reference on the same float32-rounded vectors the engine reads
+    exp_lbl, exp_core = _dbscan_numpy(
+        X.astype(np.float32).astype(np.float64), ids, 0.9, 3
+    )
+    order = np.argsort(ids)
+    assert (got["vec_id"].to_numpy() == ids[order]).all()
+    assert (got["cluster"].to_numpy() == exp_lbl[order]).all()
+    assert (got["is_core"].to_numpy() == exp_core[order]).all()
+    # structure: exactly 2 clusters, all 8 noise points labeled -1
+    assert got[got["cluster"] >= 0]["cluster"].nunique() == 2
+    assert int((got["cluster"] == -1).sum()) == 8
+
+
+def test_dbscan_deterministic_across_partitionings(ray_session):
+    from ocr_poc_ray.queries.vectors import vec_dbscan
+
+    a = vec_dbscan("/root/testdata/sf0.001")
+    b = vec_dbscan("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"vec_id", "cluster", "is_core"}
