@@ -429,3 +429,46 @@ def test_dbscan_deterministic_across_partitionings(ray_session):
     b = vec_dbscan("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(a, b)
     assert set(a.columns) == {"vec_id", "cluster", "is_core"}
+
+
+def test_dbscan_lsh_path_no_cross_blob_merge(ray_session, tmp_path):
+    """nbits>0 routes pair generation through LSH buckets (the 100-TB
+    path): recall near the threshold may drop, but any cluster found
+    must stay inside one true blob — LSH can only LOSE edges, never
+    invent cross-blob ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    from ocr_poc_ray.functions.clustering import dbscan_cosine
+
+    rng = np.random.default_rng(23)
+    d = 16
+    blobs = []
+    for _ in range(3):
+        c = rng.normal(0, 1, d)
+        c /= np.linalg.norm(c)
+        blobs.append(c)
+    rows, truth = [], []
+    for bi, c in enumerate(blobs):
+        for _ in range(15):
+            rows.append(c + rng.normal(0, 0.04, d))
+            truth.append(bi)
+    X = np.vstack(rows)
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.array([r.astype(np.float32) for r in X],
+                               type=pa.list_(pa.float32())),
+         "label": np.zeros(len(X), dtype=np.int32)}
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(tmp_path, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).repartition(4)
+    out = dbscan_cosine(ds, threshold=0.9, min_neighbors=3, nbits=6)
+    truth = np.asarray(truth)
+    clustered = out[out["cluster"] >= 0]
+    assert len(clustered) > 0  # the buckets keep enough density to cluster
+    for _, grp in clustered.groupby("cluster"):
+        assert len(set(truth[grp["vec_id"].to_numpy()])) == 1
