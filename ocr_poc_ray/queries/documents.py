@@ -208,6 +208,57 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
 DOC_FINGERPRINT_SQL = "select doc_id, md5(text) as md5_fp from documents"
 
 
+def doc_langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID evaluation matrix: labeled lang × predicted lang
+    with counts — the classifier-quality audit every labeled corpus
+    gets before the predictor is trusted on unlabeled data.  Per-batch
+    (label, pred) partial counts (≤ |langs|² rows per batch), one tiny
+    combine; row-local prediction, zero exchange beyond the partials."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["lang", "lang_pred"], as_index=False).agg(
+            n=("doc_id", "size")
+        )
+
+    parts = add_langid(ds).map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=object),
+             "lang_pred": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+    return (
+        out.sort_values(["lang", "lang_pred"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
+DOC_LANGID_CONFUSION_SQL = f"""
+with m as (
+  select doc_id, lang,
+         {_lang_hits_sql('en')} as stop_hits_en,
+         {_lang_hits_sql('fr')} as stop_hits_fr,
+         {_lang_hits_sql('de')} as stop_hits_de,
+         {_lang_hits_sql('es')} as stop_hits_es
+  from documents
+), p as (
+  select lang,
+         case when stop_hits_en + stop_hits_fr + stop_hits_de + stop_hits_es = 0 then 'und'
+              when stop_hits_en >= stop_hits_fr and stop_hits_en >= stop_hits_de
+                   and stop_hits_en >= stop_hits_es then 'en'
+              when stop_hits_fr >= stop_hits_de and stop_hits_fr >= stop_hits_es then 'fr'
+              when stop_hits_de >= stop_hits_es then 'de'
+              else 'es' end as lang_pred
+  from m
+)
+select lang, lang_pred, count(*)::BIGINT as n
+from p group by lang, lang_pred
+"""
+
+
 def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()
@@ -4702,6 +4753,7 @@ REGISTRY = {
     "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
+    "doc_langid_confusion": (doc_langid_confusion, DOC_LANGID_CONFUSION_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     "doc_incremental_dedup": (doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),

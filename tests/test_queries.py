@@ -136,6 +136,7 @@ FAST_ORACLE = [
     "rel_brand_supplier_distinct",
     "xs_template_safe_split",
     "xs_curation_pipeline",
+    "doc_langid_confusion",
 ]
 
 
