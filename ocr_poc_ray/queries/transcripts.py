@@ -1800,6 +1800,94 @@ group by conv_id, w
 """
 
 
+def xs_window_export_text(sf_dir: str) -> pd.DataFrame:
+    """The materializing sibling of ``xs_window_export``: each window's
+    TRAINING EXAMPLE TEXT — member turns joined with a single space in
+    turn order.  The ≤ window/stride duplication of overlap export is
+    inherent; everything else is the same one-sort kernel, so output
+    bytes ≈ 2× corpus and still O(turns/stride) rows."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_numpy(dtype=object),
+                "turn_idx": batch["doc_id"].to_numpy(np.int64),
+                "text": batch["text"].to_numpy(dtype=object),
+            }
+        )
+
+    narrow = ds.map_batches(project, batch_format="pandas")
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        r = g.groupby("conv_id", sort=False).cumcount().to_numpy(np.int64)
+        w0 = r // WINDOW_STRIDE
+        frames = []
+        for w in (w0, w0 - 1):
+            keep = w >= 0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": g["conv_id"].to_numpy(dtype=object)[keep],
+                        "window_id": w[keep],
+                        "turn_idx": g["turn_idx"].to_numpy(np.int64)[keep],
+                        "text": g["text"].to_numpy(dtype=object)[keep],
+                    }
+                )
+            )
+        e = pd.concat(frames, ignore_index=True).sort_values(
+            ["conv_id", "window_id", "turn_idx"], kind="mergesort"
+        )
+        return e.groupby(["conv_id", "window_id"], as_index=False).agg(
+            window_text=("text", " ".join)
+        )
+
+    out = keyed_sorted_match(
+        narrow,
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "text"],
+        match_fn=_match,
+        out_meta={
+            "conv_id": "object", "window_id": "int64", "window_text": "object",
+        },
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "window_id": pd.Series([], dtype="int64"),
+             "window_text": pd.Series([], dtype=object)}
+        )
+    return (
+        out.sort_values(["conv_id", "window_id"])
+        .reset_index(drop=True)
+        .astype({"window_id": "int64"})
+    )
+
+
+XS_WINDOW_EXPORT_TEXT_SQL = f"""
+with r as (
+  select source as conv_id, doc_id as turn_idx, text,
+         row_number() over (partition by source order by doc_id) - 1 as r
+  from documents
+), e as (
+  select conv_id, turn_idx, text,
+         unnest(list_value(r // {WINDOW_STRIDE}, r // {WINDOW_STRIDE} - 1)) as w
+  from r
+)
+select conv_id, w as window_id,
+       string_agg(text, ' ' order by turn_idx) as window_text
+from e
+where w >= 0
+group by conv_id, w
+"""
+
+
 # ---------------------------------------------------------------------------
 # Transcript curation composite — the end-to-end "what ships to
 # training" pipeline for conversations, one oracle: extract every turn
@@ -1948,5 +2036,6 @@ REGISTRY = {
     "xs_role_balance": (xs_role_balance, XS_ROLE_BALANCE_SQL),
     "xs_first_turn_dedup": (xs_first_turn_dedup, XS_FIRST_TURN_DEDUP_SQL),
     "xs_template_safe_split": (xs_template_safe_split, XS_TEMPLATE_SAFE_SPLIT_SQL),
+    "xs_window_export_text": (xs_window_export_text, XS_WINDOW_EXPORT_TEXT_SQL),
     "xs_window_export": (xs_window_export, XS_WINDOW_EXPORT_SQL),
 }

@@ -137,6 +137,7 @@ FAST_ORACLE = [
     "xs_template_safe_split",
     "xs_curation_pipeline",
     "doc_langid_confusion",
+    "xs_window_export_text",
 ]
 
 

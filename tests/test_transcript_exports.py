@@ -472,3 +472,28 @@ def test_dbscan_lsh_path_no_cross_blob_merge(ray_session, tmp_path):
     assert len(clustered) > 0  # the buckets keep enough density to cluster
     for _, grp in clustered.groupby("cluster"):
         assert len(set(truth[grp["vec_id"].to_numpy()])) == 1
+
+
+def test_window_export_text_slices(ray_session, planted_docs):
+    """Window text == the space-joined member turns, windows overlap by
+    construction, and the text version agrees with the count version."""
+    from ocr_poc_ray.queries.transcripts import (
+        XS_WINDOW_EXPORT_TEXT_SQL,
+        xs_window_export,
+        xs_window_export_text,
+    )
+
+    txt = xs_window_export_text(planted_docs)
+    agg = xs_window_export(planted_docs)
+    m = txt.merge(agg, on=["conv_id", "window_id"])
+    assert len(m) == len(agg) == len(txt)
+    # n_chars counts turn chars; joined text adds (n_turns-1) spaces
+    exp_len = m["n_chars"] + (m["n_turns"] - 1)
+    assert (m["window_text"].str.len() == exp_len).all()
+    giant = txt[txt["conv_id"] == "giant"].sort_values("window_id")
+    assert giant.iloc[0]["window_text"].startswith("turn 0 of")
+    assert giant.iloc[1]["window_text"].startswith("turn 4 of")  # stride 4
+    exp = _oracle(planted_docs, XS_WINDOW_EXPORT_TEXT_SQL).astype(
+        {"window_id": "int64"}
+    )
+    pd.testing.assert_frame_equal(_canon(txt), _canon(exp))
