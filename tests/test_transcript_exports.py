@@ -497,3 +497,43 @@ def test_window_export_text_slices(ray_session, planted_docs):
         {"window_id": "int64"}
     )
     pd.testing.assert_frame_equal(_canon(txt), _canon(exp))
+
+
+def test_window_export_hot_conv_spans_blocks(ray_session, tmp_path):
+    """One conversation holding nearly every turn (5000 of 5040) spans
+    every sorted block — the edge combine must window it exactly once
+    and exactly right (reference: direct numpy windowing)."""
+    from ocr_poc_ray.queries.transcripts import (
+        WINDOW_STRIDE,
+        WINDOW_TURNS,
+        xs_window_export,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i * 2 + 1), f"t{i}", "en", "hot", 2 + len(str(i)))
+            for i in range(5000)]
+    for j in range(40):  # a handful of cold convs interleaved
+        rows.append((int(j * 250 * 2), f"cold{j}", "en", f"c{j % 8}", 5))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    df = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    d = _write_docs(str(tmp_path), df)
+
+    out = xs_window_export(d)
+    hot = out[out["conv_id"] == "hot"].sort_values("window_id").reset_index(drop=True)
+    n = 5000
+    n_windows = (n - 1) // WINDOW_STRIDE + 1
+    assert len(hot) == n_windows
+    # every interior window holds exactly WINDOW_TURNS turns
+    assert (hot["n_turns"].to_numpy()[:-2] == WINDOW_TURNS).all()
+    # reference: turn ids of conv 'hot' sorted, windowed directly
+    ids = np.sort(df.loc[df["source"] == "hot", "doc_id"].to_numpy(np.int64))
+    for w in (0, 1, n_windows // 2, n_windows - 1):
+        lo = w * WINDOW_STRIDE
+        members = ids[lo : lo + WINDOW_TURNS]
+        row = hot.iloc[w]
+        assert row["start_turn"] == members[0] and row["end_turn"] == members[-1]
+        assert row["n_turns"] == len(members)
+    # cold convs intact: 8 convs × 5 turns → 2 windows each
+    cold = out[out["conv_id"] != "hot"]
+    assert cold["conv_id"].nunique() == 8
+    assert (cold.groupby("conv_id").size() == 2).all()
