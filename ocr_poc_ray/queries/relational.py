@@ -3763,8 +3763,147 @@ group by p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Sole-late-supplier audit — the TPC-H Q21 shape (EXISTS + NOT EXISTS
+# against the same fact table) on the columns this schema has: credit
+# a supplier for every multi-supplier order where THEY shipped late
+# (ship > orderdate + 30 days) and every other supplier shipped on
+# time.  The only big-big exchange is the lineitem⋈orders hash join
+# (orderdate attach); per-order logic runs in hash buckets of
+# orderkey — (order, supplier, late) pairs packed into one int64, so
+# the dual-exists reduces to np.unique + reduceat segment scans, no
+# per-order pandas groups.
+# ---------------------------------------------------------------------------
+
+LATE_SHIP_DAYS = 30
+_PACK_SUPP_BITS = 20  # suppkey < 2^20; orderkey < 2^43 — packs in int64
+
+
+def rel_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """(s_name, n_waiting): per supplier, the count of orders with ≥2
+    distinct suppliers where they were the ONLY late shipper."""
+    name_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_name")
+    n_buckets = 16
+    late_us = LATE_SHIP_DAYS * 86_400_000_000
+
+    li = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def li_project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "ship_us": b["l_shipdate"]
+                .to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    joined = li.map_batches(li_project, batch_format="pandas").join(
+        orders, "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        late = (
+            b["ship_us"].to_numpy(np.int64)
+            - b["o_orderdate"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ) > late_us
+        # one row per (order, supplier) with the batch-local late max:
+        # pack pair into int64, unique, OR lateness via reduceat on the
+        # sorted pack order
+        pack = (ok << _PACK_SUPP_BITS) | sk
+        order_idx = np.argsort(pack, kind="stable")
+        ps, ls = pack[order_idx], late[order_idx]
+        u, starts = np.unique(ps, return_index=True)
+        any_late = np.maximum.reduceat(ls.astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "pair": u,
+                "late": any_late,
+                "_hb": (u >> _PACK_SUPP_BITS) % n_buckets,
+            }
+        )
+
+    def bucket_winners(g: pd.DataFrame) -> pd.DataFrame:
+        pack = g["pair"].to_numpy(np.int64)
+        late = g["late"].to_numpy(np.int64)
+        order_idx = np.argsort(pack, kind="stable")
+        ps, ls = pack[order_idx], late[order_idx]
+        u, starts = np.unique(ps, return_index=True)
+        pair_late = np.maximum.reduceat(ls, starts)  # cross-batch OR
+        okey = u >> _PACK_SUPP_BITS
+        o_starts = np.unique(okey, return_index=True)[1]
+        n_supp = np.diff(np.append(o_starts, len(okey)))
+        n_late = np.add.reduceat(pair_late, o_starts)
+        # qualifying orders: ≥2 suppliers, exactly one of them late
+        good = (n_supp >= 2) & (n_late == 1)
+        if not good.any():
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64")})
+        # the late pair inside each qualifying order's segment
+        seg_id = np.repeat(np.arange(len(o_starts)), n_supp)
+        take = pair_late.astype(bool) & good[seg_id]
+        return pd.DataFrame(
+            {"l_suppkey": (u[take] & ((1 << _PACK_SUPP_BITS) - 1))}
+        )
+
+    winners = (
+        joined.map_batches(pair_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_winners, batch_format="pandas")
+        .to_pandas()
+    )
+    if winners.empty:
+        return pd.DataFrame(
+            {"s_name": pd.Series([], dtype=object),
+             "n_waiting": pd.Series([], dtype="int64")}
+        )
+    sk = winners["l_suppkey"].to_numpy(np.int64)
+    u, c = np.unique(sk, return_counts=True)
+    names, _ = _lookup(ray.get(name_ref), u)
+    out = pd.DataFrame({"s_name": names, "n_waiting": c.astype(np.int64)})
+    return (
+        out.sort_values("s_name", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_waiting": "int64"})
+    )
+
+
+REL_SOLE_LATE_SUPPLIER_SQL = f"""
+with l as (
+  select l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + interval {LATE_SHIP_DAYS} day) as late
+  from lineitem join orders on l_orderkey = o_orderkey
+), per as (
+  select l_orderkey, l_suppkey, max(late::int) as late
+  from l group by l_orderkey, l_suppkey
+), o as (
+  select l_orderkey, count(*) as n_supp, sum(late) as n_late
+  from per group by l_orderkey
+), w as (
+  select per.l_suppkey
+  from per join o using (l_orderkey)
+  where o.n_supp >= 2 and o.n_late = 1 and per.late = 1
+)
+select s_name, count(*)::BIGINT as n_waiting
+from w join supplier on l_suppkey = s_suppkey
+group by s_name
+"""
+
+
 REGISTRY = {
     "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
+    "rel_sole_late_supplier": (
+        rel_sole_late_supplier, REL_SOLE_LATE_SUPPLIER_SQL,
+    ),
     "rel_brand_supplier_distinct": (
         rel_brand_supplier_distinct, REL_BRAND_SUPPLIER_DISTINCT_SQL,
     ),

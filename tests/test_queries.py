@@ -138,6 +138,7 @@ FAST_ORACLE = [
     "xs_curation_pipeline",
     "doc_langid_confusion",
     "xs_window_export_text",
+    "rel_sole_late_supplier",
 ]
 
 
