@@ -3899,10 +3899,79 @@ group by s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Customer order-count distribution — TPC-H Q13: how many customers
+# placed exactly k orders, INCLUDING k = 0 (the left-outer zero rows
+# are the point of the query).  Same join shape as
+# rel_customer_order_counts; the histogram is a second per-batch
+# partial (count-of-counts ≤ max-k rows per batch) + a tiny combine,
+# so the per-customer counts never reach the driver.
+# ---------------------------------------------------------------------------
+
+
+def rel_order_count_histogram(sf_dir: str) -> pd.DataFrame:
+    """(n_orders, n_customers) distribution with the zero bucket."""
+    orders = ray.data.read_parquet(_path(sf_dir, "orders"), columns=["o_custkey"])
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).size().rename(columns={"size": "pn"})
+        g["_hb"] = (g["o_custkey"] % 16).astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["pn"].sum()
+
+    counts = (
+        orders.map_batches(agg_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .repartition(8)
+    )
+    cust = ray.data.read_parquet(
+        _path(sf_dir, "customer"), columns=["c_custkey"]
+    ).repartition(8)
+    joined = cust.join(
+        counts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["pn"].fillna(0).astype("int64").to_numpy()
+        u, c = np.unique(k, return_counts=True)
+        return pd.DataFrame({"n_orders": u, "n_customers": c})
+
+    parts = joined.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"n_orders": pd.Series([], dtype="int64"),
+             "n_customers": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("n_orders", as_index=False)["n_customers"].sum()
+    return (
+        out.sort_values("n_orders", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_orders": "int64", "n_customers": "int64"})
+    )
+
+
+REL_ORDER_COUNT_HISTOGRAM_SQL = """
+with c as (
+  select c_custkey, count(o_orderkey) as n_orders
+  from customer left join orders on c_custkey = o_custkey
+  group by c_custkey
+)
+select n_orders::BIGINT as n_orders, count(*)::BIGINT as n_customers
+from c group by n_orders
+"""
+
+
 REGISTRY = {
     "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
     "rel_sole_late_supplier": (
         rel_sole_late_supplier, REL_SOLE_LATE_SUPPLIER_SQL,
+    ),
+    "rel_order_count_histogram": (
+        rel_order_count_histogram, REL_ORDER_COUNT_HISTOGRAM_SQL,
     ),
     "rel_brand_supplier_distinct": (
         rel_brand_supplier_distinct, REL_BRAND_SUPPLIER_DISTINCT_SQL,

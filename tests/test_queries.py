@@ -139,6 +139,7 @@ FAST_ORACLE = [
     "doc_langid_confusion",
     "xs_window_export_text",
     "rel_sole_late_supplier",
+    "rel_order_count_histogram",
 ]
 
 

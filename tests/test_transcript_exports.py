@@ -537,3 +537,32 @@ def test_window_export_hot_conv_spans_blocks(ray_session, tmp_path):
     cold = out[out["conv_id"] != "hot"]
     assert cold["conv_id"].nunique() == 8
     assert (cold.groupby("conv_id").size() == 2).all()
+
+
+def test_order_count_histogram_zero_bucket(ray_session, tmp_path):
+    """Order-less customers must surface as the k=0 bucket — the
+    left-outer rows the oracle fixture never exercises."""
+    from ocr_poc_ray.queries.relational import rel_order_count_histogram
+
+    pd.DataFrame({"c_custkey": np.arange(10, dtype=np.int64),
+                  "c_name": [f"c{i}" for i in range(10)],
+                  "c_nationkey": np.zeros(10, dtype=np.int64),
+                  "c_acctbal": np.zeros(10),
+                  "c_mktsegment": ["A"] * 10}).to_parquet(
+        os.path.join(tmp_path, "customer.parquet"), index=False)
+    # customers 0..5 get 1,1,2,2,3,3 orders; 6..9 get none
+    custs = [0, 1, 2, 2, 3, 3, 4, 4, 4, 5, 5, 5]
+    pd.DataFrame({"o_orderkey": np.arange(len(custs), dtype=np.int64),
+                  "o_custkey": np.asarray(custs, dtype=np.int64),
+                  "o_orderstatus": ["O"] * len(custs),
+                  "o_totalprice": np.ones(len(custs)),
+                  "o_orderdate": pd.to_datetime(["2024-01-01"] * len(custs)),
+                  "o_orderpriority": ["1-URGENT"] * len(custs)}).to_parquet(
+        os.path.join(tmp_path, "orders.parquet"), index=False)
+
+    out = rel_order_count_histogram(str(tmp_path)).set_index("n_orders")
+    assert out.loc[0, "n_customers"] == 4
+    assert out.loc[1, "n_customers"] == 2
+    assert out.loc[2, "n_customers"] == 2
+    assert out.loc[3, "n_customers"] == 2
+    assert out["n_customers"].sum() == 10
