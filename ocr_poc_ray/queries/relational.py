@@ -3965,6 +3965,92 @@ from c group by n_orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Bulk orders — TPC-H Q18 (large-volume customers): orders whose total
+# line quantity exceeds a threshold, with the customer attached.  The
+# HAVING-over-a-fact-groupby shape: per-batch (orderkey, qty) partials
+# → bounded-bucket exact combine → the row-local HAVING filter shrinks
+# the set to the tail BEFORE the orders join — prune at the exchange.
+# Quantities are small integers stored as doubles, so float64 sums are
+# exact and the > comparison cannot sit on a rounding boundary.
+# ---------------------------------------------------------------------------
+
+BULK_ORDER_MIN_QTY = 250
+
+
+def rel_bulk_orders(sf_dir: str) -> pd.DataFrame:
+    """(c_name, o_orderkey, o_totalprice, sum_qty) for orders with
+    total quantity > ``BULK_ORDER_MIN_QTY``."""
+    li = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", as_index=False).agg(q=("l_quantity", "sum"))
+        g["_hb"] = (g["l_orderkey"] % 16).astype("int64")
+        return g
+
+    def qty_combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_orderkey", as_index=False)["q"].sum()
+        return agg[agg["q"] > BULK_ORDER_MIN_QTY]  # HAVING before the join
+
+    bulky = (
+        li.map_batches(qty_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(qty_combine, batch_format="pandas")
+        .repartition(8)
+    )
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).repartition(8)
+    name_ref = _broadcast_lookup(sf_dir, "customer", "c_custkey", "c_name")
+    joined = orders.join(
+        bulky, "inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        names, _ = _lookup(ray.get(name_ref), b["o_custkey"].to_numpy())
+        return pd.DataFrame(
+            {
+                "c_name": names,
+                "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": np.round(b["o_totalprice"].to_numpy(), 2),
+                "sum_qty": np.rint(b["q"].to_numpy()).astype(np.int64),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"c_name": pd.Series([], dtype=object),
+             "o_orderkey": pd.Series([], dtype="int64"),
+             "o_totalprice": pd.Series([], dtype="float64"),
+             "sum_qty": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"o_orderkey": "int64", "o_totalprice": "float64",
+                 "sum_qty": "int64"})
+    )
+
+
+REL_BULK_ORDERS_SQL = f"""
+with q as (
+  select l_orderkey, sum(l_quantity) as sq
+  from lineitem group by l_orderkey
+  having sum(l_quantity) > {BULK_ORDER_MIN_QTY}
+)
+select c_name, o_orderkey,
+       round(o_totalprice, 2) as o_totalprice,
+       sq::BIGINT as sum_qty
+from q join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+"""
+
+
 REGISTRY = {
     "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
     "rel_sole_late_supplier": (
@@ -3973,6 +4059,7 @@ REGISTRY = {
     "rel_order_count_histogram": (
         rel_order_count_histogram, REL_ORDER_COUNT_HISTOGRAM_SQL,
     ),
+    "rel_bulk_orders": (rel_bulk_orders, REL_BULK_ORDERS_SQL),
     "rel_brand_supplier_distinct": (
         rel_brand_supplier_distinct, REL_BRAND_SUPPLIER_DISTINCT_SQL,
     ),

@@ -140,6 +140,7 @@ FAST_ORACLE = [
     "xs_window_export_text",
     "rel_sole_late_supplier",
     "rel_order_count_histogram",
+    "rel_bulk_orders",
 ]
 
 
