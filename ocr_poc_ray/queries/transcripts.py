@@ -1484,10 +1484,27 @@ def xs_role_balance(sf_dir: str) -> pd.DataFrame:
                 "nc": batch["text"].str.len().to_numpy(np.int64),
             }
         )
-        return b.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
+        g = b.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
+        g["_hb"] = (
+            pd.util.hash_array(g["conv_id"].to_numpy(dtype=object)) % 16
+        ).astype("int64")
+        return g
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    if parts.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
+    def combine(grp: pd.DataFrame) -> pd.DataFrame:
+        return grp.groupby(["conv_id", "role"], as_index=False).agg(
+            nc=("nc", "sum")
+        )
+
+    # conv-count-sized combine stays DISTRIBUTED (hash buckets partition
+    # conversations); only the final per-conv result is collected — the
+    # query's own output.
+    g = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if g.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
         return pd.DataFrame(
             {"conv_id": pd.Series([], dtype=object),
              "user_chars": pd.Series([], dtype="int64"),
@@ -1495,7 +1512,6 @@ def xs_role_balance(sf_dir: str) -> pd.DataFrame:
              "tool_chars": pd.Series([], dtype="int64"),
              "degenerate": pd.Series([], dtype="bool")}
         )
-    g = parts.groupby(["conv_id", "role"], as_index=False).agg(nc=("nc", "sum"))
     wide = g.pivot_table(
         index="conv_id", columns="role", values="nc", aggfunc="sum", fill_value=0
     )
@@ -1568,17 +1584,32 @@ def _first_turn_hashes(sf_dir: str) -> pd.DataFrame:
             )
             .groupby("conv_id", as_index=False)
             .agg(first_id=("doc_id", "min"))
+            .assign(
+                _hb=lambda g: (
+                    pd.util.hash_array(g["conv_id"].to_numpy(dtype=object)) % 16
+                ).astype("int64")
+            )
         )
 
-    firsts = ds.map_batches(partial_min, batch_format="pandas").to_pandas()
+    def combine_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("conv_id", as_index=False).agg(
+            first_id=("first_id", "min")
+        )
+
+    # conv-count-sized min combine stays distributed (buckets partition
+    # conversations); the collected result feeds the broadcast below —
+    # at crawl scale that broadcast is the membership_flag size switch.
+    firsts = (
+        ds.map_batches(partial_min, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine_min, batch_format="pandas")
+        .to_pandas()
+    )
     if firsts.empty:  # 0-row to_pandas drops columns (CLAUDE.md pitfall)
         firsts = pd.DataFrame(
             {"conv_id": pd.Series([], dtype=object),
              "first_id": pd.Series([], dtype="int64")}
         )
-    firsts = firsts.groupby("conv_id", as_index=False).agg(
-        first_id=("first_id", "min")
-    )
     convs = firsts["conv_id"].to_numpy(dtype=object)
     order = np.argsort(convs, kind="stable")
     convs_ref = ray.put(convs[order])
