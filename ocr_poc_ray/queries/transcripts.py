@@ -2031,9 +2031,111 @@ group by e.conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Tool latency audit — how long each tool keeps the conversation
+# waiting: for every tool turn, the gap to the NEXT turn in the
+# conversation (the tool's wall-cost as the transcript records it).
+# The lead is the one-sort edge pattern; totals stay integer seconds
+# (ts spacing is integral in the fixture shape), so no float crosses
+# the oracle boundary.
+# ---------------------------------------------------------------------------
+
+
+def xs_tool_latency(sf_dir: str) -> pd.DataFrame:
+    """(tool, n_calls, total_gap_s) over tool turns that have a next
+    turn; tools derive from doc_id via the Knuth permutation (the
+    xs_tool_runs derivation)."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    tools = np.asarray(TOOLS, dtype=object)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_numpy(dtype=object),
+                "turn_idx": ids,
+                "tool_code": (ids * 2654435761) % 4294967296 % 4,
+            }
+        )
+
+    narrow = ds.map_batches(project, batch_format="pandas")
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(dtype=object)
+        t = g["turn_idx"].to_numpy(np.int64)
+        code = g["tool_code"].to_numpy(np.int64)
+        nxt_same = np.empty(len(g), dtype=bool)
+        nxt_same[:-1] = conv[1:] == conv[:-1]
+        if len(g):
+            nxt_same[-1] = False
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[:-1] = t[1:] - t[:-1]  # ts spacing = 1 s per doc_id unit
+        keep = nxt_same & (code != 0)
+        return pd.DataFrame({"tool_code": code[keep], "gap_s": gap[keep]})
+
+    emitted = keyed_sorted_match(
+        narrow,
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "tool_code"],
+        match_fn=_match,
+        out_meta={"tool_code": "int64", "gap_s": "int64"},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("tool_code", as_index=False).agg(
+            n_calls=("gap_s", "size"), total_gap_s=("gap_s", "sum")
+        )
+
+    parts = emitted.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"tool": pd.Series([], dtype=object),
+             "n_calls": pd.Series([], dtype="int64"),
+             "total_gap_s": pd.Series([], dtype="int64")}
+        )
+    g = parts.groupby("tool_code", as_index=False).agg(
+        n_calls=("n_calls", "sum"), total_gap_s=("total_gap_s", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "tool": tools[g["tool_code"].to_numpy(np.int64)],
+            "n_calls": g["n_calls"].to_numpy(np.int64),
+            "total_gap_s": g["total_gap_s"].to_numpy(np.int64),
+        }
+    )
+    return (
+        out.sort_values("tool", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_calls": "int64", "total_gap_s": "int64"})
+    )
+
+
+XS_TOOL_LATENCY_SQL = """
+with t as (
+  select source as conv_id, doc_id,
+         list_value('', 'browse', 'code', 'search')[
+           (((doc_id * 2654435761) % 4294967296) % 4)::INT + 1] as tool,
+         lead(doc_id) over (partition by source order by doc_id) as nxt
+  from documents
+)
+select tool, count(*)::BIGINT as n_calls,
+       sum(nxt - doc_id)::BIGINT as total_gap_s
+from t
+where tool <> '' and nxt is not null
+group by tool
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_curation_pipeline": (xs_curation_pipeline, XS_CURATION_PIPELINE_SQL),
+    "xs_tool_latency": (xs_tool_latency, XS_TOOL_LATENCY_SQL),
     "xs_training_pipeline": (xs_training_pipeline, None),
     "fields_extract_synth": (fields_extract_synth, None),
     "fields_postprocessed": (fields_postprocessed, None),

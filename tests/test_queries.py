@@ -141,6 +141,7 @@ FAST_ORACLE = [
     "rel_sole_late_supplier",
     "rel_order_count_histogram",
     "rel_bulk_orders",
+    "xs_tool_latency",
 ]
 
 
