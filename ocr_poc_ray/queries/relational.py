@@ -4051,6 +4051,108 @@ join customer on o_custkey = c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval-union coverage — per user, the total wall-time covered by
+# the UNION of their activity intervals (event start, duration =
+# `value` seconds) and the island count: the classic sweep (sort by
+# start, running max of ends, new island when a start clears the
+# running max) that session windows can't express because intervals
+# OVERLAP.  One range-sort; islands and coverage are vectorized pandas
+# group cummax/shift inside the edge kernel; everything integer µs
+# (duration = cents × 10⁴, exact on both engines).
+# ---------------------------------------------------------------------------
+
+
+def rel_user_coverage_time(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_islands, covered_s) over the interval union."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        dur = np.rint(batch["value"].to_numpy() * 100).astype(np.int64) * 10_000
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "s_us": s,
+                "e_us": s + dur,
+            }
+        )
+
+    narrow = ds.map_batches(project, batch_format="pandas")
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "s_us", "e_us"], kind="mergesort")
+        by = g.groupby("user_id", sort=False)
+        prev_max = by["e_us"].cummax().groupby(g["user_id"], sort=False).shift(1)
+        brk = prev_max.isna() | (g["s_us"] > prev_max)
+        island = brk.cumsum()  # global ids; unique per user by the start-break
+        gi = g.assign(_island=island).groupby(
+            ["user_id", "_island"], as_index=False, sort=False
+        ).agg(s=("s_us", "min"), e=("e_us", "max"))
+        gi["c"] = gi["e"] - gi["s"]
+        out = gi.groupby("user_id", as_index=False, sort=False).agg(
+            n_islands=("_island", "size"), covered_us=("c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "n_islands": out["n_islands"].to_numpy(np.int64),
+                "covered_s": out["covered_us"].to_numpy(np.int64) // 1_000_000,
+            }
+        )
+
+    out = keyed_sorted_match(
+        narrow,
+        key_col="user_id",
+        sort_cols=["s_us", "e_us"],
+        in_cols=["user_id", "s_us", "e_us"],
+        match_fn=_match,
+        out_meta={"user_id": "int64", "n_islands": "int64", "covered_s": "int64"},
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "n_islands": pd.Series([], dtype="int64"),
+             "covered_s": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("user_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "n_islands": "int64", "covered_s": "int64"})
+    )
+
+
+REL_USER_COVERAGE_TIME_SQL = """
+with iv as (
+  select user_id, epoch_us(ts) as s,
+         epoch_us(ts) + round(value * 100)::BIGINT * 10000 as e
+  from events
+), o as (
+  select user_id, s, e,
+         max(e) over (partition by user_id order by s, e
+                      rows between unbounded preceding and 1 preceding)
+           as prev_max
+  from iv
+), g as (
+  select user_id, s, e,
+         sum(case when prev_max is null or s > prev_max then 1 else 0 end)
+           over (partition by user_id order by s, e
+                 rows unbounded preceding) as island
+  from o
+), i as (
+  select user_id, island, max(e) - min(s) as cov
+  from g group by user_id, island
+)
+select user_id, count(*)::BIGINT as n_islands,
+       (sum(cov) // 1000000)::BIGINT as covered_s
+from i group by user_id
+"""
+
+
 REGISTRY = {
     "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
     "rel_sole_late_supplier": (
@@ -4060,6 +4162,9 @@ REGISTRY = {
         rel_order_count_histogram, REL_ORDER_COUNT_HISTOGRAM_SQL,
     ),
     "rel_bulk_orders": (rel_bulk_orders, REL_BULK_ORDERS_SQL),
+    "rel_user_coverage_time": (
+        rel_user_coverage_time, REL_USER_COVERAGE_TIME_SQL,
+    ),
     "rel_brand_supplier_distinct": (
         rel_brand_supplier_distinct, REL_BRAND_SUPPLIER_DISTINCT_SQL,
     ),

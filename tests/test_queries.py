@@ -142,6 +142,7 @@ FAST_ORACLE = [
     "rel_order_count_histogram",
     "rel_bulk_orders",
     "xs_tool_latency",
+    "rel_user_coverage_time",
 ]
 
 

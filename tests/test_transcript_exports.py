@@ -566,3 +566,33 @@ def test_order_count_histogram_zero_bucket(ray_session, tmp_path):
     assert out.loc[2, "n_customers"] == 2
     assert out.loc[3, "n_customers"] == 2
     assert out["n_customers"].sum() == 10
+
+
+def test_user_coverage_interval_union(ray_session, tmp_path):
+    """Dense engineered overlaps: chained, nested, touching, and
+    disjoint intervals — coverage equals the hand-computed union."""
+    from ocr_poc_ray.queries.relational import rel_user_coverage_time
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+
+    def add(user, start_s, dur_s):
+        rows.append((len(rows), base + pd.Timedelta(seconds=start_s),
+                     user, "view", float(dur_s), "{}"))
+
+    # user 1: chain 0-10, 5-15, 14-20 → one island [0,20]=20s
+    add(1, 0, 10); add(1, 5, 10); add(1, 14, 6)
+    # user 1: disjoint 100-103 → second island 3s
+    add(1, 100, 3)
+    # user 2: nested 0-100, 10-20, 30-40 → one island 100s
+    add(2, 0, 100); add(2, 10, 10); add(2, 30, 10)
+    # user 3: touching endpoints 0-10, 10-20 → s == prev_max merges → 20s
+    add(3, 0, 10); add(3, 10, 10)
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = rel_user_coverage_time(str(tmp_path)).set_index("user_id")
+    assert out.loc[1, "n_islands"] == 2 and out.loc[1, "covered_s"] == 23
+    assert out.loc[2, "n_islands"] == 1 and out.loc[2, "covered_s"] == 100
+    assert out.loc[3, "n_islands"] == 1 and out.loc[3, "covered_s"] == 20
