@@ -87,7 +87,8 @@ with f as (
   from documents
 ), e as (
   select doc_id, n_blocks, len(kept) as n_kept,
-         regexp_replace(trim(array_to_string(kept, ' '), {_WS_CHARS}), '\s+', ' ', 'g')
+         coalesce(regexp_replace(trim(array_to_string(kept, ' '), {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '')
            as extracted_text
   from f
 )

@@ -116,8 +116,9 @@ _KEPT = (
 XS_EXTRACT_DOCUMENTS_SQL = rf"""
 with e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 )
 select conv_id, turn_idx, extracted_text,
@@ -140,8 +141,9 @@ def xs_conv_docs_documents(sf_dir: str) -> pd.DataFrame:
 XS_CONV_DOCS_DOCUMENTS_SQL = rf"""
 with e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 )
 select conv_id, count(*) as n_turns,
@@ -186,8 +188,9 @@ def xs_conv_pack(sf_dir: str) -> pd.DataFrame:
 XS_CONV_PACK_SQL = rf"""
 with e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 ), d as (
   select conv_id,
@@ -635,8 +638,9 @@ def xs_conv_stats(sf_dir: str) -> pd.DataFrame:
 XS_CONV_STATS_SQL = rf"""
 with e as (
   select source as conv_id,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 )
 select conv_id, count(*) as n_turns,
@@ -769,8 +773,9 @@ def xs_extract_lang_stats(sf_dir: str) -> pd.DataFrame:
 XS_EXTRACT_LANG_STATS_SQL = rf"""
 with e as (
   select doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 )
 select d.lang, count(*)::BIGINT as n_turns,
@@ -819,8 +824,9 @@ with e as (
   select doc_id,
          case doc_id % 3 when 0 then 'user' when 1 then 'assistant'
               else 'tool' end as role,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 )
 select role, count(*)::BIGINT as n_turns,
@@ -918,8 +924,9 @@ def xs_conv_dedup(sf_dir: str) -> pd.DataFrame:
 XS_CONV_DEDUP_SQL = rf"""
 with e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 ), d as (
   select conv_id,
@@ -989,8 +996,9 @@ def xs_context_window_chars(sf_dir: str) -> pd.DataFrame:
 XS_CONTEXT_WINDOW_SQL = rf"""
 with e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 )
 select conv_id, turn_idx,
@@ -1107,8 +1115,9 @@ def xs_conv_turn_offsets(sf_dir: str) -> pd.DataFrame:
 XS_CONV_TURN_OFFSETS_SQL = rf"""
 with e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 ), s as (
   select conv_id, turn_idx, length(extracted_text) + 1 as w
@@ -2003,8 +2012,9 @@ with t as (
   where not (ac > uc * {ROLE_BALANCE_FACTOR} or uc > ac * {ROLE_BALANCE_FACTOR})
 ), e as (
   select source as conv_id, doc_id as turn_idx,
-         regexp_replace(trim(array_to_string({_KEPT}, ' '), {_WS_CHARS}),
-                        '\s+', ' ', 'g') as extracted_text
+         coalesce(regexp_replace(trim(array_to_string({_KEPT}, ' '),
+                                      {_WS_CHARS}),
+                                 '\s+', ' ', 'g'), '') as extracted_text
   from documents
 ), d as (
   select conv_id,
