@@ -45,6 +45,23 @@ DIFF_QUERIES = [
     "xs_tool_latency",
     "xs_conv_turn_offsets",
     "xs_extract_documents",
+    # second wave — integer/string outputs over the generated tables
+    "doc_source_lang_matrix",
+    "doc_fingerprint",
+    "doc_dup_components_exact",
+    "doc_length_ntile",
+    "doc_lang_source_rollup",
+    "doc_lang_source_cube",
+    "rel_user_funnel",
+    "rel_viewers_never_purchased",
+    "rel_cumulative_users",
+    "rel_rolling_active_users",
+    "rel_distinct_users",
+    "rel_props_json",
+    "xs_dialogue_pairs",
+    "xs_role_transitions",
+    "xs_conv_pack",
+    "xs_truncate_to_budget",
 ]
 
 _STOP = {
