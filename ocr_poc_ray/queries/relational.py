@@ -4153,7 +4153,543 @@ from i group by user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shape wave 4: Q14 / Q17 / Q11 / Q19 / Q15 / Q22 analogs over the
+# driver tables (no partsupp in the corpus, so Q2/Q11/Q20's partsupp side
+# is re-expressed over lineitem).  All follow the engine's fact-scan
+# shapes: broadcast dimension lookups inside the lineitem scan, per-batch
+# partial aggregation, one bounded combine; money totals use the
+# integer-cents convention where the oracle compares an argmax/HAVING
+# boundary (summation-order noise must not flip a comparison).
+# ---------------------------------------------------------------------------
+
+
+def rel_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: per ship-month, promotional revenue vs total.
+
+    (ym, promo_revenue, total_revenue, n_lines) with ym = year*100+month.
+    p_type arrives via the broadcast partkey lookup inside the lineitem
+    scan; months are a bounded dimension (~84), so the final combine is
+    a tiny per-month groupby.
+    """
+    type_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_type")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ptype, hit = _lookup(ray.get(type_ref), batch["l_partkey"].to_numpy())
+        idx = pd.DatetimeIndex(batch["l_shipdate"])
+        ym = (idx.year.to_numpy() * 100 + idx.month.to_numpy()).astype(np.int64)
+        # exact integer micents: cents x (100 - discount_pct) — a 2-dp
+        # rounded float SUM hit a boundary here (52659.425), so the money
+        # path is integer end-to-end
+        cents = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        mc = cents * (100 - dpct)
+        b = pd.DataFrame(
+            {
+                "ym": ym[hit],
+                "promo": np.where(ptype[hit] == "PROMO", mc[hit], 0),
+                "mc": mc[hit],
+            }
+        )
+        return b.groupby("ym", as_index=False).agg(
+            promo=("promo", "sum"), mc=("mc", "sum"), n=("mc", "size")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ym": [int(group["ym"].iloc[0])],
+                "promo_micents": [int(group["promo"].sum())],
+                "total_micents": [int(group["mc"].sum())],
+                "n_lines": [int(group["n"].sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ym")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"ym": pd.Series([], dtype="int64"),
+             "promo_micents": pd.Series([], dtype="int64"),
+             "total_micents": pd.Series([], dtype="int64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("ym", kind="mergesort").reset_index(drop=True)
+        .astype({"ym": "int64", "promo_micents": "int64",
+                 "total_micents": "int64", "n_lines": "int64"})
+    )
+
+
+REL_PROMO_REVENUE_SQL = """
+select (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT as ym,
+       sum(case when p_type = 'PROMO'
+                then cast(round(l_extendedprice * 100) as bigint)
+                     * (100 - cast(round(l_discount * 100) as bigint))
+                else 0 end)::BIGINT as promo_micents,
+       sum(cast(round(l_extendedprice * 100) as bigint)
+           * (100 - cast(round(l_discount * 100) as bigint)))::BIGINT
+         as total_micents,
+       count(*)::BIGINT as n_lines
+from lineitem join part on l_partkey = p_partkey
+group by 1
+"""
+
+
+def rel_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20 %
+    of the part's average ordered quantity, rolled up per brand.
+
+    Pass 1 builds the per-part (sum_qty, n) via per-batch partials and a
+    bounded hash-bucket combine; the result is part-dimension-sized, so
+    it broadcasts (at 100 TB with a fact-sized part dimension this flips
+    to the partitioned-join shape of rel_mktsegment_revenue_hashjoin).
+    The 0.2*avg comparison is float64-exact on both engines: quantity
+    sums are integer-valued doubles, so sum/count is bit-identical
+    regardless of summation order.
+    """
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    ds = ray.data.read_parquet(_path(sf_dir, "lineitem"), columns=li_cols)
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_partkey", as_index=False).agg(
+            sq=("l_quantity", "sum"), n=("l_quantity", "size")
+        )
+        g["_hb"] = (g["l_partkey"] % 16).astype("int64")
+        return g
+
+    def qty_combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_partkey", as_index=False).agg(
+            sq=("sq", "sum"), n=("n", "sum")
+        )
+        agg["avg_qty"] = agg["sq"] / agg["n"]
+        return agg[["l_partkey", "avg_qty"]]
+
+    avg_df = (
+        ds.map_batches(qty_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(qty_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    pk = avg_df["l_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk, kind="stable")
+    avg_ref = ray.put((pk[order], avg_df["avg_qty"].to_numpy(np.float64)[order]))
+    brand_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_brand")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, avgs = ray.get(avg_ref)
+        part = batch["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, part)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        avg = np.where(keys[pos] == part, avgs[pos], np.inf)
+        small = batch["l_quantity"].to_numpy() < 0.2 * avg
+        brand, hit = _lookup(ray.get(brand_ref), part)
+        m = small & hit
+        b = pd.DataFrame(
+            {"p_brand": brand[m],
+             "price": batch["l_extendedprice"].to_numpy()[m]}
+        )
+        return b.groupby("p_brand", as_index=False).agg(
+            price=("price", "sum"), n=("price", "size")
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [group["p_brand"].iloc[0]],
+                "small_qty_price": [round(group["price"].sum(), 2)],
+                "n_lines": [int(group["n"].sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"p_brand": pd.Series([], dtype=object),
+             "small_qty_price": pd.Series([], dtype="float64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("p_brand", kind="mergesort").reset_index(drop=True)
+        .astype({"small_qty_price": "float64", "n_lines": "int64"})
+    )
+
+
+REL_SMALL_QTY_REVENUE_SQL = """
+with pa as (
+  select l_partkey as pk, sum(l_quantity) / count(*) as avg_qty
+  from lineitem group by 1
+)
+select p_brand,
+       round(sum(l_extendedprice), 2) as small_qty_price,
+       count(*)::BIGINT as n_lines
+from lineitem
+join pa on l_partkey = pk
+join part on l_partkey = p_partkey
+where l_quantity < 0.2 * avg_qty
+group by p_brand
+"""
+
+
+def rel_supplier_value_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: suppliers whose lineitem value exceeds half the
+    even share of the corpus total (HAVING vs a global scalar).
+
+    Value is integer cents (round(price*100) is exact for 2-dp money),
+    so the HAVING comparison and the ppm share are immune to
+    summation-order noise.  The supplier dimension is bounded, so the
+    combined frame is dimension-sized; the global total is its sum.
+    """
+    n_suppliers = int(
+        ray.data.read_parquet(
+            _path(sf_dir, "supplier"), columns=["s_suppkey"]
+        ).count()
+    )
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"s": b["l_suppkey"].to_numpy(np.int64), "c": cents})
+        g = g.groupby("s", as_index=False)["c"].sum()
+        g["_hb"] = (g["s"] % 16).astype("int64")
+        return g
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False)["c"].sum()
+
+    sup = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(comb, batch_format="pandas")
+        .to_pandas()
+    )
+    if sup.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "value": pd.Series([], dtype="float64"),
+             "share_ppm": pd.Series([], dtype="int64")}
+        )
+    total = int(sup["c"].sum())
+    keep = sup[sup["c"].to_numpy() * np.int64(2 * n_suppliers) > total]
+    out = pd.DataFrame(
+        {
+            "s_suppkey": keep["s"].to_numpy(np.int64),
+            "value": np.round(keep["c"].to_numpy(np.int64) / 100.0, 2),
+            "share_ppm": keep["c"].to_numpy(np.int64) * 1_000_000 // total,
+        }
+    )
+    return (
+        out.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+        .astype({"s_suppkey": "int64", "value": "float64", "share_ppm": "int64"})
+    )
+
+
+REL_SUPPLIER_VALUE_SHARE_SQL = """
+with v as (
+  select l_suppkey,
+         sum(cast(round(l_extendedprice * 100) as bigint)) as c
+  from lineitem group by 1
+), t as (select sum(c) as total from v),
+     ns as (select count(*) as n from supplier)
+select l_suppkey as s_suppkey,
+       round(c / 100.0, 2) as value,
+       (c * 1000000 // total)::BIGINT as share_ppm
+from v, t, ns
+where c * 2 * n > total
+"""
+
+
+# Q19-shape disjunctive branches: (brand, size range, quantity range)
+DISJUNCTIVE_BRANCHES = (
+    ("Brand#11", 1, 15, 1, 20),
+    ("Brand#21", 10, 30, 5, 30),
+    ("Brand#23", 20, 50, 10, 40),
+)
+
+
+def rel_disjunctive_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: one global (revenue, n_lines) over an OR of
+    three (brand AND size-range AND quantity-range) conjunctions.
+
+    Part attributes (brand, size) ride broadcast lookups into the
+    lineitem scan; the disjunction is a vectorized mask, and the final
+    combine is a single-row sum — zero exchange beyond the partials.
+    """
+    brand_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_brand")
+    size_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_size")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        part = batch["l_partkey"].to_numpy(np.int64)
+        brand, hit_b = _lookup(ray.get(brand_ref), part)
+        size, hit_s = _lookup(ray.get(size_ref), part)
+        size = size.astype(np.int64, copy=False)
+        qty = batch["l_quantity"].to_numpy()
+        mask = np.zeros(len(part), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in DISJUNCTIVE_BRANCHES:
+            mask |= (
+                (brand == br)
+                & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        mask &= hit_b & hit_s
+        rev = (
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy())
+        )[mask]
+        return pd.DataFrame({"rev": [rev.sum()], "n": [int(mask.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue": [round(float(parts["rev"].sum()), 2)],
+            "n_lines": [int(parts["n"].sum())],
+        }
+    ).astype({"revenue": "float64", "n_lines": "int64"})
+
+
+_DISJ_PRED = " or ".join(
+    f"(p_brand = '{br}' and p_size between {s_lo} and {s_hi}"
+    f" and l_quantity between {q_lo} and {q_hi})"
+    for br, s_lo, s_hi, q_lo, q_hi in DISJUNCTIVE_BRANCHES
+)
+
+REL_DISJUNCTIVE_PARTS_SQL = f"""
+select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*)::BIGINT as n_lines
+from lineitem join part on l_partkey = p_partkey
+where {_DISJ_PRED}
+"""
+
+
+TOP_SUPPLIER_SHIP_CUTOFF = "2000-01-01"
+
+
+def rel_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over the
+    recent ship window (ties all returned — the reason Q15 is a view,
+    not a LIMIT 1).
+
+    Revenue is exact integer micents (cents x (100 - discount_pct)), so
+    the argmax can never be flipped by float summation order.  The
+    supplier dimension is bounded; names ride a broadcast lookup.
+    """
+    name_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_name")
+    cutoff = np.datetime64(TOP_SUPPLIER_SHIP_CUTOFF, "us")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["l_shipdate"].to_numpy(dtype="datetime64[us]") >= cutoff
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy()[keep] * 100
+        ).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "s": b["l_suppkey"].to_numpy(np.int64)[keep],
+                "mc": cents * (100 - dpct),
+            }
+        )
+        g = g.groupby("s", as_index=False)["mc"].sum()
+        g["_hb"] = (g["s"] % 16).astype("int64")
+        return g
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False)["mc"].sum()
+
+    sup = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(comb, batch_format="pandas")
+        .to_pandas()
+    )
+    if sup.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype=object),
+             "revenue_micents": pd.Series([], dtype="int64")}
+        )
+    best = int(sup["mc"].max())
+    top = sup[sup["mc"] == best]
+    names, _ = _lookup(ray.get(name_ref), top["s"].to_numpy(np.int64))
+    out = pd.DataFrame(
+        {
+            "s_suppkey": top["s"].to_numpy(np.int64),
+            "s_name": names,
+            "revenue_micents": top["mc"].to_numpy(np.int64),
+        }
+    )
+    return (
+        out.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+        .astype({"s_suppkey": "int64", "revenue_micents": "int64"})
+    )
+
+
+REL_TOP_SUPPLIER_SQL = f"""
+with r as (
+  select l_suppkey,
+         sum(cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint))) as mc
+  from lineitem
+  where l_shipdate >= timestamp '{TOP_SUPPLIER_SHIP_CUTOFF}'
+  group by 1
+)
+select l_suppkey as s_suppkey, s_name, mc::BIGINT as revenue_micents
+from r join supplier on l_suppkey = s_suppkey
+where mc = (select max(mc) from r)
+"""
+
+
+BAL_AUDIT_MIN_PRICE = 400_000.0
+
+
+def rel_balance_audit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    above-average-balance customers with no large order.
+
+    The global positive-balance average is two scalars (cents sum +
+    count) from a partial pass; the comparison runs as integer cents x
+    count > total-cents, so it cannot be flipped by float noise.  The
+    anti-join is the engine's bucketed co-group (neither side is
+    collected or broadcast); acctbal rides the customer keys.
+    """
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust_ds = ray.data.read_parquet(_path(sf_dir, "customer"), columns=cust_cols)
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"tot": [int(pos.sum())], "n": [len(pos)]})
+
+    scal = cust_ds.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    total_cents, n_pos = int(scal["tot"].sum()), int(scal["n"].sum())
+    if n_pos == 0:
+        return pd.DataFrame(
+            {"c_nationkey": pd.Series([], dtype="int64"),
+             "n_custs": pd.Series([], dtype="int64"),
+             "total_acctbal": pd.Series([], dtype="float64")}
+        )
+
+    def tag_cust(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(batch["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        rich = cents * np.int64(n_pos) > total_cents
+        return pd.DataFrame(
+            {
+                "k": batch["c_custkey"].to_numpy(np.int64)[rich],
+                "nat": batch["c_nationkey"].to_numpy(np.int64)[rich],
+                "cents": cents[rich],
+                "src": np.int8(0),
+                "bucket": (
+                    batch["c_custkey"].to_numpy(np.int64)[rich] % ANTI_JOIN_BUCKETS
+                ),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch.loc[
+            batch["o_totalprice"] > BAL_AUDIT_MIN_PRICE, "o_custkey"
+        ].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "k": k.to_numpy(np.int64),
+                "nat": np.int64(-1),
+                "cents": np.int64(0),
+                "src": np.int8(1),
+                "bucket": (k.to_numpy(np.int64) % ANTI_JOIN_BUCKETS),
+            }
+        )
+
+    cust = cust_ds.map_batches(tag_cust, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(tag_orders, batch_format="pandas")
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        have = group.loc[group["src"] == 1, "k"].unique()
+        keep = group[(group["src"] == 0) & ~group["k"].isin(have)]
+        return keep.groupby("nat", as_index=False).agg(
+            n_custs=("k", "size"), cents=("cents", "sum")
+        )
+
+    out = (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "nat" not in out.columns:
+        return pd.DataFrame(
+            {"c_nationkey": pd.Series([], dtype="int64"),
+             "n_custs": pd.Series([], dtype="int64"),
+             "total_acctbal": pd.Series([], dtype="float64")}
+        )
+    fin = out.groupby("nat", as_index=False).agg(
+        n_custs=("n_custs", "sum"), cents=("cents", "sum")
+    )
+    res = pd.DataFrame(
+        {
+            "c_nationkey": fin["nat"].to_numpy(np.int64),
+            "n_custs": fin["n_custs"].to_numpy(np.int64),
+            "total_acctbal": np.round(fin["cents"].to_numpy(np.int64) / 100.0, 2),
+        }
+    )
+    return (
+        res.sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
+        .astype({"c_nationkey": "int64", "n_custs": "int64",
+                 "total_acctbal": "float64"})
+    )
+
+
+REL_BALANCE_AUDIT_SQL = f"""
+with cb as (
+  select c_custkey, c_nationkey,
+         cast(round(c_acctbal * 100) as bigint) as cents
+  from customer
+), avgp as (
+  select sum(cents) as total, count(*) as n from cb where cents > 0
+)
+select c_nationkey::BIGINT as c_nationkey,
+       count(*)::BIGINT as n_custs,
+       round(sum(cents) / 100.0, 2) as total_acctbal
+from cb, avgp
+where cents * n > total
+  and not exists (select 1 from orders o
+                  where o.o_custkey = cb.c_custkey
+                    and o.o_totalprice > {BAL_AUDIT_MIN_PRICE})
+group by c_nationkey
+"""
+
+
 REGISTRY = {
+    "rel_promo_revenue": (rel_promo_revenue, REL_PROMO_REVENUE_SQL),
+    "rel_small_qty_revenue": (rel_small_qty_revenue, REL_SMALL_QTY_REVENUE_SQL),
+    "rel_supplier_value_share": (
+        rel_supplier_value_share, REL_SUPPLIER_VALUE_SHARE_SQL,
+    ),
+    "rel_disjunctive_parts": (rel_disjunctive_parts, REL_DISJUNCTIVE_PARTS_SQL),
+    "rel_top_supplier": (rel_top_supplier, REL_TOP_SUPPLIER_SQL),
+    "rel_balance_audit": (rel_balance_audit, REL_BALANCE_AUDIT_SQL),
     "rel_late_events": (rel_late_events, REL_LATE_EVENTS_SQL),
     "rel_sole_late_supplier": (
         rel_sole_late_supplier, REL_SOLE_LATE_SUPPLIER_SQL,

@@ -54,6 +54,12 @@ FAST_ORACLE = [
     "doc_winnow_fingerprints",
     "xs_truncate_to_budget",
     "rel_agg_lineitem",
+    "rel_promo_revenue",
+    "rel_small_qty_revenue",
+    "rel_supplier_value_share",
+    "rel_disjunctive_parts",
+    "rel_top_supplier",
+    "rel_balance_audit",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
