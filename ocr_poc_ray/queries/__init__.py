@@ -55,7 +55,8 @@ _ALL.update(_xs.REGISTRY)
 #: vec_pca_project, xs_template_safe_split, xs_curation_pipeline,
 #: vec_dbscan, doc_langid_confusion, xs_window_export_text,
 #: rel_sole_late_supplier, rel_order_count_histogram, rel_bulk_orders,
-#: xs_tool_latency, rel_user_coverage_time — plus a spread of the
+#: xs_tool_latency, rel_user_coverage_time, rel_market_share,
+#: rel_nation_profit, rel_returned_topk_customers — plus a spread of the
 #: rounds-1/2 queries whose driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)

@@ -4681,7 +4681,359 @@ group by c_nationkey
 """
 
 
+def _broadcast_orders_cust_year(sf_dir: str):
+    """Broadcast o_orderkey → (o_custkey, order year) as sorted numpy
+    arrays — ONE driver-side read of the three columns serves both Q8/Q9
+    lookups.  At test scale orders broadcasts like any dimension; at
+    100 TB orders is fact-sized and this flips to the partitioned-join
+    shape of ``rel_mktsegment_revenue_hashjoin`` (see MIGRATION.md)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    keys = t["o_orderkey"].to_numpy()
+    order = np.argsort(keys, kind="mergesort")
+    years = pd.DatetimeIndex(t["o_orderdate"].to_pandas()).year.to_numpy()
+    return ray.put(
+        {
+            "keys": keys[order],
+            "cust": t["o_custkey"].to_numpy()[order],
+            "year": years.astype(np.int64)[order],
+        }
+    )
+
+
+def _orders_lookup(state, arr: np.ndarray):
+    """(custkey, year, hit_mask) for orderkeys against the broadcast."""
+    keys = state["keys"]
+    pos = np.searchsorted(keys, arr)
+    pos = np.clip(pos, 0, len(keys) - 1)
+    hit = keys[pos] == arr
+    return state["cust"][pos], state["year"][pos], hit
+
+
+MKT_SHARE_REGION = "ASIA"
+MKT_SHARE_PTYPE = "STANDARD"
+MKT_SHARE_NATION = "NATION_3"
+
+
+def rel_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: per order year, the share of STANDARD-part revenue
+    in the ASIA customer market supplied from NATION_3.
+
+    All five dimension hops (orderkey→cust/year, cust→nation,
+    nation→region→name, supp→nation→name, part→type) are broadcast
+    sorted-array lookups inside the lineitem scan; years are a ~7-value
+    dimension so the combine is tiny.  share_ppm is exact integer
+    arithmetic (micents × 1e6 // micents) — no float rounding boundary.
+    """
+    ord_ref = _broadcast_orders_cust_year(sf_dir)
+    cnat_ref = _broadcast_lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nreg_ref = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    rname_ref = _broadcast_lookup(sf_dir, "region", "r_regionkey", "r_name")
+    snat_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    nname_ref = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_name")
+    ptype_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_type")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ptype, hp = _lookup(ray.get(ptype_ref), b["l_partkey"].to_numpy())
+        keep = hp & (ptype == MKT_SHARE_PTYPE)
+        if not keep.any():
+            return pd.DataFrame(
+                {"o_year": pd.Series([], dtype="int64"),
+                 "num": pd.Series([], dtype="int64"),
+                 "den": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        okey = b["l_orderkey"].to_numpy()[keep]
+        cust, year, h1 = _orders_lookup(ray.get(ord_ref), okey)
+        cnat, h2 = _lookup(ray.get(cnat_ref), cust)
+        creg, h3 = _lookup(ray.get(nreg_ref), cnat)
+        rname, h4 = _lookup(ray.get(rname_ref), creg)
+        in_mkt = h1 & h2 & h3 & h4 & (rname == MKT_SHARE_REGION)
+        snat, h5 = _lookup(ray.get(snat_ref), b["l_suppkey"].to_numpy()[keep])
+        sname, h6 = _lookup(ray.get(nname_ref), snat)
+        cents = np.rint(b["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+        mc = cents * (100 - dpct)
+        sel = in_mkt & h5 & h6
+        g = pd.DataFrame(
+            {
+                "o_year": year[sel],
+                "num": np.where(sname[sel] == MKT_SHARE_NATION, mc[sel], 0),
+                "den": mc[sel],
+            }
+        )
+        return g.groupby("o_year", as_index=False).agg(
+            num=("num", "sum"), den=("den", "sum"), n=("den", "size")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_year")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "o_year": [int(g["o_year"].iloc[0])],
+                    "num_micents": [int(g["num"].sum())],
+                    "den_micents": [int(g["den"].sum())],
+                    "n_lines": [int(g["n"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if out.empty or "o_year" not in out.columns:
+        return pd.DataFrame(
+            {"o_year": pd.Series([], dtype="int64"),
+             "num_micents": pd.Series([], dtype="int64"),
+             "den_micents": pd.Series([], dtype="int64"),
+             "share_ppm": pd.Series([], dtype="int64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    # exact integer ppm via Python ints (no int64 overflow on num * 1e6)
+    out["share_ppm"] = [
+        int(n) * 1_000_000 // int(d) for n, d in zip(out["num_micents"], out["den_micents"])
+    ]
+    return (
+        out[["o_year", "num_micents", "den_micents", "share_ppm", "n_lines"]]
+        .sort_values("o_year", kind="mergesort").reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+REL_MARKET_SHARE_SQL = f"""
+with mkt as (
+  select year(o_orderdate)::BIGINT as o_year,
+         cast(round(l_extendedprice * 100) as bigint)
+           * (100 - cast(round(l_discount * 100) as bigint)) as mc,
+         sn.n_name as supp_nation
+  from lineitem
+  join part on l_partkey = p_partkey
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation cn on c_nationkey = cn.n_nationkey
+  join region on cn.n_regionkey = r_regionkey
+  join supplier on l_suppkey = s_suppkey
+  join nation sn on s_nationkey = sn.n_nationkey
+  where p_type = '{MKT_SHARE_PTYPE}' and r_name = '{MKT_SHARE_REGION}'
+)
+select o_year,
+       sum(case when supp_nation = '{MKT_SHARE_NATION}' then mc else 0 end)::BIGINT
+         as num_micents,
+       sum(mc)::BIGINT as den_micents,
+       ((sum(case when supp_nation = '{MKT_SHARE_NATION}' then mc else 0 end)::HUGEINT
+         * 1000000) // sum(mc)::HUGEINT)::BIGINT as share_ppm,
+       count(*)::BIGINT as n_lines
+from mkt
+group by o_year
+"""
+
+
+def rel_nation_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year.
+
+    The corpus has no partsupp, so unit cost is proxied as 10 % of
+    p_retailprice (the Q9 analog documented in SURVEY §2): profit =
+    extendedprice×(1−discount) − 0.1×retailprice×quantity, carried as
+    exact integer micents end-to-end (quantities are integer-valued).
+    ~25 nations × ~7 years keeps the combine bounded.
+    """
+    ord_ref = _broadcast_orders_cust_year(sf_dir)
+    snat_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    nname_ref = _broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_name")
+    price_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_retailprice")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, year, h1 = _orders_lookup(ray.get(ord_ref), b["l_orderkey"].to_numpy())
+        snat, h2 = _lookup(ray.get(snat_ref), b["l_suppkey"].to_numpy())
+        sname, h3 = _lookup(ray.get(nname_ref), snat)
+        retail, h4 = _lookup(ray.get(price_ref), b["l_partkey"].to_numpy())
+        sel = h1 & h2 & h3 & h4
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        rcents = np.rint(retail * 100).astype(np.int64)
+        profit = cents * (100 - dpct) - rcents * qty * 10
+        g = pd.DataFrame(
+            {"n_name": sname[sel], "o_year": year[sel], "profit": profit[sel]}
+        )
+        return g.groupby(["n_name", "o_year"], as_index=False).agg(
+            profit=("profit", "sum"), n=("profit", "size")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "n_name": [g["n_name"].iloc[0]],
+                    "o_year": [int(g["o_year"].iloc[0])],
+                    "profit_micents": [int(g["profit"].sum())],
+                    "n_lines": [int(g["n"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if out.empty or "n_name" not in out.columns:
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype="object"),
+             "o_year": pd.Series([], dtype="int64"),
+             "profit_micents": pd.Series([], dtype="int64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values(["n_name", "o_year"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"o_year": "int64", "profit_micents": "int64", "n_lines": "int64"})
+    )
+
+
+REL_NATION_PROFIT_SQL = """
+select sn.n_name as n_name,
+       year(o_orderdate)::BIGINT as o_year,
+       sum(cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint))
+           - cast(round(p_retailprice * 100) as bigint)
+             * cast(round(l_quantity) as bigint) * 10)::BIGINT as profit_micents,
+       count(*)::BIGINT as n_lines
+from lineitem
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join nation sn on s_nationkey = sn.n_nationkey
+join part on l_partkey = p_partkey
+group by 1, 2
+"""
+
+
+RETURNED_TOPK = 20
+
+
+def rel_returned_topk_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on RETURNED lines.
+
+    Per-batch partial sums keyed on custkey (via the orderkey broadcast),
+    a 16-way hash-bucket combine (customer-dimension group count never
+    becomes a Ray group count), per-bucket top-20, then a ≤320-row
+    driver-side final top-k with the deterministic (−revenue, custkey)
+    tie-break mirrored in the SQL's ORDER BY.
+    """
+    ord_ref = _broadcast_orders_cust_year(sf_dir)
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    _EMPTY_PARTIAL = pd.DataFrame(
+        {"c_custkey": pd.Series([], dtype="int64"),
+         "mc": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64"),
+         "_hb": pd.Series([], dtype="int64")}
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ret = b["l_returnflag"].to_numpy() == "R"
+        if not ret.any():
+            return _EMPTY_PARTIAL
+        okey = b["l_orderkey"].to_numpy()[ret]
+        cust, _, hit = _orders_lookup(ray.get(ord_ref), okey)
+        cents = np.rint(b["l_extendedprice"].to_numpy()[ret] * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy()[ret] * 100).astype(np.int64)
+        mc = (cents * (100 - dpct))[hit]
+        g = pd.DataFrame({"c_custkey": cust[hit], "mc": mc})
+        g = g.groupby("c_custkey", as_index=False).agg(
+            mc=("mc", "sum"), n=("mc", "size")
+        )
+        g["_hb"] = (g["c_custkey"] % 16).astype("int64")
+        return g
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c_custkey", as_index=False).agg(
+            revenue_micents=("mc", "sum"), n_lines=("n", "sum")
+        )
+        return agg.sort_values(
+            ["revenue_micents", "c_custkey"],
+            ascending=[False, True], kind="mergesort",
+        ).head(RETURNED_TOPK)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "c_custkey" not in out.columns:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype="object"),
+             "n_name": pd.Series([], dtype="object"),
+             "revenue_micents": pd.Series([], dtype="int64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    top = (
+        out.sort_values(
+            ["revenue_micents", "c_custkey"],
+            ascending=[False, True], kind="mergesort",
+        )
+        .head(RETURNED_TOPK)
+        .reset_index(drop=True)
+    )
+    # decorate the ≤20 winners with name + nation (tiny driver-side joins)
+    cname = ray.get(_broadcast_lookup(sf_dir, "customer", "c_custkey", "c_name"))
+    cnat = ray.get(_broadcast_lookup(sf_dir, "customer", "c_custkey", "c_nationkey"))
+    nname = ray.get(_broadcast_lookup(sf_dir, "nation", "n_nationkey", "n_name"))
+    names, _ = _lookup(cname, top["c_custkey"].to_numpy())
+    nats, _ = _lookup(cnat, top["c_custkey"].to_numpy())
+    natnames, _ = _lookup(nname, nats)
+    return pd.DataFrame(
+        {
+            "c_custkey": top["c_custkey"].to_numpy(np.int64),
+            "c_name": names.astype(object),
+            "n_name": natnames.astype(object),
+            "revenue_micents": top["revenue_micents"].to_numpy(np.int64),
+            "n_lines": top["n_lines"].to_numpy(np.int64),
+        }
+    )
+
+
+REL_RETURNED_TOPK_SQL = f"""
+select c_custkey::BIGINT as c_custkey, c_name, n_name,
+       sum(cast(round(l_extendedprice * 100) as bigint)
+           * (100 - cast(round(l_discount * 100) as bigint)))::BIGINT
+         as revenue_micents,
+       count(*)::BIGINT as n_lines
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+where l_returnflag = 'R'
+group by 1, 2, 3
+order by revenue_micents desc, c_custkey
+limit {RETURNED_TOPK}
+"""
+
+
 REGISTRY = {
+    "rel_market_share": (rel_market_share, REL_MARKET_SHARE_SQL),
+    "rel_nation_profit": (rel_nation_profit, REL_NATION_PROFIT_SQL),
+    "rel_returned_topk_customers": (
+        rel_returned_topk_customers, REL_RETURNED_TOPK_SQL,
+    ),
     "rel_promo_revenue": (rel_promo_revenue, REL_PROMO_REVENUE_SQL),
     "rel_small_qty_revenue": (rel_small_qty_revenue, REL_SMALL_QTY_REVENUE_SQL),
     "rel_supplier_value_share": (
