@@ -60,6 +60,9 @@ FAST_ORACLE = [
     "rel_disjunctive_parts",
     "rel_top_supplier",
     "rel_balance_audit",
+    "rel_market_share",
+    "rel_nation_profit",
+    "rel_returned_topk_customers",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
@@ -321,3 +324,71 @@ def test_contamination_sketch_matches_exact(ray_session, tmp_path):
     small = doc_source_contamination_sketch(str(tmp_path), k=256)
     err = abs(float(small["est_jaccard"].iloc[0]) - true_j)
     assert err < 4.0 / np.sqrt(256), (true_j, float(small["est_jaccard"].iloc[0]))
+
+
+def test_returned_topk_tie_break(ray_session, tmp_path):
+    """Planted exact revenue tie AT the top-k boundary: customers 20/21/22
+    share one revenue; the deterministic (−revenue, custkey) tie-break must
+    admit exactly custkey 20 — LIMIT-with-ties is the classic place a Ray
+    result and a SQL oracle silently disagree."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_poc_ray.queries.relational import (
+        RETURNED_TOPK,
+        rel_returned_topk_customers,
+    )
+
+    n_cust = 25
+    custkeys = np.arange(1, n_cust + 1, dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "c_custkey": custkeys,
+            "c_name": [f"Customer#{k:09d}" for k in custkeys],
+            "c_nationkey": (custkeys % 3).astype(np.int64),
+        }),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": np.arange(3, dtype=np.int64),
+            "n_name": [f"NATION_{i}" for i in range(3)],
+        }),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": custkeys,  # one order per customer
+            "o_custkey": custkeys,
+            "o_orderdate": pa.array(
+                [np.datetime64("1996-03-01", "us")] * n_cust,
+                type=pa.timestamp("us"),
+            ),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    # revenue: cust 1..19 descending and distinct; 20/21/22 EXACTLY tied
+    # just below cust 19; 23..25 lower.  Plus an 'N' line per customer
+    # that must be excluded entirely.
+    price = np.where(custkeys <= 19, 1000.0 - 10.0 * custkeys,
+                     np.where(custkeys <= 22, 750.0, 100.0 + custkeys))
+    pq.write_table(
+        pa.table({
+            "l_orderkey": np.concatenate([custkeys, custkeys]),
+            "l_returnflag": ["R"] * n_cust + ["N"] * n_cust,
+            "l_extendedprice": np.concatenate([price, price * 100]),
+            "l_discount": np.zeros(2 * n_cust),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    out = rel_returned_topk_customers(str(tmp_path))
+    assert len(out) == RETURNED_TOPK
+    assert sorted(out["c_custkey"].tolist()) == list(range(1, 21)), (
+        "tie at the boundary must resolve to the lowest custkey"
+    )
+    tied = out[out["c_custkey"] == 20]
+    assert int(tied["revenue_micents"].iloc[0]) == 750_00 * 100
+    # the N-line revenue (100× bigger) never leaks in
+    assert int(out["revenue_micents"].max()) == 990_00 * 100
