@@ -2142,10 +2142,111 @@ group by tool
 """
 
 
+def xs_tool_transitions(sf_dir: str) -> pd.DataFrame:
+    """Tool-chain Markov counts: (tool_from, tool_to, n) over successive
+    TOOL turns inside a conversation — the agent-trace audit that shows
+    which tool tends to follow which (search→browse→code chains, tight
+    self-loops).  Non-tool turns are dropped BEFORE the lag, so the
+    transition is between consecutive tool invocations, not adjacent
+    rows; the lag runs through the distributed ``keyed_sorted_match``
+    (interior batches vectorized, one bounded edge combine) and the
+    combine is a ≤9-cell groupby.  Tools derive from doc_id via the
+    ``xs_tool_runs`` Knuth permutation."""
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    tools = np.asarray(TOOLS, dtype=object)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        code = (ids * 2654435761) % 4294967296 % 4
+        keep = code != 0  # tool turns only — the lag is over tool calls
+        return pd.DataFrame(
+            {
+                "conv_id": batch["source"].to_numpy(dtype=object)[keep],
+                "turn_idx": ids[keep],
+                "tool_code": code[keep],
+            }
+        )
+
+    narrow = ds.map_batches(project, batch_format="pandas")
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(dtype=object)
+        code = g["tool_code"].to_numpy(np.int64)
+        same = np.empty(len(g), dtype=bool)
+        same[:1] = False
+        same[1:] = conv[1:] == conv[:-1]
+        prev = np.empty(len(g), dtype=np.int64)
+        prev[:1] = -1
+        prev[1:] = code[:-1]
+        return pd.DataFrame({"from_code": prev[same], "to_code": code[same]})
+
+    emitted = keyed_sorted_match(
+        narrow,
+        key_col="conv_id",
+        sort_cols=["turn_idx"],
+        in_cols=["conv_id", "turn_idx", "tool_code"],
+        match_fn=_match,
+        out_meta={"from_code": "int64", "to_code": "int64"},
+    )
+
+    parts = (
+        emitted.map_batches(
+            lambda b: b.groupby(["from_code", "to_code"], as_index=False).size()
+            .rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {"tool_from": pd.Series([], dtype=object),
+             "tool_to": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+    g = parts.groupby(["from_code", "to_code"], as_index=False)["n"].sum()
+    out = pd.DataFrame(
+        {
+            "tool_from": tools[g["from_code"].to_numpy(np.int64)],
+            "tool_to": tools[g["to_code"].to_numpy(np.int64)],
+            "n": g["n"].to_numpy(np.int64),
+        }
+    )
+    return (
+        out.sort_values(["tool_from", "tool_to"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
+XS_TOOL_TRANSITIONS_SQL = """
+with t as (
+  select source as conv_id, doc_id,
+         list_value('', 'browse', 'code', 'search')[
+           (((doc_id * 2654435761) % 4294967296) % 4)::INT + 1] as tool
+  from documents
+), tool_turns as (
+  select conv_id, doc_id, tool,
+         lag(tool) over (partition by conv_id order by doc_id) as prev_tool
+  from t
+  where tool <> ''
+)
+select prev_tool as tool_from, tool as tool_to, count(*)::BIGINT as n
+from tool_turns
+where prev_tool is not null
+group by 1, 2
+"""
+
+
 REGISTRY = {
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_curation_pipeline": (xs_curation_pipeline, XS_CURATION_PIPELINE_SQL),
     "xs_tool_latency": (xs_tool_latency, XS_TOOL_LATENCY_SQL),
+    "xs_tool_transitions": (xs_tool_transitions, XS_TOOL_TRANSITIONS_SQL),
     "xs_training_pipeline": (xs_training_pipeline, None),
     "fields_extract_synth": (fields_extract_synth, None),
     "fields_postprocessed": (fields_postprocessed, None),

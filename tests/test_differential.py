@@ -43,6 +43,7 @@ DIFF_QUERIES = [
     "xs_conv_dedup",
     "xs_tool_runs",
     "xs_tool_latency",
+    "xs_tool_transitions",
     "xs_conv_turn_offsets",
     "xs_extract_documents",
     # second wave — integer/string outputs over the generated tables

@@ -151,6 +151,7 @@ FAST_ORACLE = [
     "rel_order_count_histogram",
     "rel_bulk_orders",
     "xs_tool_latency",
+    "xs_tool_transitions",
     "rel_user_coverage_time",
 ]
 
