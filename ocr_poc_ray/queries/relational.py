@@ -4921,6 +4921,96 @@ group by 1, 2
 """
 
 
+LATE_SHIP_DAYS = 60
+_LATE_SHIP_US = LATE_SHIP_DAYS * 86_400_000_000
+
+
+def rel_shipmode_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape: order-priority mix per shipment-lateness bucket
+    (the corpus has no l_shipmode/commitdate, so the Q12 predicate is
+    re-expressed as late = shipdate > orderdate + 60 days).
+
+    One lineitem scan; orderkey→(orderdate, priority) is a single
+    broadcast of two parallel numpy arrays; the combine is 2 rows.
+    Integer-µs timestamp comparison on both engines.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    okeys = t["o_orderkey"].to_numpy()
+    order = np.argsort(okeys, kind="mergesort")
+    odate_us = (
+        t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    )
+    prio = t["o_orderpriority"].to_pandas().to_numpy(dtype=object)
+    high = np.isin(prio, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+    ref = ray.put(
+        {"keys": okeys[order], "odate": odate_us[order], "high": high[order]}
+    )
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        okey = b["l_orderkey"].to_numpy()
+        pos = np.clip(np.searchsorted(st["keys"], okey), 0, len(st["keys"]) - 1)
+        hit = st["keys"][pos] == okey
+        ship_us = (
+            b["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        late = ship_us > st["odate"][pos] + _LATE_SHIP_US
+        h = st["high"][pos]
+        g = pd.DataFrame({"late": late[hit], "high": h[hit]})
+        return g.groupby("late", as_index=False).agg(
+            high_lines=("high", "sum"), n_lines=("high", "size")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("late")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "late": [bool(g["late"].iloc[0])],
+                    "high_lines": [int(g["high_lines"].sum())],
+                    "low_lines": [int(g["n_lines"].sum() - g["high_lines"].sum())],
+                    "n_lines": [int(g["n_lines"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if out.empty or "late" not in out.columns:
+        return pd.DataFrame(
+            {"late": pd.Series([], dtype="bool"),
+             "high_lines": pd.Series([], dtype="int64"),
+             "low_lines": pd.Series([], dtype="int64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("late", kind="mergesort").reset_index(drop=True)
+        .astype({"late": "bool", "high_lines": "int64",
+                 "low_lines": "int64", "n_lines": "int64"})
+    )
+
+
+REL_SHIPMODE_PRIORITY_SQL = f"""
+select (l_shipdate > o_orderdate + interval {LATE_SHIP_DAYS} day) as late,
+       sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end)::BIGINT as high_lines,
+       sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 0 else 1 end)::BIGINT as low_lines,
+       count(*)::BIGINT as n_lines
+from lineitem join orders on l_orderkey = o_orderkey
+group by 1
+"""
+
+
 RETURNED_TOPK = 20
 
 
@@ -5034,6 +5124,7 @@ REGISTRY = {
     "rel_returned_topk_customers": (
         rel_returned_topk_customers, REL_RETURNED_TOPK_SQL,
     ),
+    "rel_shipmode_priority": (rel_shipmode_priority, REL_SHIPMODE_PRIORITY_SQL),
     "rel_promo_revenue": (rel_promo_revenue, REL_PROMO_REVENUE_SQL),
     "rel_small_qty_revenue": (rel_small_qty_revenue, REL_SMALL_QTY_REVENUE_SQL),
     "rel_supplier_value_share": (

@@ -63,6 +63,7 @@ FAST_ORACLE = [
     "rel_market_share",
     "rel_nation_profit",
     "rel_returned_topk_customers",
+    "rel_shipmode_priority",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
