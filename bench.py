@@ -171,8 +171,16 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        # GRAFT_OBJ_STORE_GB caps the plasma store to force the spill
+        # path — the 100-TB regime where the object store is far smaller
+        # than the data in flight; the pipeline must stream + spill, not
+        # hold the corpus resident.
+        obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
+        if obj_gb:
+            kw["object_store_memory"] = int(float(obj_gb) * (1 << 30))
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR", log_to_driver=False)
+                 logging_level="ERROR", log_to_driver=False, **kw)
     sf = _sf_of(sf_dir)
     out_dir = os.path.join(BENCH_TMP, f"out_{num_cpus}_{int(time.time())}")
     queries: dict[str, float] = {}
