@@ -49,6 +49,7 @@ _ALL.update(_xs.REGISTRY)
 #: doc_soft_dedup_weights, doc_bpe_top_pairs, rel_value_ks_drift,
 #: doc_bpe_learn, doc_ngram_novelty, rel_value_tdigest, vec_knn_recall,
 #: doc_source_contamination_sketch, rel_late_events, xs_role_balance,
+#: vec_logreg_train, doc_quality_classifier,
 #: rel_promo_revenue, rel_small_qty_revenue, rel_supplier_value_share,
 #: rel_disjunctive_parts, rel_top_supplier, rel_balance_audit,
 #: xs_first_turn_dedup, xs_window_export, rel_brand_supplier_distinct,

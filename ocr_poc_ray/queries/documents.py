@@ -4728,7 +4728,92 @@ def doc_source_contamination_sketch(
     return pd.DataFrame(rows).astype({"est_jaccard": "float64"})
 
 
+#: stopword-ratio gate the learned classifier is distilled from —
+#: near the corpus median so both classes carry real mass.
+GATE_DISTILL_THRESHOLD = 0.06
+
+#: |stopword_ratio − threshold| band edges for the agreement report.
+GATE_DISTILL_BANDS = (0.0, 0.01, 0.02, 0.05, float("inf"))
+
+
+def doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Quality-gate DISTILLATION — the crawl-pipeline loop where a
+    rule-based gate labels the corpus and a fastText-style linear
+    model is trained to imitate it (CCNet / LLaMA-data shape), run
+    entirely inside the engine: label with the Arrow stopword-ratio
+    kernel (textstats._quality_kernel's ratio ≥ 0.06), TRAIN the
+    hashed-token logistic regression distributed (broadcast-refine
+    full-batch GD, packed 64 KB gradient partials, tree-reduced —
+    functions/trainer.py), then score the corpus with broadcast
+    weights.  The learn-then-score analog of the reference's
+    load-once model stage (`ocr/paddle_extractor.py:21-34`), with the
+    weights produced BY the engine instead of shipped to it.
+
+    Returns the agreement report per |ratio − threshold| band: the
+    distilled gate should agree ~everywhere off the boundary and
+    disagree only where the rule itself is within noise of its
+    threshold (measured: band [0.05,∞) accuracy 1.0, band [0,0.01)
+    ~0.7-0.8).  Rows-only like vec_kmeans (float summation order);
+    the single-process-equality / partition-invariance /
+    planted-signal contract is in tests/test_trainer.py."""
+    from ocr_poc_ray.functions.textstats import add_quality
+    from ocr_poc_ray.functions.trainer import (
+        text_logreg_fit,
+        text_logreg_score,
+    )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def add_label(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["y"] = (
+            b["stopword_ratio"] >= GATE_DISTILL_THRESHOLD
+        ).astype("int64")
+        return b[["doc_id", "text", "stopword_ratio", "y"]]
+
+    labeled = add_quality(ds).map_batches(add_label, batch_format="pandas")
+    w, _hist = text_logreg_fit(labeled)
+    scored = text_logreg_score(
+        labeled, w, keep_cols=("stopword_ratio", "y")
+    )
+
+    edges = np.asarray(GATE_DISTILL_BANDS)
+
+    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
+        dist = (b["stopword_ratio"] - GATE_DISTILL_THRESHOLD).abs().to_numpy()
+        band = np.searchsorted(edges[1:-1], dist, side="right")
+        ok = (b["pred"].to_numpy() == b["y"].to_numpy()).astype(np.int64)
+        nb = len(edges) - 1
+        return pd.DataFrame(
+            {
+                "band": np.arange(nb, dtype="int64"),
+                "n": np.bincount(band, minlength=nb).astype("int64"),
+                "agree": np.bincount(
+                    band, weights=ok, minlength=nb
+                ).astype("int64"),
+            }
+        )
+
+    parts = scored.map_batches(band_partial, batch_format="pandas").to_pandas()
+    rep = parts.groupby("band", as_index=False).agg(
+        n_docs=("n", "sum"), agree=("agree", "sum")
+    )
+    rep = rep[rep["n_docs"] > 0].copy()
+    rep["band_lo"] = edges[rep["band"].to_numpy()]
+    rep["agreement"] = (rep["agree"] / rep["n_docs"]).round(4)
+    return (
+        rep[["band", "band_lo", "n_docs", "agree", "agreement"]]
+        .astype(
+            {"band": "int64", "band_lo": "float64", "n_docs": "int64",
+             "agree": "int64", "agreement": "float64"}
+        )
+        .sort_values("band", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 REGISTRY = {
+    "doc_quality_classifier": (doc_quality_classifier, None),
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
     "doc_source_contamination_sketch": (doc_source_contamination_sketch, None),
     "doc_bpe_learn": (doc_bpe_learn, None),

@@ -815,8 +815,68 @@ def vec_knn_recall(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def vec_logreg_train(sf_dir: str) -> pd.DataFrame:
+    """Distributed supervised training: multinomial logistic regression
+    over the embedding corpus predicting ``label`` (broadcast-refine
+    full-batch GD — parameters broadcast per epoch, per-batch packed
+    gradient partials, tree-reduced combine; functions/trainer.py).
+    The learn-then-score analog of the reference's load-once model
+    stage (`ocr/paddle_extractor.py:21-34`), with the weights produced
+    BY the engine instead of shipped to it.  Returns the per-label
+    training report (n / correct / accuracy).  Rows-only like
+    vec_kmeans: parity with one process holds only up to float
+    summation order; the equality + partition-invariance +
+    blob-recovery contract lives in tests/test_trainer.py."""
+    import ray as _ray
+
+    from ocr_poc_ray.functions.similarity import _to_matrix
+    from ocr_poc_ray.functions.trainer import (
+        softmax_logreg_fit,
+    )
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding", "label"]
+    )
+    n_classes = 10  # testdata label alphabet (embeddings.label in 0..9)
+    # lr/epochs tuned against the single-process ceiling on this table
+    # (nearest-centroid 0.41, 300-epoch linear 0.44; this lands ~0.40)
+    W, _hist = softmax_logreg_fit(ds, n_classes=n_classes, n_epochs=40, lr=10.0)
+    wref = _ray.put(W)
+
+    def label_report(b: pd.DataFrame) -> pd.DataFrame:
+        Wc = _ray.get(wref)
+        X = _to_matrix(b["embedding"]).astype(np.float64)
+        X = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        y = b["label"].to_numpy().astype(np.int64)
+        pred = (X @ Wc.T).argmax(axis=1)
+        n = np.bincount(y, minlength=n_classes)
+        ok = np.bincount(y[pred == y], minlength=n_classes)
+        return pd.DataFrame(
+            {
+                "label": np.arange(n_classes, dtype="int64"),
+                "n": n.astype("int64"),
+                "correct": ok.astype("int64"),
+            }
+        )
+
+    parts = ds.map_batches(label_report, batch_format="pandas").to_pandas()
+    rep = parts.groupby("label", as_index=False).agg(
+        n_points=("n", "sum"), correct=("correct", "sum")
+    )
+    rep = rep[rep["n_points"] > 0].copy()
+    rep["accuracy"] = (rep["correct"] / rep["n_points"]).round(4)
+    return (
+        rep.astype(
+            {"label": "int64", "n_points": "int64", "correct": "int64"}
+        )
+        .sort_values("label", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 REGISTRY = {
     "vec_kmeans": (vec_kmeans, None),
+    "vec_logreg_train": (vec_logreg_train, None),
     "vec_knn_recall": (vec_knn_recall, None),
     "vec_group_centroids": (vec_group_centroids, VEC_GROUP_CENTROIDS_SQL),
     "vec_dim_stats": (vec_dim_stats, VEC_DIM_STATS_SQL),
