@@ -127,6 +127,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         doc_ngram_novelty,
         doc_pack_interleaved,
         doc_pii_redact,
+        doc_quality_classifier,
         doc_source_contamination,
     )
     from ocr_poc_ray.queries.relational import (
@@ -158,6 +159,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("semantic_dedup", vec_semantic_dedup),
         ("phash_neardup", mm_phash_neardup),
         ("dsir_weights", doc_dsir_weights),
+        ("quality_classifier", doc_quality_classifier),
         ("ngram_novelty", doc_ngram_novelty),
         ("curation_pipeline", xs_curation_pipeline),
     ):

@@ -20,6 +20,7 @@ dropped tail's counts, and callers choose the cap.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
@@ -138,3 +139,67 @@ def bpe_encode(word: str, merges: pd.DataFrame) -> list[str]:
             else:
                 i += 1
     return syms
+
+
+class BpeTokenizer:
+    """Actor-pool BPE application stage: the learned merge table is
+    fetched once per actor (zero-copy broadcast ref) and a
+    distinct-word → token-count cache lives for the actor's lifetime —
+    the same load-once / state-amortization seat a real tokenizer
+    (sentencepiece, tiktoken) occupies in a training-data pipeline.
+    Corpus words repeat heavily, so each actor encodes a given word at
+    most once across ALL the batches it sees.
+
+    Emits per-doc ``(doc_id, <keep_cols...>, n_chars, n_words,
+    n_bpe_tokens)`` — ``n_bpe_tokens`` counts the greedy segmentation
+    of each word + the end-of-word sentinel, the standard BPE
+    accounting.
+    """
+
+    def __init__(self, merges_ref, *, keep_cols: tuple[str, ...] = ()):
+        import ray as _ray
+
+        m = _ray.get(merges_ref)
+        self._merges = m
+        self._cache: dict[str, int] = {}
+        self._keep = tuple(keep_cols)
+
+    def _n_tokens(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(bpe_encode(word, self._merges))
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words_per_doc = (
+            batch["text"].fillna("").str.lower().str.split()
+        )
+        flat: list[str] = [w for ws in words_per_doc for w in ws]
+        lens = np.asarray([len(ws) for ws in words_per_doc], dtype=np.int64)
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        per_unique = np.asarray(
+            [self._n_tokens(w) for w in uniques], dtype=np.int64
+        )
+        tok_counts = (
+            per_unique[codes] if len(flat) else np.zeros(0, dtype=np.int64)
+        )
+        char_counts = (
+            np.asarray([len(w) for w in flat], dtype=np.int64)
+            if flat
+            else np.zeros(0, dtype=np.int64)
+        )
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        n_tok = np.zeros(len(batch), dtype=np.int64)
+        n_chr = np.zeros(len(batch), dtype=np.int64)
+        ne = lens > 0
+        if ne.any():
+            n_tok[ne] = np.add.reduceat(tok_counts, offsets[:-1][ne])
+            n_chr[ne] = np.add.reduceat(char_counts, offsets[:-1][ne])
+        out = {"doc_id": batch["doc_id"].to_numpy()}
+        for c in self._keep:
+            out[c] = batch[c].to_numpy()
+        out["n_chars"] = n_chr
+        out["n_words"] = lens
+        out["n_bpe_tokens"] = n_tok
+        return pd.DataFrame(out)

@@ -4534,6 +4534,71 @@ def doc_bpe_learn(sf_dir: str) -> pd.DataFrame:
     return bpe_train(wf, BPE_N_MERGES)
 
 
+def doc_bpe_tokenize(sf_dir: str) -> pd.DataFrame:
+    """Learn-then-APPLY tokenizer loop: train the BPE merge table on
+    the corpus word-frequency census (doc_bpe_learn's path), broadcast
+    it once, and tokenize the whole corpus with a stateful ACTOR POOL
+    (`functions/bpe.py::BpeTokenizer` — merge table fetched once per
+    actor, distinct-word → token-count cache lives across batches,
+    the seat a real sentencepiece/tiktoken tokenizer occupies).
+    Returns the per-source tokenization economics (docs / words / BPE
+    tokens / tokens-per-word) — the table that drives token-budget
+    planning for a training mixture.  Deterministic (greedy BPE is
+    exact, integer counts), but the merge LEARNING isn't
+    SQL-expressible, so rows-only; the per-word exactness contract
+    (actor output == driver-side bpe_encode recomputation) is in
+    tests/test_bpe.py."""
+    import ray as _ray
+
+    from ocr_poc_ray.functions.bpe import (
+        BpeTokenizer,
+        bpe_train,
+        word_frequency_table,
+    )
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+    wf = word_frequency_table(ds, top_v=BPE_TOP_V)
+    merges_ref = _ray.put(bpe_train(wf, BPE_N_MERGES))
+    per_doc = ds.map_batches(
+        BpeTokenizer,
+        fn_constructor_kwargs={
+            "merges_ref": merges_ref,
+            "keep_cols": ("source",),
+        },
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def source_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            n_words=("n_words", "sum"),
+            n_bpe_tokens=("n_bpe_tokens", "sum"),
+        )
+
+    parts = per_doc.map_batches(
+        source_partial, batch_format="pandas"
+    ).to_pandas()
+    rep = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_words=("n_words", "sum"),
+        n_bpe_tokens=("n_bpe_tokens", "sum"),
+    )
+    rep["tokens_per_word"] = np.where(
+        rep["n_words"] > 0, rep["n_bpe_tokens"] / rep["n_words"], 0.0
+    ).round(4)
+    return (
+        rep.astype(
+            {"source": object, "n_docs": "int64", "n_words": "int64",
+             "n_bpe_tokens": "int64", "tokens_per_word": "float64"}
+        )
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-document n-gram novelty: the fraction of a document's distinct
 # 3-token shingles whose FIRST corpus occurrence (min doc_id) is this
@@ -4817,6 +4882,7 @@ REGISTRY = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
     "doc_source_contamination_sketch": (doc_source_contamination_sketch, None),
     "doc_bpe_learn": (doc_bpe_learn, None),
+    "doc_bpe_tokenize": (doc_bpe_tokenize, None),
     "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
     "doc_soft_dedup_weights": (
         doc_soft_dedup_weights, DOC_SOFT_DEDUP_WEIGHTS_SQL,

@@ -97,3 +97,61 @@ def test_top_v_caps_driver_table(ray_session):
     ).repartition(4)
     wf = word_frequency_table(ds, top_v=32)
     assert len(wf) <= 32
+
+
+def test_bpe_tokenizer_actor_matches_driver_encode(ray_session):
+    """The actor-pool application stage (per-actor word cache across
+    batches) must count exactly what a driver-side bpe_encode of every
+    word counts — cache reuse can never change a count."""
+    import numpy as np
+    import ray as _ray
+
+    from ocr_poc_ray.functions.bpe import BpeTokenizer
+
+    texts = [
+        "low lower newest",
+        "widest low low newest",
+        "",  # empty doc → 0/0/0 row
+        "newest newest widest lower",
+        "unseenword low",  # word outside the trained vocab still encodes
+    ] * 6  # repeats across blocks exercise the cache
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                       "source": ["s0", "s1"] * (len(texts) // 2)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    merges = bpe_train(
+        word_frequency_table(ds), 10
+    )
+    out = (
+        ds.map_batches(
+            BpeTokenizer,
+            fn_constructor_kwargs={"merges_ref": _ray.put(merges),
+                                   "keep_cols": ("source",)},
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        words = texts[int(row["doc_id"])].lower().split()
+        assert row["n_words"] == len(words)
+        assert row["n_chars"] == sum(len(w) for w in words)
+        assert row["n_bpe_tokens"] == sum(
+            len(bpe_encode(w, merges)) for w in words
+        )
+    assert (out.loc[out["n_words"] == 0, "n_bpe_tokens"] == 0).all()
+
+
+def test_bpe_tokenize_report_invariants(ray_session):
+    """Registered query: per-source totals are integer-exact and every
+    word costs between 1 and len+1 tokens (EOW sentinel bound)."""
+    from ocr_poc_ray.queries.documents import doc_bpe_tokenize
+
+    rep = doc_bpe_tokenize("/root/testdata/sf0.001")
+    assert list(rep.columns) == [
+        "source", "n_docs", "n_words", "n_bpe_tokens", "tokens_per_word"
+    ]
+    assert rep["n_docs"].sum() == 500
+    assert (rep["tokens_per_word"] >= 1.0).all()
+    assert (rep["n_bpe_tokens"] >= rep["n_words"]).all()
