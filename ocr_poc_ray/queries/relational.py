@@ -5011,6 +5011,128 @@ group by 1
 """
 
 
+#: Q4-analog window + lateness (the corpus has no commit/receipt dates,
+#: so "late" is shipdate > orderdate + 30 days, as in rel_event rows).
+Q4_WINDOW = ("1996-01-01", "1996-04-01")
+Q4_LATE_DAYS = 30
+
+
+def rel_order_priority_exists(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count orders in one
+    quarter that have AT LEAST ONE late lineitem (the EXISTS
+    correlated-semi-join pattern, the one TPC-H shape the registry
+    lacked).
+
+    Distributed EXISTS: the quarter's orders ship as one broadcast of
+    sorted parallel arrays (window cut first, so the broadcast is
+    quarter-sized, not table-sized; above BROADCAST_KEY_LIMIT the
+    membership_flag bloom switch is the drop-in replacement); ONE
+    lineitem scan emits per-batch DISTINCT matching orderkeys with
+    their priority code; a 16-way hash-bucket combine dedups
+    orderkeys globally (EXISTS = first hit wins, never a count) and
+    emits ≤5-row per-bucket priority counts; driver final is ≤80 rows.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    odate_us = (
+        t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    )
+    lo_us, hi_us = (
+        np.datetime64(d, "us").astype(np.int64) for d in Q4_WINDOW
+    )
+    in_win = (odate_us >= lo_us) & (odate_us < hi_us)
+    okeys = t["o_orderkey"].to_numpy()[in_win]
+    odate_us = odate_us[in_win]
+    prio = t["o_orderpriority"].to_pandas().to_numpy(dtype=object)[in_win]
+    prios, prio_code = np.unique(prio, return_inverse=True)
+    order = np.argsort(okeys, kind="mergesort")
+    ref = ray.put(
+        {
+            "keys": okeys[order],
+            "odate": odate_us[order],
+            "pcode": prio_code[order].astype(np.int64),
+        }
+    )
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+    nb = 16
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        okey = b["l_orderkey"].to_numpy()
+        if len(st["keys"]) == 0:
+            return pd.DataFrame(
+                {"okey": pd.Series([], dtype="int64"),
+                 "pcode": pd.Series([], dtype="int64"),
+                 "_hb": pd.Series([], dtype="int64")}
+            )
+        pos = np.clip(np.searchsorted(st["keys"], okey), 0, len(st["keys"]) - 1)
+        hit = st["keys"][pos] == okey
+        ship_us = (
+            b["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        late = hit & (ship_us > st["odate"][pos] + late_us)
+        # EXISTS semantics: one row per matching order per batch
+        uo, first = np.unique(okey[late], return_index=True)
+        pc = st["pcode"][pos[late]][first]
+        return pd.DataFrame(
+            {"okey": uo.astype("int64"), "pcode": pc,
+             "_hb": (uo % nb).astype("int64")}
+        )
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        uo, first = np.unique(g["okey"].to_numpy(), return_index=True)
+        pc = g["pcode"].to_numpy()[first]
+        cnt = np.bincount(pc, minlength=len(prios))
+        nz = cnt > 0
+        return pd.DataFrame(
+            {"pcode": np.flatnonzero(nz).astype("int64"),
+             "n": cnt[nz].astype("int64")}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty or "pcode" not in parts.columns:
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series([], dtype=object),
+             "order_count": pd.Series([], dtype="int64")}
+        )
+    agg = parts.groupby("pcode", as_index=False)["n"].sum()
+    return (
+        pd.DataFrame(
+            {"o_orderpriority": prios[agg["pcode"].to_numpy()],
+             "order_count": agg["n"].to_numpy().astype("int64")}
+        )
+        .sort_values("o_orderpriority", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"o_orderpriority": object, "order_count": "int64"})
+    )
+
+
+REL_ORDER_PRIORITY_EXISTS_SQL = f"""
+select o_orderpriority, count(*)::BIGINT as order_count
+from orders
+where o_orderdate >= date '{Q4_WINDOW[0]}'
+  and o_orderdate < date '{Q4_WINDOW[1]}'
+  and exists (select 1 from lineitem
+              where l_orderkey = o_orderkey
+                and l_shipdate > o_orderdate + interval {Q4_LATE_DAYS} day)
+group by 1
+order by 1
+"""
+
+
 RETURNED_TOPK = 20
 
 
@@ -5125,6 +5247,10 @@ REGISTRY = {
         rel_returned_topk_customers, REL_RETURNED_TOPK_SQL,
     ),
     "rel_shipmode_priority": (rel_shipmode_priority, REL_SHIPMODE_PRIORITY_SQL),
+    "rel_order_priority_exists": (
+        rel_order_priority_exists,
+        REL_ORDER_PRIORITY_EXISTS_SQL,
+    ),
     "rel_promo_revenue": (rel_promo_revenue, REL_PROMO_REVENUE_SQL),
     "rel_small_qty_revenue": (rel_small_qty_revenue, REL_SMALL_QTY_REVENUE_SQL),
     "rel_supplier_value_share": (

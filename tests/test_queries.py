@@ -64,6 +64,7 @@ FAST_ORACLE = [
     "rel_nation_profit",
     "rel_returned_topk_customers",
     "rel_shipmode_priority",
+    "rel_order_priority_exists",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
