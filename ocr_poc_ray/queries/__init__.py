@@ -58,8 +58,10 @@ _ALL.update(_xs.REGISTRY)
 #: rel_sole_late_supplier, rel_order_count_histogram, rel_bulk_orders,
 #: xs_tool_latency, rel_user_coverage_time, rel_market_share,
 #: rel_nation_profit, rel_returned_topk_customers, xs_tool_transitions,
-#: rel_shipmode_priority — plus a spread of the rounds-1/2 queries whose
-#: driver rows are oldest.
+#: rel_shipmode_priority, rel_forecast_revenue, rel_local_supplier_volume,
+#: rel_min_cost_supplier, rel_supplier_part_counts,
+#: rel_excess_quantity_suppliers — plus a spread of the rounds-1/2
+#: queries whose driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)
     "xs_extract_documents",

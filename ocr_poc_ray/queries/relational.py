@@ -3775,7 +3775,11 @@ group by p_brand
 # per-order pandas groups.
 # ---------------------------------------------------------------------------
 
-LATE_SHIP_DAYS = 30
+# NOTE: this constant must NOT be named LATE_SHIP_DAYS — a later section
+# defines LATE_SHIP_DAYS = 60 (shipmode priority), and the kernel reads
+# module globals at CALL time while the SQL f-string bakes the value at
+# IMPORT time; the shadow silently desynced kernel (60) from oracle (30).
+SOLE_LATE_DAYS = 30
 _PACK_SUPP_BITS = 20  # suppkey < 2^20; orderkey < 2^43 — packs in int64
 
 
@@ -3784,7 +3788,7 @@ def rel_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
     distinct suppliers where they were the ONLY late shipper."""
     name_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_name")
     n_buckets = 16
-    late_us = LATE_SHIP_DAYS * 86_400_000_000
+    late_us = SOLE_LATE_DAYS * 86_400_000_000
 
     li = ray.data.read_parquet(
         _path(sf_dir, "lineitem"),
@@ -3880,7 +3884,7 @@ def rel_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
 REL_SOLE_LATE_SUPPLIER_SQL = f"""
 with l as (
   select l_orderkey, l_suppkey,
-         (l_shipdate > o_orderdate + interval {LATE_SHIP_DAYS} day) as late
+         (l_shipdate > o_orderdate + interval {SOLE_LATE_DAYS} day) as late
   from lineitem join orders on l_orderkey = o_orderkey
 ), per as (
   select l_orderkey, l_suppkey, max(late::int) as late
@@ -5240,7 +5244,486 @@ limit {RETURNED_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast-revenue change — pure filter + global sum,
+# the cheapest possible distributed shape (no exchange at all).
+# ---------------------------------------------------------------------------
+
+Q6_WINDOW = ("1996-01-01", "1997-01-01")
+Q6_DISCOUNT_PCT = (5, 7)  # inclusive band, integer percent
+Q6_MAX_QTY = 24.0
+
+
+def rel_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6: revenue delta from dropping a discount band —
+    ``sum(l_extendedprice * l_discount)`` under shipdate-year,
+    discount-band and quantity filters.
+
+    Scale shape: the read is pruned to 4 columns; each batch emits ONE
+    partial row through zero-copy pyarrow kernels; the driver folds
+    O(blocks) rows.  Money stays integer (price-cents × discount-percent
+    = "micents") so summation order can never move a rounded digit.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64(Q6_WINDOW[0], "us")
+    hi = np.datetime64(Q6_WINDOW[1], "us")
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        dp = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(ship, int(lo.astype(np.int64))),
+                pc.less(ship, int(hi.astype(np.int64))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(dp, Q6_DISCOUNT_PCT[0]),
+                    pc.less_equal(dp, Q6_DISCOUNT_PCT[1]),
+                ),
+                pc.less(t["l_quantity"], Q6_MAX_QTY),
+            ),
+        )
+        f = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], 100.0)), pa.int64())
+        dpk = pc.cast(pc.round(pc.multiply(f["l_discount"], 100.0)), pa.int64())
+        rev = pc.sum(pc.multiply(cents, dpk)).as_py() or 0
+        return pa.table(
+            {"revenue_micents": pa.array([rev], pa.int64()),
+             "n_lines": pa.array([f.num_rows], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"revenue_micents": [int(parts["revenue_micents"].sum()) if len(parts) else 0],
+         "n_lines": [int(parts["n_lines"].sum()) if len(parts) else 0]}
+    ).astype({"revenue_micents": "int64", "n_lines": "int64"})
+
+
+REL_FORECAST_REVENUE_SQL = f"""
+select coalesce(sum(cast(round(l_extendedprice * 100) as bigint)
+                    * cast(round(l_discount * 100) as bigint)), 0)::BIGINT
+         as revenue_micents,
+       count(*)::BIGINT as n_lines
+from lineitem
+where l_shipdate >= date '{Q6_WINDOW[0]}' and l_shipdate < date '{Q6_WINDOW[1]}'
+  and cast(round(l_discount * 100) as bigint)
+        between {Q6_DISCOUNT_PCT[0]} and {Q6_DISCOUNT_PCT[1]}
+  and l_quantity < {Q6_MAX_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume — revenue per nation where the
+# CUSTOMER's nation equals the SUPPLIER's nation, orders in one year.
+# ---------------------------------------------------------------------------
+
+Q5_WINDOW = ("1996-01-01", "1997-01-01")
+
+
+def rel_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5: revenue grouped by nation restricted to lineitems whose
+    customer and supplier share a nation, order date in one year.
+
+    Distributed shape: two dim broadcasts (custkey→nationkey,
+    suppkey→nationkey; above BROADCAST_KEY_LIMIT the membership_flag
+    bloom switch is the drop-in) plus ONE window-cut orders map built by
+    a Ray-side scan (year-sized, collected only after the cut — the
+    driver never reads the full orders table), then a single lineitem
+    scan emitting ≤25 partial rows per batch.  The combine moves
+    kilobytes.
+    """
+    import pyarrow.parquet as pq
+
+    cust_ref = _broadcast_lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    lo = pd.Timestamp(Q5_WINDOW[0])
+    hi = pd.Timestamp(Q5_WINDOW[1])
+
+    ods = ray.data.read_parquet(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def window_cut(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)
+        b = b[m]
+        nat, hit = _lookup(ray.get(cust_ref), b["o_custkey"].to_numpy())
+        return pd.DataFrame(
+            {"okey": b["o_orderkey"].to_numpy()[hit].astype("int64"),
+             "cnat": nat[hit].astype("int64")}
+        )
+
+    cut = ods.map_batches(window_cut, batch_format="pandas").to_pandas()
+    order = np.argsort(cut["okey"].to_numpy(), kind="mergesort")
+    oref = ray.put(
+        {"keys": cut["okey"].to_numpy()[order],
+         "cnat": cut["cnat"].to_numpy()[order]}
+    )
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(oref)
+        if len(st["keys"]) == 0:
+            return pd.DataFrame(
+                {"nat": pd.Series([], dtype="int64"),
+                 "mc": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        ok = b["l_orderkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(st["keys"], ok), len(st["keys"]) - 1)
+        hit = st["keys"][pos] == ok
+        cnat = st["cnat"][pos]
+        snat, shit = _lookup(ray.get(supp_ref), b["l_suppkey"].to_numpy())
+        keep = hit & shit & (cnat == snat)
+        cents = np.rint(b["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        dpct = np.rint(b["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+        mc = cents * (100 - dpct)
+        g = pd.DataFrame({"nat": cnat[keep].astype("int64"), "mc": mc})
+        out = g.groupby("nat", as_index=False).agg(mc=("mc", "sum"), n=("mc", "size"))
+        return out.astype({"nat": "int64", "mc": "int64", "n": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype=object),
+             "revenue_micents": pd.Series([], dtype="int64"),
+             "n_lines": pd.Series([], dtype="int64")}
+        )
+    agg = parts.groupby("nat", as_index=False).agg(
+        revenue_micents=("mc", "sum"), n_lines=("n", "sum")
+    )
+    names = pq.read_table(
+        _path(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nm = dict(zip(names["n_nationkey"].astype("int64"), names["n_name"]))
+    return (
+        pd.DataFrame(
+            {"n_name": [nm[k] for k in agg["nat"]],
+             "revenue_micents": agg["revenue_micents"].astype("int64"),
+             "n_lines": agg["n_lines"].astype("int64")}
+        )
+        .sort_values("n_name", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_name": object, "revenue_micents": "int64", "n_lines": "int64"})
+    )
+
+
+REL_LOCAL_SUPPLIER_VOLUME_SQL = f"""
+select n_name,
+       sum(cast(round(l_extendedprice * 100) as bigint)
+           * (100 - cast(round(l_discount * 100) as bigint)))::BIGINT
+         as revenue_micents,
+       count(*)::BIGINT as n_lines
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+join nation on c_nationkey = n_nationkey
+where s_nationkey = c_nationkey
+  and o_orderdate >= date '{Q5_WINDOW[0]}' and o_orderdate < date '{Q5_WINDOW[1]}'
+group by n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part (correlated-min subquery).
+# ---------------------------------------------------------------------------
+
+MIN_COST_MAX_SIZE = 10  # parts with p_size < 10 (Q2's size predicate)
+
+
+def rel_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape: for every small part, the supplier offering the
+    minimum observed unit price (ties → smallest suppkey) — the
+    correlated ``= (select min(...))`` subquery pattern.
+
+    Unit price is integer micro-cents via FLOOR, not round:
+    ``extprice*1e6/qty`` is an exact-rational with denominator ≤ 50, so
+    ties at .5 exist (numpy rounds half-to-even, DuckDB half-away —
+    measured divergence at sf0.01), while floor is stable: an integer
+    rational divides exactly in float64 and a non-integer one sits
+    ≥ 0.02 from the boundary, ~1e3 ULPs of slack.
+    Shape: per-batch partial min per (part, supp) pair, a 32-way
+    part-hash bucket combine (each part's pairs co-locate), per-bucket
+    argmin; no stage ever groups per part in Ray.
+    """
+    size_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_size")
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    nb = 32
+    _EMPTY = pd.DataFrame(
+        {"p_partkey": pd.Series([], dtype="int64"),
+         "s_suppkey": pd.Series([], dtype="int64"),
+         "unit_ucents": pd.Series([], dtype="int64"),
+         "_hb": pd.Series([], dtype="int64")}
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["l_partkey"].to_numpy()
+        size, hit = _lookup(ray.get(size_ref), pk)
+        keep = hit & (size < MIN_COST_MAX_SIZE)
+        if not keep.any():
+            return _EMPTY
+        ucents = np.floor(
+            b["l_extendedprice"].to_numpy()[keep] * 1_000_000
+            / b["l_quantity"].to_numpy()[keep]
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"p_partkey": pk[keep].astype("int64"),
+             "s_suppkey": b["l_suppkey"].to_numpy()[keep].astype("int64"),
+             "unit_ucents": ucents}
+        ).groupby(["p_partkey", "s_suppkey"], as_index=False)["unit_ucents"].min()
+        g["_hb"] = (g["p_partkey"] % nb).astype("int64")
+        return g
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["p_partkey", "s_suppkey"], as_index=False)[
+            "unit_ucents"
+        ].min()
+        gg = gg.sort_values(
+            ["p_partkey", "unit_ucents", "s_suppkey"], kind="mergesort"
+        )
+        top = gg.drop_duplicates("p_partkey", keep="first")
+        return top[["p_partkey", "s_suppkey", "unit_ucents"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "p_partkey" not in out.columns:
+        return pd.DataFrame(
+            {"p_partkey": pd.Series([], dtype="int64"),
+             "s_suppkey": pd.Series([], dtype="int64"),
+             "unit_ucents": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values("p_partkey", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"p_partkey": "int64", "s_suppkey": "int64",
+                 "unit_ucents": "int64"})
+    )
+
+
+REL_MIN_COST_SUPPLIER_SQL = f"""
+with unit as (
+  select l_partkey, l_suppkey,
+         min(cast(floor(l_extendedprice * 1000000 / l_quantity) as bigint))
+           as unit_ucents
+  from lineitem join part on l_partkey = p_partkey
+  where p_size < {MIN_COST_MAX_SIZE}
+  group by 1, 2
+), ranked as (
+  select l_partkey as p_partkey, l_suppkey as s_suppkey, unit_ucents,
+         row_number() over (partition by l_partkey
+                            order by unit_ucents, l_suppkey) as rn
+  from unit
+)
+select p_partkey, s_suppkey, unit_ucents from ranked where rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier counts per (brand, size) with a NOT-IN
+# supplier exclusion — grouped count-distinct over a derived join.
+# ---------------------------------------------------------------------------
+
+def rel_supplier_part_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (p_brand, p_size) from the
+    lineitem part-supplier pairs, EXCLUDING suppliers with a negative
+    account balance (the "complaints" NOT IN list of Q16).
+
+    Distinct triples are packed to one int64 per row
+    (suppkey «12 | brand-code «6 | size — brands ≤25, sizes ≤50) so
+    per-batch AND per-bucket dedup is a single np.unique over int64,
+    never an object-tuple hash.  32-way key-hash buckets bound the
+    combine; output is dim-sized.
+    """
+    brand_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_brand")
+    size_ref = _broadcast_lookup(sf_dir, "part", "p_partkey", "p_size")
+    bal_ref = _broadcast_lookup(sf_dir, "supplier", "s_suppkey", "s_acctbal")
+    brands = ray.get(brand_ref)["cats"]
+    nb = 32
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    )
+    _EMPTY = pd.DataFrame({"packed": pd.Series([], dtype="int64"),
+                           "_hb": pd.Series([], dtype="int64")})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["l_partkey"].to_numpy()
+        sk = b["l_suppkey"].to_numpy()
+        bstate = ray.get(brand_ref)
+        pos = np.minimum(np.searchsorted(bstate["keys"], pk), len(bstate["keys"]) - 1)
+        phit = bstate["keys"][pos] == pk
+        bcode = bstate["codes"][pos]
+        size, _ = _lookup(ray.get(size_ref), pk)
+        bal, shit = _lookup(ray.get(bal_ref), sk)
+        keep = phit & shit & (bal >= 0)
+        if not keep.any():
+            return _EMPTY
+        packed = (
+            (sk[keep].astype(np.int64) << 12)
+            | (bcode[keep].astype(np.int64) << 6)
+            | size[keep].astype(np.int64)
+        )
+        u = np.unique(packed)
+        return pd.DataFrame(
+            {"packed": u, "_hb": (u % nb).astype("int64")}
+        )
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["packed"].to_numpy())
+        bs = u & 0xFFF  # brand-code«6 | size
+        ub, cnt = np.unique(bs, return_counts=True)
+        return pd.DataFrame(
+            {"bcode": (ub >> 6).astype("int64"),
+             "p_size": (ub & 0x3F).astype("int64"),
+             "n": cnt.astype("int64")}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty or "bcode" not in parts.columns:
+        return pd.DataFrame(
+            {"p_brand": pd.Series([], dtype=object),
+             "p_size": pd.Series([], dtype="int64"),
+             "n_suppliers": pd.Series([], dtype="int64")}
+        )
+    agg = parts.groupby(["bcode", "p_size"], as_index=False)["n"].sum()
+    return (
+        pd.DataFrame(
+            {"p_brand": brands[agg["bcode"].to_numpy()],
+             "p_size": agg["p_size"].astype("int64"),
+             "n_suppliers": agg["n"].astype("int64")}
+        )
+        .sort_values(["p_brand", "p_size"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"p_brand": object, "p_size": "int64", "n_suppliers": "int64"})
+    )
+
+
+REL_SUPPLIER_PART_COUNTS_SQL = """
+select p_brand, p_size::BIGINT as p_size,
+       count(distinct l_suppkey)::BIGINT as n_suppliers
+from lineitem
+join part on l_partkey = p_partkey
+join supplier on l_suppkey = s_suppkey
+where s_acctbal >= 0
+group by 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers shipping an excess share of a part —
+# nested aggregate (per-pair sums vs per-part totals) then distinct.
+# ---------------------------------------------------------------------------
+
+def rel_excess_quantity_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of some part
+    exceeds TWICE the average per-supplier share of that part
+    (`qty * n_suppliers > 2 * total` — a relative threshold that stays
+    non-degenerate as supplier fan-out grows with scale, unlike Q20's
+    absolute 50 % which this uniform corpus never reaches), with how
+    many parts they dominate.  The nested-aggregate semi-join becomes:
+    per-batch partial (part, supp) quantity sums, a 32-way part-hash
+    bucket combine where each part's rows co-locate (total, supplier
+    count and share test are bucket-local), then a dim-sized supplier
+    rollup on the driver.  Quantities are integral → int64 sums are
+    exact; the share test is pure integer arithmetic (no float).
+    """
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    nb = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"p": b["l_partkey"].to_numpy().astype("int64"),
+             "s": b["l_suppkey"].to_numpy().astype("int64"),
+             "q": np.rint(b["l_quantity"].to_numpy()).astype("int64")}
+        ).groupby(["p", "s"], as_index=False)["q"].sum()
+        g["_hb"] = (g["p"] % nb).astype("int64")
+        return g
+
+    def bucket_excess(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["p", "s"], as_index=False)["q"].sum()
+        tot = ps.groupby("p")["q"].transform("sum")
+        nsupp = ps.groupby("p")["q"].transform("size")
+        ex = ps[ps["q"].to_numpy() * nsupp.to_numpy() > 2 * tot.to_numpy()]
+        cnt = ex.groupby("s", as_index=False).size()
+        return pd.DataFrame(
+            {"s_suppkey": cnt["s"].astype("int64"),
+             "n_parts": cnt["size"].astype("int64")}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_excess, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty or "s_suppkey" not in parts.columns:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "n_parts": pd.Series([], dtype="int64")}
+        )
+    agg = parts.groupby("s_suppkey", as_index=False)["n_parts"].sum()
+    return (
+        agg.sort_values("s_suppkey", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"s_suppkey": "int64", "n_parts": "int64"})
+    )
+
+
+REL_EXCESS_QTY_SUPPLIERS_SQL = """
+with ps as (
+  select l_partkey, l_suppkey,
+         sum(cast(round(l_quantity) as bigint)) as qty
+  from lineitem group by 1, 2
+), tot as (
+  select l_partkey, sum(qty) as total, count(*)::BIGINT as nsupp
+  from ps group by 1
+)
+select ps.l_suppkey as s_suppkey, count(*)::BIGINT as n_parts
+from ps join tot on ps.l_partkey = tot.l_partkey
+where ps.qty * tot.nsupp > 2 * tot.total
+group by 1
+"""
+
+
 REGISTRY = {
+    "rel_forecast_revenue": (rel_forecast_revenue, REL_FORECAST_REVENUE_SQL),
+    "rel_local_supplier_volume": (
+        rel_local_supplier_volume, REL_LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+    "rel_min_cost_supplier": (rel_min_cost_supplier, REL_MIN_COST_SUPPLIER_SQL),
+    "rel_supplier_part_counts": (
+        rel_supplier_part_counts, REL_SUPPLIER_PART_COUNTS_SQL,
+    ),
+    "rel_excess_quantity_suppliers": (
+        rel_excess_quantity_suppliers, REL_EXCESS_QTY_SUPPLIERS_SQL,
+    ),
     "rel_market_share": (rel_market_share, REL_MARKET_SHARE_SQL),
     "rel_nation_profit": (rel_nation_profit, REL_NATION_PROFIT_SQL),
     "rel_returned_topk_customers": (

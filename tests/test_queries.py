@@ -65,6 +65,11 @@ FAST_ORACLE = [
     "rel_returned_topk_customers",
     "rel_shipmode_priority",
     "rel_order_priority_exists",
+    "rel_forecast_revenue",
+    "rel_local_supplier_volume",
+    "rel_min_cost_supplier",
+    "rel_supplier_part_counts",
+    "rel_excess_quantity_suppliers",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
