@@ -3504,6 +3504,19 @@ limit {WEIGHTED_SAMPLE_K}
 """
 
 
+def doc_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup accounting per source: total vs
+    distinct gear-hash chunks and the duplicated-byte ratio.  Rows-only
+    (the 16-tap rolling hash has no SQL mirror); golden-tested against a
+    pure-python per-document reference in tests/test_cdc.py.  See
+    ocr_poc_ray.functions.cdc for the determinism spec and the 100-TB
+    shape (row-local chunk pass + bucketed distinct combine)."""
+    from ocr_poc_ray.functions.cdc import cdc_source_stats
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text", "source"])
+    return cdc_source_stats(ds)
+
+
 def doc_substring_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact repeated-substring removal (Lee et al. 2022) over 8-token
     overlapping windows: every non-first occurrence of a repeated
@@ -4896,6 +4909,7 @@ REGISTRY = {
         doc_source_contamination, DOC_SOURCE_CONTAMINATION_SQL,
     ),
     "doc_substring_dedup": (doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
+    "doc_cdc_chunk_stats": (doc_cdc_chunk_stats, None),
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
