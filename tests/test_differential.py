@@ -65,6 +65,32 @@ DIFF_QUERIES = [
     "xs_truncate_to_budget",
 ]
 
+#: TPC-H-family queries over GENERATED relational tables (third wave).
+#: All outputs are integers, strings, or exact-integer micents/ppm, so
+#: random money (exact quarters) can never hit a rounding boundary.
+DIFF_TPCH_QUERIES = [
+    "rel_forecast_revenue",
+    "rel_local_supplier_volume",
+    "rel_min_cost_supplier",
+    "rel_supplier_part_counts",
+    "rel_excess_quantity_suppliers",
+    "rel_sole_late_supplier",
+    "rel_order_priority_exists",
+    "rel_shipmode_priority",
+    "rel_agg_lineitem",
+    "rel_mktsegment_revenue",
+    "rel_nation_revenue",
+    "rel_customers_without_orders",
+    "rel_order_count_histogram",
+    "rel_bulk_orders",
+    "rel_brand_supplier_distinct",
+    "rel_market_share",
+    "rel_nation_profit",
+    "rel_returned_topk_customers",
+    "rel_topk_orders",
+    "rel_top_supplier",
+]
+
 _STOP = {
     "en": ["the", "and", "with", "from"],
     "fr": ["le", "et", "dans", "pour"],
@@ -135,6 +161,120 @@ def _gen_events(rng: np.random.Generator, n: int) -> pd.DataFrame:
     )
 
 
+def _quarters(rng, n, lo, hi):
+    """Exact binary quarters in [lo, hi) — 2-dp money that can't sit on
+    a float rounding boundary."""
+    return rng.integers(int(lo * 4), int(hi * 4), n).astype(np.float64) / 4.0
+
+
+def _gen_tpch(rng: np.random.Generator, d: str) -> None:
+    """Random TPC-H-shaped tables with adversarial plants: lateness
+    boundary ties (ship == orderdate + exactly 30/60 days), discount
+    band edges (0.05/0.07 inclusive), quantity exactly at the < 24
+    cutoff, p_size at the < 10 edge, zero/negative supplier balances,
+    customers without orders, orders without lineitems, one hot order
+    with enough lines to cross the bulk threshold, and duplicate
+    (order, supplier) pairs with MIXED lateness (the EXISTS/OR stress)."""
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(5, dtype=np.int32),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": np.arange(25, dtype=np.int32),
+         "n_name": [f"NATION_{i}" for i in range(25)],
+         "n_regionkey": (np.arange(25) % 5).astype(np.int32)}
+    )
+    n_s = int(rng.integers(8, 25))
+    supplier = pd.DataFrame(
+        {"s_suppkey": np.arange(1, n_s + 1, dtype=np.int64),
+         "s_name": [f"Supplier#{k:09d}" for k in range(1, n_s + 1)],
+         "s_nationkey": rng.integers(0, 25, n_s).astype(np.int32),
+         "s_acctbal": _quarters(rng, n_s, -500, 5000)}
+    )
+    supplier.loc[0, "s_acctbal"] = 0.0       # >= 0 boundary
+    supplier.loc[1, "s_acctbal"] = -0.25     # excluded side
+    n_c = int(rng.integers(25, 70))
+    customer = pd.DataFrame(
+        {"c_custkey": rng.permutation(np.arange(n_c, dtype=np.int64) * 3 + 1),
+         "c_name": [f"Customer#{k:09d}" for k in range(n_c)],
+         "c_nationkey": rng.integers(0, 25, n_c).astype(np.int32),
+         "c_acctbal": _quarters(rng, n_c, -100, 8000),
+         "c_mktsegment": np.asarray(
+             ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+             dtype=object)[rng.integers(0, 5, n_c)]}
+    )
+    n_p = int(rng.integers(20, 55))
+    sizes = rng.integers(1, 51, n_p).astype(np.int32)
+    sizes[:4] = [9, 10, 1, 50]  # the < 10 edge, both sides
+    part = pd.DataFrame(
+        {"p_partkey": np.arange(1, n_p + 1, dtype=np.int64),
+         "p_name": [f"part {k}" for k in range(n_p)],
+         "p_brand": np.asarray([f"Brand#{b}" for b in range(1, 26)],
+                               dtype=object)[rng.integers(0, 25, n_p)],
+         "p_type": np.asarray(["ECONOMY", "LARGE", "STANDARD", "MEDIUM",
+                               "SMALL", "PROMO"], dtype=object)[
+             rng.integers(0, 6, n_p)],
+         "p_size": sizes,
+         "p_retailprice": _quarters(rng, n_p, 100, 2000)}
+    )
+    part.loc[:2, "p_type"] = "STANDARD"  # market-share predicate must hit
+    n_o = int(rng.integers(80, 180))
+    base = np.datetime64("1995-01-01", "us")
+    span_us = int(5.5 * 365 * 86_400_000_000)  # through mid-2000
+    odate = base + rng.integers(0, span_us, n_o).astype("timedelta64[us]")
+    odate[:2] = [np.datetime64("1996-01-01", "us"),   # window lo edge
+                 np.datetime64("1996-03-31", "us")]   # inside Q4 quarter
+    orders = pd.DataFrame(
+        {"o_orderkey": rng.permutation(np.arange(n_o, dtype=np.int64) * 7 + 3),
+         "o_custkey": customer["c_custkey"].to_numpy()[
+             rng.integers(0, max(n_c - 5, 1), n_o)],  # last 5 custs orderless
+         "o_orderstatus": np.asarray(["O", "F", "P"], dtype=object)[
+             rng.integers(0, 3, n_o)],
+         "o_totalprice": _quarters(rng, n_o, 1000, 400_000),
+         "o_orderdate": odate,
+         "o_orderpriority": np.asarray(
+             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+             dtype=object)[rng.integers(0, 5, n_o)]}
+    )
+    n_l = int(rng.integers(300, 700))
+    oi = rng.integers(0, max(n_o - 3, 1), n_l)      # last 3 orders lineless
+    oi[:30] = 0                                      # hot order (bulk + skew)
+    okeys = orders["o_orderkey"].to_numpy()[oi]
+    odates = orders["o_orderdate"].to_numpy()[oi]
+    ship_lag_days = rng.integers(0, 120, n_l)
+    ship_lag_days[:8] = [30, 30, 60, 60, 29, 31, 59, 61]  # lateness edges
+    qty = rng.integers(1, 51, n_l).astype(np.float64)
+    qty[:6] = [24.0, 24.0, 23.0, 25.0, 50.0, 50.0]   # < 24 cutoff edges
+    disc = rng.integers(0, 11, n_l).astype(np.float64) / 100.0
+    disc[:6] = [0.05, 0.07, 0.04, 0.08, 0.05, 0.07]  # band edges
+    lineitem = pd.DataFrame(
+        {"l_orderkey": okeys,
+         "l_partkey": part["p_partkey"].to_numpy()[rng.integers(0, n_p, n_l)],
+         "l_suppkey": supplier["s_suppkey"].to_numpy()[
+             rng.integers(0, n_s, n_l)],
+         "l_linenumber": np.arange(n_l, dtype=np.int32) % 7 + 1,
+         "l_quantity": qty,
+         "l_extendedprice": _quarters(rng, n_l, 900, 105_000),
+         "l_discount": disc,
+         "l_tax": rng.integers(0, 9, n_l).astype(np.float64) / 100.0,
+         "l_returnflag": np.asarray(["R", "A", "N"], dtype=object)[
+             rng.integers(0, 3, n_l)],
+         "l_linestatus": np.asarray(["O", "F"], dtype=object)[
+             rng.integers(0, 2, n_l)],
+         "l_shipdate": odates
+         + (ship_lag_days * 86_400_000_000).astype("timedelta64[us]")}
+    )
+    # duplicate (order, supplier) with mixed lateness: one early, one late
+    dup = lineitem.iloc[:4].copy()
+    dup["l_shipdate"] = dup["l_shipdate"] + np.timedelta64(90 * 86_400_000_000, "us")
+    lineitem = pd.concat([lineitem, dup], ignore_index=True)
+    for name, df in [("region", region), ("nation", nation),
+                     ("supplier", supplier), ("customer", customer),
+                     ("part", part), ("orders", orders),
+                     ("lineitem", lineitem)]:
+        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -158,6 +298,36 @@ def random_sf_dir(request, tmp_path_factory):
         os.path.join(d, "events.parquet"), index=False
     )
     return str(d)
+
+
+@pytest.fixture(scope="module", params=[404, 505])
+def random_tpch_dir(request, tmp_path_factory):
+    rng = np.random.default_rng(request.param)
+    d = tmp_path_factory.mktemp(f"difftpch_{request.param}")
+    _gen_tpch(rng, str(d))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DIFF_TPCH_QUERIES)
+def test_differential_random_tpch(ray_session, random_tpch_dir, name):
+    from ocr_poc_ray.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    assert sql is not None
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "customer", "part",
+              "orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{random_tpch_dir}/{t}.parquet')"
+        )
+    mine = _canon(fn(random_tpch_dir))
+    oracle = _canon(con.execute(sql).fetchdf())
+    assert list(mine.columns) == list(oracle.columns), name
+    assert len(mine) == len(oracle), f"{name}: {len(mine)} vs {len(oracle)}"
+    if len(mine):
+        oracle = oracle.astype(mine.dtypes.to_dict())
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
 
 
 @pytest.mark.parametrize("name", DIFF_QUERIES)
