@@ -120,6 +120,7 @@ def bench_conversation_docs(sf: float) -> float:
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary pipelines over the driver's test tables."""
     from ocr_poc_ray.queries.documents import (
+        doc_cdc_chunk_stats,
         doc_dsir_weights,
         doc_exact_dedup,
         doc_jaccard_pairs_prefix,
@@ -162,6 +163,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("quality_classifier", doc_quality_classifier),
         ("ngram_novelty", doc_ngram_novelty),
         ("curation_pipeline", xs_curation_pipeline),
+        ("cdc_chunk_stats", doc_cdc_chunk_stats),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)

@@ -118,6 +118,41 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shard(args: argparse.Namespace) -> int:
+    """Write a parquet corpus as WebDataset-style tar shards."""
+    _ensure_ray(args.num_cpus)
+    import os
+
+    import ray.data
+
+    from ocr_poc_ray.pipelines.shards import write_tar_shards
+
+    payload_cols = {}
+    for spec in args.col:
+        col, _, ext = spec.partition(":")
+        payload_cols[col] = ext or col
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.key_col, *payload_cols.keys()]
+    )
+    hint = None
+    if args.shards == 0:
+        hint = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(args.input)
+            for f in fs
+        ) if os.path.isdir(args.input) else os.path.getsize(args.input)
+    man = write_tar_shards(
+        ds, args.output, key_col=args.key_col, payload_cols=payload_cols,
+        n_shards=args.shards or None, bytes_hint=hint,
+        overwrite=args.overwrite,
+    )
+    print(json.dumps({"shards": len(man),
+                      "samples": int(man["n_samples"].sum()),
+                      "bytes": int(man["n_bytes"].sum()),
+                      "output": args.output}))
+    return 0
+
+
 def cmd_bench_info(_args: argparse.Namespace) -> int:
     from ocr_poc_ray.queries import REGISTRY
 
@@ -216,6 +251,18 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    sh = sub.add_parser("shard", help="write WebDataset-style tar shards")
+    sh.add_argument("--input", required=True, help="parquet file or dir")
+    sh.add_argument("--output", required=True, help="shard directory")
+    sh.add_argument("--key-col", default="doc_id")
+    sh.add_argument("--col", action="append", required=True,
+                    help="payload column, optionally col:ext (repeatable)")
+    sh.add_argument("--shards", type=int, default=0,
+                    help="0 = size from input bytes")
+    sh.add_argument("--overwrite", action="store_true")
+    sh.add_argument("--num-cpus", type=int, default=0)
+    sh.set_defaults(fn=cmd_shard)
 
     bi = sub.add_parser("bench-info", help="list the operator registry")
     bi.set_defaults(fn=cmd_bench_info)
