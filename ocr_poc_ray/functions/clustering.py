@@ -45,6 +45,111 @@ def _priority(seed: int, ids: np.ndarray) -> np.ndarray:
     )
 
 
+class _KmeansShard:
+    """One shard of the (id, vec) projection pinned as a dense matrix;
+    every k-means round becomes one actor call instead of a Ray Data
+    job launch (~0.3 s/job regardless of data — the fit loop is
+    11 jobs at n_iters=8).  Same math as the streaming partials."""
+
+    def __init__(self, table_refs, id_col: str, vec_col: str):
+        import ray as _ray
+
+        from ocr_poc_ray.functions.similarity import _to_matrix
+
+        tables = _ray.get(list(table_refs))
+        dfs = [t.to_pandas() for t in tables]
+        df = pd.concat(dfs, ignore_index=True) if dfs else None
+        if df is None or len(df) == 0:
+            self.ids = np.zeros(0, dtype=np.int64)
+            self.X = np.zeros((0, 0), dtype=np.float64)
+            return
+        self.ids = df[id_col].to_numpy()
+        self.X = _to_matrix(df[vec_col]).astype(np.float64)
+
+    def topk_priority(self, seed: int, k: int):
+        pri = _priority(seed, self.ids)
+        order = np.argsort(pri, kind="stable")[:k]
+        return self.ids[order], pri[order]
+
+    def fetch_vecs(self, want: np.ndarray):
+        m = np.isin(self.ids, want)
+        return self.ids[m], self.X[m]
+
+    def assign(self, C: np.ndarray, want_sums: bool):
+        if len(self.ids) == 0:
+            z = np.zeros(len(C), dtype="int64")
+            return (z, np.zeros((len(C), C.shape[1]))) if want_sums else (
+                z, np.zeros(len(C)))
+        X = self.X
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        counts = np.bincount(a, minlength=len(C)).astype("int64")
+        if want_sums:
+            sums = np.zeros((len(C), X.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, X)
+            return counts, sums
+        sse = np.zeros(len(C), dtype=np.float64)
+        np.add.at(sse, a, d2[np.arange(len(X)), a])
+        return counts, sse
+
+
+def _kmeans_fit_actors(
+    ds: Dataset, *, k: int, n_iters: int, id_col: str, vec_col: str,
+    seed: int,
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Actor-pool fast path of ``kmeans_fit`` (same init rule, same
+    per-round math; float sums group per shard instead of per block)."""
+    import ray as _ray
+
+    from ocr_poc_ray.functions.trainer import _FIT_ACTOR_POOL
+
+    refs = ds.to_arrow_refs()
+    n_shards = max(1, min(_FIT_ACTOR_POOL, len(refs)))
+    shard_refs: list[list] = [[] for _ in range(n_shards)]
+    for i, r in enumerate(refs):
+        shard_refs[i % n_shards].append(r)
+    actor_cls = _ray.remote(_KmeansShard)
+    actors = [actor_cls.remote(rs, id_col, vec_col) for rs in shard_refs]
+    try:
+        tops = _ray.get([a.topk_priority.remote(seed, k) for a in actors])
+        cand = pd.DataFrame(
+            {"id_": np.concatenate([t[0] for t in tops]),
+             "pri": np.concatenate([t[1] for t in tops])}
+        ).sort_values(["pri", "id_"], kind="mergesort").head(k)
+        init_ids = np.sort(cand["id_"].to_numpy())
+        got = _ray.get([a.fetch_vecs.remote(init_ids) for a in actors])
+        ids = np.concatenate([g[0] for g in got])
+        vecs = np.concatenate([g[1] for g in got]) if len(ids) else np.zeros((0, 0))
+        order = np.argsort(ids, kind="stable")
+        centroids = vecs[order]
+        k = len(centroids)
+
+        for _ in range(n_iters):
+            parts = _ray.get([a.assign.remote(centroids, True) for a in actors])
+            counts = sum(p[0] for p in parts)
+            sums = sum(p[1] for p in parts)
+            nonempty = counts > 0
+            centroids = centroids.copy()
+            centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+        parts = _ray.get([a.assign.remote(centroids, False) for a in actors])
+        counts = sum(p[0] for p in parts)
+        sse = sum(p[1] for p in parts)
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    summary = pd.DataFrame(
+        {"cluster": np.arange(k, dtype="int64"),
+         "n_points": counts.astype("int64"),
+         "sse": sse.astype(np.float64)}
+    )
+    return centroids, summary
+
+
 def kmeans_fit(
     ds: Dataset,
     *,
@@ -76,6 +181,14 @@ def kmeans_fit(
                     "sse": pd.Series([], dtype="float64"),
                 }
             ),
+        )
+
+    from ocr_poc_ray.functions.trainer import _FIT_ACTOR_BYTES_LIMIT
+
+    if ds.size_bytes() <= _FIT_ACTOR_BYTES_LIMIT:
+        return _kmeans_fit_actors(
+            ds, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+            seed=seed,
         )
 
     # --- deterministic init: bottom-k priorities, local partials ---
