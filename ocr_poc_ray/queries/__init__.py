@@ -60,8 +60,9 @@ _ALL.update(_xs.REGISTRY)
 #: rel_nation_profit, rel_returned_topk_customers, xs_tool_transitions,
 #: rel_shipmode_priority, rel_forecast_revenue, rel_local_supplier_volume,
 #: rel_min_cost_supplier, rel_supplier_part_counts,
-#: rel_excess_quantity_suppliers, doc_cdc_chunk_stats — plus a spread
-#: of the rounds-1/2 queries whose driver rows are oldest.
+#: rel_excess_quantity_suppliers, doc_cdc_chunk_stats,
+#: rel_daily_gapfill — plus a spread of the rounds-1/2 queries whose
+#: driver rows are oldest.
 _PRIORITY: list[str] = [
     # flagships (keep a driver row every round)
     "xs_extract_documents",

@@ -5712,7 +5712,117 @@ group by 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-filled per-user daily series — the resample op feature pipelines
+# need: one row per (user, day) for EVERY day in the user's active
+# span, missing days zero-filled.
+# ---------------------------------------------------------------------------
+
+def rel_daily_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Dense daily activity per user with zero-filled gaps.
+
+    Shape: per-batch (user, day) partials (count + value sum) → 16-way
+    user-hash bucket combine where each user's full span is
+    bucket-local; the dense range materializes vectorized inside the
+    bucket (one np.arange over the bucket's total span, aligned by
+    repeat/cumsum offsets — no per-user Python loop).  Output size is
+    Σ user spans; nothing wider ever exists.  Day index is
+    ``datetime64[D]`` (exact integer division of µs — the epoch-binning
+    rule from CLAUDE.md; corpus is 2024+ so trunc == floor).
+    """
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    nb = 16
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy(dtype="datetime64[us]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "day": day,
+             "value": b["value"].to_numpy(np.float64)}
+        ).groupby(["user_id", "day"], as_index=False).agg(
+            n=("value", "size"), v=("value", "sum")
+        )
+        g["_hb"] = (g["user_id"] % nb).astype("int64")
+        return g
+
+    def bucket_fill(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["user_id", "day"], as_index=False).agg(
+            n=("n", "sum"), v=("v", "sum")
+        ).sort_values(["user_id", "day"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        # per-user span boundaries from the sorted frame
+        new_u = np.empty(len(d), dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(d))
+        lo = day[starts]
+        hi = day[ends - 1]
+        span = hi - lo + 1
+        total = int(span.sum())
+        # dense (user, day) grid: one arange over the whole bucket
+        u_out = np.repeat(uid[starts], span)
+        pos = np.cumsum(span) - span  # grid offset per user segment
+        day_out = np.arange(total) - np.repeat(pos, span) + np.repeat(lo, span)
+        # scatter the observed days into the dense grid
+        seg_id = np.repeat(np.arange(len(starts)), ends - starts)
+        idx = pos[seg_id] + (day - lo[seg_id])
+        n_out = np.zeros(total, np.int64)
+        v_out = np.zeros(total, np.float64)
+        n_out[idx] = d["n"].to_numpy()
+        v_out[idx] = d["v"].to_numpy()
+        return pd.DataFrame(
+            {"user_id": u_out, "day": day_out,
+             "n_events": n_out, "total_value": np.round(v_out, 2)}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_fill, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "day": pd.Series([], dtype="int64"),
+             "n_events": pd.Series([], dtype="int64"),
+             "total_value": pd.Series([], dtype="float64")}
+        )
+    return (
+        out.sort_values(["user_id", "day"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "day": "int64",
+                 "n_events": "int64", "total_value": "float64"})
+    )
+
+
+REL_DAILY_GAPFILL_SQL = """
+with d as (
+  select user_id,
+         (epoch_us(date_trunc('day', ts)) // 86400000000)::BIGINT as day,
+         count(*)::BIGINT as n_events, sum(value) as total_value
+  from events group by 1, 2
+), span as (
+  select user_id, min(day) as lo, max(day) as hi from d group by 1
+)
+select s.user_id, gs.day::BIGINT as day,
+       coalesce(d.n_events, 0)::BIGINT as n_events,
+       round(coalesce(d.total_value, 0), 2) as total_value
+from span s
+cross join unnest(generate_series(s.lo, s.hi)) as gs(day)
+left join d on d.user_id = s.user_id and d.day = gs.day
+"""
+
+
 REGISTRY = {
+    "rel_daily_gapfill": (rel_daily_gapfill, REL_DAILY_GAPFILL_SQL),
     "rel_forecast_revenue": (rel_forecast_revenue, REL_FORECAST_REVENUE_SQL),
     "rel_local_supplier_volume": (
         rel_local_supplier_volume, REL_LOCAL_SUPPLIER_VOLUME_SQL,

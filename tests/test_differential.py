@@ -31,6 +31,7 @@ DIFF_QUERIES = [
     "rel_user_mode_event",
     "rel_late_events",
     "rel_user_coverage_time",
+    "rel_daily_gapfill",
     "doc_exact_dedup",
     "doc_train_split",
     "doc_langid",

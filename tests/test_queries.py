@@ -70,6 +70,7 @@ FAST_ORACLE = [
     "rel_min_cost_supplier",
     "rel_supplier_part_counts",
     "rel_excess_quantity_suppliers",
+    "rel_daily_gapfill",
     "rel_topk_orders",
     "rel_event_type_stats",
     "rel_sessionize",
