@@ -5577,8 +5577,14 @@ def rel_supplier_part_counts(sf_dir: str) -> pd.DataFrame:
         keep = phit & shit & (bal >= 0)
         if not keep.any():
             return _EMPTY
+        skk = sk[keep].astype(np.int64)
+        if len(skk) and skk.max() >= (1 << 51):
+            raise ValueError(
+                "rel_supplier_part_counts: suppkey >= 2^51 would overflow "
+                "the (suppkey<<12 | brand<<6 | size) packed key"
+            )
         packed = (
-            (sk[keep].astype(np.int64) << 12)
+            (skk << 12)
             | (bcode[keep].astype(np.int64) << 6)
             | size[keep].astype(np.int64)
         )
