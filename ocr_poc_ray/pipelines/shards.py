@@ -139,6 +139,14 @@ def write_tar_shards(
         .map_groups(write_shard, batch_format="pandas")
         .to_pandas()
     )
+    if manifest.empty or "shard_id" not in manifest.columns:
+        manifest = pd.DataFrame(
+            {"shard_id": pd.Series([], dtype="int64"),
+             "path": pd.Series([], dtype=object),
+             "n_samples": pd.Series([], dtype="int64"),
+             "n_bytes": pd.Series([], dtype="int64"),
+             "keys_digest": pd.Series([], dtype=object)}
+        )
     manifest = (
         manifest.sort_values("shard_id", kind="mergesort")
         .reset_index(drop=True)

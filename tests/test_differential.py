@@ -90,6 +90,7 @@ DIFF_TPCH_QUERIES = [
     "rel_returned_topk_customers",
     "rel_topk_orders",
     "rel_top_supplier",
+    "rel_customer_name_fuzzy_pairs",
 ]
 
 _STOP = {
@@ -195,9 +196,27 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
     supplier.loc[0, "s_acctbal"] = 0.0       # >= 0 boundary
     supplier.loc[1, "s_acctbal"] = -0.25     # excluded side
     n_c = int(rng.integers(25, 70))
+    # VARIABLE-length noisy names: stresses the fuzzy join's
+    # deletion-signature scheme across length groups (insertions and
+    # deletions, not just same-length substitutions)
+    _alpha = list("abcdefgh")
+    base_names = [
+        "".join(rng.choice(_alpha, size=rng.integers(5, 13)))
+        for _ in range(n_c)
+    ]
+    for i in range(0, n_c - 1, 7):  # plant near-misses: 1-2 edits apart
+        s = list(base_names[i])
+        op = int(rng.integers(0, 3))
+        if op == 0:
+            s[rng.integers(0, len(s))] = str(rng.integers(0, 9))
+        elif op == 1 and len(s) > 2:
+            del s[rng.integers(0, len(s))]
+        else:
+            s.insert(int(rng.integers(0, len(s))), "z")
+        base_names[i + 1] = "".join(s)
     customer = pd.DataFrame(
         {"c_custkey": rng.permutation(np.arange(n_c, dtype=np.int64) * 3 + 1),
-         "c_name": [f"Customer#{k:09d}" for k in range(n_c)],
+         "c_name": base_names,
          "c_nationkey": rng.integers(0, 25, n_c).astype(np.int32),
          "c_acctbal": _quarters(rng, n_c, -100, 8000),
          "c_mktsegment": np.asarray(
