@@ -4890,7 +4890,203 @@ def doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Keyword-in-context (KWIC) window extraction — the corpus-scale analog
+# of the reference's anchor detection + proximity value lookup
+# (cni_extractor_18_f.py:681,713): find an anchor token, extract the
+# surrounding context window.  Pure row-local map_batches; the window
+# slice is one vectorized multi-arange + take + binary_join per batch
+# (never a per-row join loop).
+# ---------------------------------------------------------------------------
+
+KWIC_KEYWORDS = ("spark", "merge", "window")
+KWIC_WINDOW = 3
+
+
+def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(s, s+l) for each (s, l) — vectorized."""
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.ones(total, dtype=np.int64)
+    idx[0] = starts[0]
+    cs = np.cumsum(lens)[:-1]
+    idx[cs] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(idx)
+
+
+def _kwic_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # align values with offsets: for a sliced ListArray the raw values
+    # buffer starts before off[0]
+    vals = la.values.slice(int(off[0]), int(off[-1] - off[0]))
+    off = off - off[0]
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    # split('', \s+) yields [''] — drop empty tokens so positions match
+    # regexp_extract_all(text, '\S+') exactly
+    keep = np.flatnonzero(pc.not_equal(vals, "").to_numpy(zero_copy_only=False))
+    fvals = vals.take(pa.array(keep)) if len(keep) < len(vals) else vals
+    row_of = row_of[keep] if len(keep) < len(vals) else row_of
+    counts = np.bincount(row_of, minlength=n)
+    noff = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+
+    ids_out, kw_out, pos_out, ctx_out = [], [], [], []
+    for kw in KWIC_KEYWORDS:
+        m = pc.equal(fvals, kw).to_numpy(zero_copy_only=False)
+        hit = np.flatnonzero(m)
+        if len(hit) == 0:
+            continue
+        hit_row = row_of[hit]
+        ur, first_i = np.unique(hit_row, return_index=True)
+        pos_flat = hit[first_i]
+        lo = np.maximum(noff[ur], pos_flat - KWIC_WINDOW)
+        hi = np.minimum(noff[ur + 1], pos_flat + KWIC_WINDOW + 1)
+        lens = hi - lo
+        take_idx = _multi_arange(lo, lens)
+        ctx_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        ctx_list = pa.ListArray.from_arrays(
+            pa.array(ctx_offsets, pa.int32()), fvals.take(pa.array(take_idx))
+        )
+        ids_out.append(doc_id[ur])
+        kw_out.extend([kw] * len(ur))
+        pos_out.append(pos_flat - noff[ur] + 1)  # 1-based (= list_position)
+        ctx_out.append(pc.binary_join(ctx_list, " "))
+    if not ids_out:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "keyword": pa.array([], pa.string()),
+             "pos": pa.array([], pa.int64()), "context": pa.array([], pa.string())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids_out).astype(np.int64)),
+            "keyword": pa.array(kw_out, pa.string()),
+            "pos": pa.array(np.concatenate(pos_out).astype(np.int64)),
+            "context": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in ctx_out]
+            ),
+        }
+    )
+
+
+def doc_kwic(sf_dir: str) -> pd.DataFrame:
+    """First occurrence of each anchor keyword per doc with its ±3-token
+    context window.  Row-local (no shuffle); windows never cross docs."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(_kwic_batch, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "keyword": pd.Series([], dtype=object),
+             "pos": pd.Series([], dtype="int64"),
+             "context": pd.Series([], dtype=object)}
+        )
+    return out.astype({"doc_id": "int64", "pos": "int64"})
+
+
+_KWIC_VALUES = ",".join(f"('{k}')" for k in KWIC_KEYWORDS)
+
+DOC_KWIC_SQL = rf"""
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as t from documents
+), hit as (
+  select doc_id, k.keyword, t, list_position(t, k.keyword) as pos
+  from toks cross join (values {_KWIC_VALUES}) k(keyword)
+)
+select doc_id, keyword, pos::BIGINT as pos,
+       array_to_string(t[greatest(1, pos - {KWIC_WINDOW}) : pos + {KWIC_WINDOW}], ' ')
+         as context
+from hit where pos > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anchor span offsets — char-level first/last occurrence spans per
+# keyword (the span-contract analog of P6 anchor detection, done as
+# three Arrow substring kernels per batch, zero shuffle)
+# ---------------------------------------------------------------------------
+
+ANCHOR_KEYWORDS = ("spark", "vector", "customer")
+
+
+def _anchor_spans_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    txt = pc.utf8_lower(batch["text"])
+    rtxt = pc.utf8_reverse(txt)
+    tlen = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    ids, kws, firsts, lasts, occs = [], [], [], [], []
+    for kw in ANCHOR_KEYWORDS:
+        f0 = pc.find_substring(txt, kw).to_numpy(zero_copy_only=False).astype(np.int64)
+        present = np.flatnonzero(f0 >= 0)
+        if len(present) == 0:
+            continue
+        r0 = pc.find_substring(rtxt, kw[::-1]).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_occ = pc.count_substring(txt, kw).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids.append(doc_id[present])
+        kws.extend([kw] * len(present))
+        firsts.append(f0[present] + 1)  # 1-based (= strpos)
+        lasts.append(tlen[present] - r0[present] - len(kw) + 1)
+        occs.append(n_occ[present])
+    if not ids:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "keyword": pa.array([], pa.string()),
+             "first_char": pa.array([], pa.int64()), "last_char": pa.array([], pa.int64()),
+             "n_occ": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids).astype(np.int64)),
+            "keyword": pa.array(kws, pa.string()),
+            "first_char": pa.array(np.concatenate(firsts)),
+            "last_char": pa.array(np.concatenate(lasts)),
+            "n_occ": pa.array(np.concatenate(occs)),
+        }
+    )
+
+
+def doc_anchor_spans(sf_dir: str) -> pd.DataFrame:
+    """Char-offset span (first/last occurrence, 1-based) and
+    non-overlapping occurrence count of each anchor keyword per doc."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(_anchor_spans_batch, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "keyword": pd.Series([], dtype=object),
+             "first_char": pd.Series([], dtype="int64"),
+             "last_char": pd.Series([], dtype="int64"),
+             "n_occ": pd.Series([], dtype="int64")}
+        )
+    return out.astype(
+        {"doc_id": "int64", "first_char": "int64", "last_char": "int64", "n_occ": "int64"}
+    )
+
+
+_ANCHOR_VALUES = ",".join(f"('{k}')" for k in ANCHOR_KEYWORDS)
+
+DOC_ANCHOR_SPANS_SQL = rf"""
+select doc_id, keyword,
+       strpos(lower(text), keyword)::BIGINT as first_char,
+       (length(text) - strpos(reverse(lower(text)), reverse(keyword))
+        - length(keyword) + 2)::BIGINT as last_char,
+       len(regexp_extract_all(lower(text), keyword))::BIGINT as n_occ
+from documents cross join (values {_ANCHOR_VALUES}) k(keyword)
+where strpos(lower(text), keyword) > 0
+"""
+
+
 REGISTRY = {
+    "doc_kwic": (doc_kwic, DOC_KWIC_SQL),
+    "doc_anchor_spans": (doc_anchor_spans, DOC_ANCHOR_SPANS_SQL),
     "doc_quality_classifier": (doc_quality_classifier, None),
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
     "doc_source_contamination_sketch": (doc_source_contamination_sketch, None),

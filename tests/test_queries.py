@@ -20,6 +20,8 @@ TABLES = (
 
 # oracle-checked here (cheap at sf0.001); the rest still must RUN
 FAST_ORACLE = [
+    "doc_kwic",
+    "doc_anchor_spans",
     "doc_token_counts",
     "doc_quality",
     "doc_langid",
