@@ -2242,7 +2242,119 @@ group by 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Consecutive-turn token overlap — retry/loop detection: distinct-token
+# Jaccard between each turn and its predecessor in the conversation.
+# One range sort (keyed_sorted_match), then a per-pair packed-sorted-hash
+# intersection (the ngram_jaccard_verify kernel shape, ~5 µs/pair);
+# turn token sets are hashed/packed ONCE per turn, never per pair.
+# ---------------------------------------------------------------------------
+
+
+def xs_turn_overlap(sf_dir: str) -> pd.DataFrame:
+    """Distinct-token Jaccard of each turn vs its previous turn (same
+    conversation).  jaccard is emitted UNROUNDED: n_inter/n_union are
+    exact ints on both engines, and IEEE division of identical ints is
+    bit-identical, so no rounding boundary can flip (CLAUDE.md)."""
+    from ocr_poc_ray.functions.dedup import _batch_token_hashes
+    from ocr_poc_ray.functions.windows import keyed_sorted_match
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        th, offsets = _batch_token_hashes(batch["text"])
+        packed = [
+            np.unique(th[offsets[d] : offsets[d + 1]]).tobytes()
+            for d in range(len(batch))
+        ]
+        return pd.DataFrame(
+            {"source": batch["source"].to_numpy(),
+             "doc_id": batch["doc_id"].to_numpy(), "_th": packed}
+        )
+
+    def _match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "doc_id"], kind="mergesort")
+        by = g.groupby("source", sort=False)
+        prev_th = by["_th"].shift().to_numpy()
+        prev_id = by["doc_id"].shift()
+        mask = prev_id.notna().to_numpy()
+        cur_th = g["_th"].to_numpy()
+        n = len(g)
+        inter = np.zeros(n, dtype=np.int64)
+        union = np.zeros(n, dtype=np.int64)
+        for i in np.flatnonzero(mask):
+            a = np.frombuffer(prev_th[i], dtype=np.uint64)
+            b = np.frombuffer(cur_th[i], dtype=np.uint64)
+            k = np.intersect1d(a, b, assume_unique=True).size
+            inter[i] = k
+            union[i] = a.size + b.size - k
+        u = union[mask]
+        k = inter[mask]
+        jac = np.where(u > 0, k / np.maximum(u, 1), 1.0)
+        return pd.DataFrame(
+            {
+                "conv_id": g["source"].to_numpy()[mask],
+                "prev_turn_idx": prev_id.to_numpy()[mask].astype("int64"),
+                "turn_idx": g["doc_id"].to_numpy()[mask],
+                "n_inter": k,
+                "n_union": u,
+                "jaccard": jac,
+            }
+        )
+
+    out = keyed_sorted_match(
+        ds.map_batches(pack, batch_format="pandas"),
+        key_col="source",
+        sort_cols=["doc_id"],
+        in_cols=["source", "doc_id", "_th"],
+        match_fn=_match,
+        out_meta={"conv_id": "object", "prev_turn_idx": "int64",
+                  "turn_idx": "int64", "n_inter": "int64",
+                  "n_union": "int64", "jaccard": "float64"},
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=object),
+             "prev_turn_idx": pd.Series([], dtype="int64"),
+             "turn_idx": pd.Series([], dtype="int64"),
+             "n_inter": pd.Series([], dtype="int64"),
+             "n_union": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.astype(
+        {"prev_turn_idx": "int64", "turn_idx": "int64",
+         "n_inter": "int64", "n_union": "int64", "jaccard": "float64"}
+    )
+
+
+XS_TURN_OVERLAP_SQL = r"""
+with t as (
+  select source, doc_id,
+         list_distinct(regexp_extract_all(lower(text), '\S+')) as toks
+  from documents
+), lagged as (
+  select source, doc_id, toks,
+         lag(doc_id) over w as prev_id,
+         lag(toks) over w as prev_toks
+  from t window w as (partition by source order by doc_id)
+)
+select source as conv_id, prev_id as prev_turn_idx, doc_id as turn_idx,
+       len(list_intersect(toks, prev_toks))::BIGINT as n_inter,
+       (len(toks) + len(prev_toks) - len(list_intersect(toks, prev_toks)))::BIGINT
+         as n_union,
+       case when len(toks) + len(prev_toks) = 0 then 1.0
+            else len(list_intersect(toks, prev_toks))::DOUBLE /
+                 (len(toks) + len(prev_toks) - len(list_intersect(toks, prev_toks)))
+       end as jaccard
+from lagged where prev_id is not null
+"""
+
+
 REGISTRY = {
+    "xs_turn_overlap": (xs_turn_overlap, XS_TURN_OVERLAP_SQL),
     "xs_extract_synth": (xs_extract_synth, None),
     "xs_curation_pipeline": (xs_curation_pipeline, XS_CURATION_PIPELINE_SQL),
     "xs_tool_latency": (xs_tool_latency, XS_TOOL_LATENCY_SQL),

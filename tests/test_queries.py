@@ -20,6 +20,7 @@ TABLES = (
 
 # oracle-checked here (cheap at sf0.001); the rest still must RUN
 FAST_ORACLE = [
+    "xs_turn_overlap",
     "doc_kwic",
     "doc_anchor_spans",
     "doc_token_counts",
