@@ -58,7 +58,7 @@ BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 #: bump when generator OUTPUT changes for the same (n, seed) — cache
 #: keys (bench fixtures) include it so stale corpora are regenerated.
-FIXTURE_VERSION = "4"  # 4: front span docs padded to the 18F quality gate
+FIXTURE_VERSION = "5"  # 5: markdown turns (tool="md") join the payload mix
 
 
 def _sentence(rng: random.Random, min_chars: int = 30) -> str:
@@ -139,6 +139,45 @@ def _wrap_html(rng: random.Random, paragraphs: list[str]) -> str:
     )
 
 
+def _wrap_markdown(rng: random.Random, paragraphs: list[str]) -> str:
+    """Clean paragraphs as markdown prose with inline markup the
+    extractor strips exactly, framed by heading/nav/fence/rule
+    furniture lines it drops (extractors/markdown.py)."""
+    title = rng.choice(_WORDS).title()
+    lines: list[str] = [f"# {title} Site"]
+    lines += [
+        f"- [{rng.choice(_WORDS).title()}](/{rng.choice(_WORDS)})"
+        for _ in range(rng.randint(2, 5))
+    ]
+    if rng.random() < 0.5:
+        lines.append(f"![badge](http://img.example/{rng.choice(_WORDS)}.png)")
+    lines.append("---")
+    for p in paragraphs:
+        words = p.split(" ")
+        marked: list[str] = []
+        for w in words:
+            r = rng.random()
+            if r < 0.05:
+                marked.append(f"**{w}**")
+            elif r < 0.09:
+                marked.append(f"*{w}*")
+            elif r < 0.13:
+                marked.append(f"[{w}](http://site.example/{rng.choice(_WORDS)})")
+            elif r < 0.16:
+                marked.append(f"`{w}`")
+            else:
+                marked.append(w)
+        lines.append(" ".join(marked))
+        if rng.random() < 0.3:
+            lines.append("")
+    if rng.random() < 0.6:
+        junk = rng.choice(_WORDS)
+        lines.append(f"```python\n{junk} = {rng.randint(0, 9)}\nreturn {junk}\n```")
+    lines.append("## Footer")
+    lines.append(f"- [Terms](/terms) - [About](/{rng.choice(_WORDS)})")
+    return "\n".join(lines)
+
+
 def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
     """Serialize clean text as scrambled x0,y0,x1,y1|text span lines
     laid out in 1–3 columns (the extractor detects columns by gap
@@ -193,6 +232,7 @@ def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
 _PATHOLOGICAL_KINDS = (
     "empty", "whitespace", "mrz_only", "html_boilerplate_only",
     "pdf_malformed", "pdf_furniture_only", "unknown_tool", "oversized",
+    "md_furniture_only",
 )
 
 
@@ -218,6 +258,16 @@ def _pathological(rng: random.Random) -> tuple[str, str, str]:
         return "72.0,30.0,200.0,41.0|Running Head\n300.0,745.0,330.0,756.0|Page 9", "pdf", "no_content_spans"
     if kind == "unknown_tool":
         return _paragraph(rng), "img", "unknown_tool:img"
+    if kind == "md_furniture_only":
+        nav = "\n".join(
+            f"- [{rng.choice(_WORDS).title()}](/{rng.choice(_WORDS)})" for _ in range(4)
+        )
+        fence = "```python\nx = 1\nreturn x\n```"
+        return (
+            f"# {rng.choice(_WORDS).title()} Site\n{nav}\n---\n{fence}",
+            "md",
+            "no_content_lines",
+        )
     # oversized: exceeds the request-size validator (P12 analog)
     return "x" * (MAX_TEXT_CHARS + 1), "", "oversized"
 
@@ -258,12 +308,15 @@ def generate_transcripts(
 
         paragraphs = _clean_paragraphs(rng)
         clean = " ".join(paragraphs)
-        if r < 0.62:
+        if r < 0.57:
             text, tool = _wrap_plain(rng, paragraphs), ""
             role = "user" if turn_idx % 2 == 0 else "assistant"
-        elif r < 0.92:
+        elif r < 0.85:
             text, tool = _wrap_html(rng, paragraphs), "html"
             role = "tool"
+        elif r < 0.93:
+            text, tool = _wrap_markdown(rng, paragraphs), "md"
+            role = "assistant"
         else:
             text, tool = _wrap_pdf(rng, paragraphs), "pdf"
             role = "tool"

@@ -283,3 +283,52 @@ def test_html_unquoted_attr_slash_not_selfclosing():
     )
     r2 = extract_html(kept)
     assert r2.success and "plain paragraph long enough" in r2.extracted_text
+
+
+def test_markdown_strips_markup_and_furniture():
+    from ocr_poc_ray.extractors.markdown import extract_markdown
+
+    text = (
+        "# Title Site\n"
+        "- [Home](/home)\n- [Docs](/docs)\n"
+        "![badge](http://img.example/b.png)\n"
+        "---\n"
+        "The **quick** brown [fox](http://a.example/f) jumps over the `lazy` *dog.*\n"
+        "\n"
+        "```python\nx = 1\nreturn x\n```\n"
+        "## Footer\n"
+        "- [Terms](/terms) - [About](/about)\n"
+    )
+    r = extract_markdown(text)
+    assert r.success
+    assert r.extracted_text == "The quick brown fox jumps over the lazy dog."
+    # one kept prose line of 8 visible lines (headings/nav/rule/badge/footer)
+    assert r.n_kept == 1
+    assert r.spans == f"0:{len(r.extracted_text)}"
+
+
+def test_markdown_furniture_only_fails():
+    from ocr_poc_ray.extractors.markdown import extract_markdown
+
+    r = extract_markdown("# Only Site\n- [Home](/h)\n---\n```js\n1\n```")
+    assert not r.success
+    assert r.error == "no_content_lines"
+    assert r.extracted_text == ""
+
+
+def test_markdown_dispatch_registered():
+    from ocr_poc_ray.extractors.registry import extract_turn
+
+    r = extract_turn("Plain prose with *emphasis* kept intact.", "md")
+    assert r.success
+    assert r.extracted_text == "Plain prose with emphasis kept intact."
+
+
+def test_markdown_unclosed_fence_contained():
+    """An unterminated fence swallows the rest of the doc (CommonMark
+    behavior) — prior content still extracts; never raises."""
+    from ocr_poc_ray.extractors.markdown import extract_markdown
+
+    r = extract_markdown("Good opening prose line here.\n```\ncode forever\nmore code")
+    assert r.success
+    assert r.extracted_text == "Good opening prose line here."
