@@ -48,6 +48,7 @@ _ALL.update(_xs.REGISTRY)
 #: doc_winnow_fingerprints, xs_truncate_to_budget, doc_dsir_weights,
 #: doc_soft_dedup_weights, doc_bpe_top_pairs, rel_value_ks_drift,
 #: doc_bpe_learn, doc_ngram_novelty, rel_value_tdigest, vec_knn_recall,
+#: doc_kwic, doc_anchor_spans, xs_turn_overlap,
 #: doc_source_contamination_sketch, rel_late_events, xs_role_balance,
 #: vec_logreg_train, doc_quality_classifier,
 #: rel_promo_revenue, rel_small_qty_revenue, rel_supplier_value_share,
