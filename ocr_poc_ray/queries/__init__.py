@@ -16,6 +16,7 @@ from typing import Any
 
 from ocr_poc_ray.queries import documents as _docs
 from ocr_poc_ray.queries import relational as _rel
+from ocr_poc_ray.queries import training as _train
 from ocr_poc_ray.queries import transcripts as _xs
 from ocr_poc_ray.queries import vectors as _vec
 
@@ -25,6 +26,7 @@ _ALL.update(_docs.REGISTRY)
 _ALL.update(_vec.REGISTRY)
 _ALL.update(_rel.REGISTRY)
 _ALL.update(_xs.REGISTRY)
+_ALL.update(_train.REGISTRY)
 
 #: The driver's per-round correctness run covers a fixed-size window from
 #: the FRONT of this dict's iteration order (50 entries per round).  Rounds
@@ -48,7 +50,8 @@ _ALL.update(_xs.REGISTRY)
 #: doc_winnow_fingerprints, xs_truncate_to_budget, doc_dsir_weights,
 #: doc_soft_dedup_weights, doc_bpe_top_pairs, rel_value_ks_drift,
 #: doc_bpe_learn, doc_ngram_novelty, rel_value_tdigest, vec_knn_recall,
-#: doc_kwic, doc_anchor_spans, xs_turn_overlap,
+#: doc_kwic, doc_anchor_spans, xs_turn_overlap, doc_fim_split,
+#: doc_span_corruption, vec_int8_quantize, doc_boolean_search,
 #: doc_source_contamination_sketch, rel_late_events, xs_role_balance,
 #: vec_logreg_train, doc_quality_classifier,
 #: rel_promo_revenue, rel_small_qty_revenue, rel_supplier_value_share,

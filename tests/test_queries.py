@@ -164,6 +164,10 @@ FAST_ORACLE = [
     "xs_tool_latency",
     "xs_tool_transitions",
     "rel_user_coverage_time",
+    "doc_fim_split",
+    "doc_span_corruption",
+    "vec_int8_quantize",
+    "doc_boolean_search",
 ]
 
 
