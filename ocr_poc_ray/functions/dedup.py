@@ -1332,9 +1332,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_rows: int = 2048,
+    score: str = "jaccard",
 ) -> Dataset:
-    """EXACT all-pairs word-n-gram Jaccard similarity join:
-    (id_a, id_b, jaccard) with jaccard ≥ threshold and id_a < id_b.
+    """EXACT all-pairs word-n-gram similarity join:
+    (id_a, id_b, <score>) with score ≥ threshold and id_a < id_b.
+
+    ``score="jaccard"`` divides the shared-shingle count by the union
+    size; ``score="containment"`` divides by the SMALLER set (Broder's
+    max-containment — the quote/subset detector: a short doc fully
+    embedded in a long one scores 1.0 where its Jaccard is tiny).
 
     The no-LSH exact counterpart of ``minhash_lsh_pairs`` (DuckDB-
     oracle-verifiable), using the blocked pair-grid shape from
@@ -1346,6 +1352,10 @@ def ngram_jaccard_pairs(
     import ray
     import ray.data as rd
 
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score {score!r}")
+    score_col = score
+
     packed = ds.map_batches(
         lambda b: _pack_shingles(b, id_col, text_col, ngram), batch_format="pandas"
     ).materialize()
@@ -1354,7 +1364,7 @@ def ngram_jaccard_pairs(
         return rd.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+                      score_col: pa.array([], pa.float64())})
         )
     n_chunks = max(1, -(-n // chunk_rows))
     blocks = packed.repartition(n_chunks).to_arrow_refs()
@@ -1372,7 +1382,7 @@ def ngram_jaccard_pairs(
         else:
             ids_b, fb, db, lb = _unpack_shingles(tb)
         if len(fa) == 0 or len(fb) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return pd.DataFrame({"id_a": [], "id_b": [], score_col: []})
         nb = len(ids_b)
         m = pd.DataFrame({"h": fa, "ia": da}).merge(
             pd.DataFrame({"h": fb, "ib": db}), on="h"
@@ -1385,15 +1395,18 @@ def ngram_jaccard_pairs(
         if same:
             keep = ia < ib  # drop self pairs + mirrored duplicates
             ia, ib, inter = ia[keep], ib[keep], inter[keep]
-        union = la[ia] + lb[ib] - inter
-        jac = inter / union
+        if score_col == "containment":
+            denom = np.minimum(la[ia], lb[ib])
+        else:
+            denom = la[ia] + lb[ib] - inter  # union
+        jac = inter / denom
         keep = jac >= threshold
         a0, b0 = ids_a[ia[keep]], ids_b[ib[keep]]
         if not same:
             swap = a0 > b0
             a0, b0 = np.where(swap, b0, a0), np.where(swap, a0, b0)
         return pd.DataFrame(
-            {"id_a": a0, "id_b": b0, "jaccard": np.round(jac[keep], 6)}
+            {"id_a": a0, "id_b": b0, score_col: np.round(jac[keep], 6)}
         )
 
     refs = [
@@ -1409,10 +1422,17 @@ def ngram_jaccard_pairs(
             pa.table(
                 {"id_a": pa.array([], pa.int64()),
                  "id_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 score_col: pa.array([], pa.float64())}
             )
         )
     return out
+
+
+def ngram_containment_pairs(ds, **kw):
+    """Max-containment similarity join: inter / min(|A|, |B|) — the
+    quote/subset detector (a contained document scores 1.0 regardless of
+    the length gap).  Same pair-grid as ``ngram_jaccard_pairs``."""
+    return ngram_jaccard_pairs(ds, score="containment", **kw)
 
 
 # --------------------------------------------------------------------------

@@ -5084,7 +5084,276 @@ where strpos(lower(text), keyword) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Containment similarity join — Broder's max-containment (inter/min):
+# the quote/subset detector exact Jaccard misses (a short doc embedded
+# verbatim in a long one scores 1.0 here, near 0 by Jaccard)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def doc_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs n-gram max-containment join over the bounded doc
+    subset (same pair-grid as doc_jaccard_pairs, denominator = smaller
+    shingle set).  The asymmetric-dup detector for quotes, excerpts and
+    boilerplate inclusions."""
+    from ocr_poc_ray.functions.dedup import ngram_containment_pairs
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    out = ngram_containment_pairs(
+        ds, threshold=CONTAINMENT_THRESHOLD, chunk_rows=256
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "containment": pd.Series([], dtype="float64")}
+        )
+    return out.astype(
+        {"id_a": "int64", "id_b": "int64", "containment": "float64"}
+    )
+
+
+DOC_CONTAINMENT_PAIRS_SQL = rf"""
+with t as (
+  select doc_id, toks,
+         case when len(toks) = 0 then []::VARCHAR[]
+              when len(toks) < 3 then [array_to_string(toks, ' ')]
+              else list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)]) end as sh
+  from (
+    select doc_id, regexp_extract_all(lower(text), '\S+') as toks
+    from documents where doc_id < {JACCARD_MAX_DOC_ID}
+  )
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / least(len(a.sh), len(b.sh)), 6) as containment
+from t a join t b on a.doc_id < b.doc_id
+where len(list_intersect(a.sh, b.sh)) > 0
+  and len(list_intersect(a.sh, b.sh))::DOUBLE
+      / least(len(a.sh), len(b.sh)) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH quality report — recall of the MinHash-LSH candidate path against
+# the exact Jaccard join on the same subset (the honesty audit every
+# approximate dedup deployment needs before trusting it at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def doc_lsh_quality_report(sf_dir: str) -> pd.DataFrame:
+    """One-row audit: exact-pair count vs LSH candidates vs exactly-
+    verified LSH pairs at the same threshold.  fp is 0 by construction
+    (candidates are re-scored exactly); fn counts the pairs LSH's
+    banding missed; recall_ppm is the integer-exact recall.  Driver-side
+    set ops touch only pair-id lists (dedup OUTPUT, never the corpus)."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    ).materialize()  # feeds three passes below
+
+    exact = ngram_jaccard_pairs(
+        ds, threshold=JACCARD_THRESHOLD, chunk_rows=256
+    ).to_pandas()
+    cand = minhash_lsh_pairs(ds, threshold=JACCARD_THRESHOLD)
+    n_candidates = cand.count()
+    verified = ngram_jaccard_verify(cand, ds).to_pandas()
+    verified = verified[verified["jaccard"] >= JACCARD_THRESHOLD]
+
+    def _keys(df: pd.DataFrame, a: str, b: str) -> set[tuple[int, int]]:
+        lo = np.minimum(df[a].to_numpy(np.int64), df[b].to_numpy(np.int64))
+        hi = np.maximum(df[a].to_numpy(np.int64), df[b].to_numpy(np.int64))
+        return set(zip(lo.tolist(), hi.tolist()))
+
+    ex = _keys(exact, "id_a", "id_b") if len(exact) else set()
+    vf = _keys(verified, "doc_a", "doc_b") if len(verified) else set()
+    tp, fn, fp = len(ex & vf), len(ex - vf), len(vf - ex)
+    recall_ppm = (tp * 1_000_000) // len(ex) if ex else 1_000_000
+    return pd.DataFrame(
+        {
+            "n_exact": pd.Series([len(ex)], dtype="int64"),
+            "n_candidates": pd.Series([n_candidates], dtype="int64"),
+            "n_verified": pd.Series([len(vf)], dtype="int64"),
+            "tp": pd.Series([tp], dtype="int64"),
+            "fn": pd.Series([fn], dtype="int64"),
+            "fp": pd.Series([fp], dtype="int64"),
+            "recall_ppm": pd.Series([recall_ppm], dtype="int64"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-keyed dedup — CCNet-style: dedup on the NORMALIZED text
+# (lowercase, punctuation → space, whitespace collapse) so trivially
+# reformatted copies land in one group where raw fingerprints miss them
+# ---------------------------------------------------------------------------
+
+_NORM_PUNCT_RE = r"[^a-z0-9\s]"
+_NORM_WS_RE = r"\s+"
+
+
+def doc_normalize_dedup(sf_dir: str) -> pd.DataFrame:
+    """Duplicate groups keyed on md5 of the NORMALIZED text.  The
+    normalization chain runs in Arrow RE2 kernels (byte-identical
+    regexes in the SQL mirror); per-batch (fingerprint, count, min_doc)
+    partials combine in 16 hash buckets — group cardinality never
+    appears as a Ray group count.  Output: every group (n_docs ≥ 1) —
+    the oracle then verifies the full normalization chain fingerprint-
+    by-fingerprint, and dup groups surface as n_docs ≥ 2 rows."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(
+                    pc.utf8_lower(batch["text"]), _NORM_PUNCT_RE, " "
+                ),
+                _NORM_WS_RE,
+                " ",
+            )
+        )
+        fps = np.asarray(
+            [_hl.md5(s.encode()).hexdigest() for s in norm.to_pylist()],
+            dtype=object,
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"fp": fps, "doc_id": ids})
+        g = df.groupby("fp", as_index=False).agg(
+            n=("doc_id", "size"), min_doc=("doc_id", "min")
+        )
+        g["_hb"] = [int(f[:4], 16) % 16 for f in g["fp"]]
+        return g
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("fp", as_index=False).agg(
+            n_docs=("n", "sum"), keeper=("min_doc", "min")
+        )
+        return g[["fp", "n_docs", "keeper"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "fp" not in out.columns:
+        return pd.DataFrame(
+            {"fp": pd.Series([], dtype=object),
+             "n_docs": pd.Series([], dtype="int64"),
+             "keeper": pd.Series([], dtype="int64")}
+        )
+    return out.astype({"n_docs": "int64", "keeper": "int64"})
+
+
+DOC_NORMALIZE_DEDUP_SQL = rf"""
+with n as (
+  select doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '{_NORM_PUNCT_RE}', ' ', 'g'), '{_NORM_WS_RE}', ' ', 'g'))) as fp
+  from documents
+)
+select fp, count(*)::BIGINT as n_docs, min(doc_id)::BIGINT as keeper
+from n group by fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snake-order shard balancing — boustrophedon assignment after a
+# length-descending rank: near-equal token totals per output shard
+# (the balanced-training-shard writer)
+# ---------------------------------------------------------------------------
+
+N_BALANCE_SHARDS = 8
+
+
+def doc_shard_balance(sf_dir: str) -> pd.DataFrame:
+    """Assign docs to N shards in snake order of token-count rank
+    (longest first; odd passes reverse direction) so shard token totals
+    stay within one document of each other — the deterministic
+    data-parallel shard balancer.  One global rank (the prefix-scan
+    machinery's range sort) then row-local arithmetic; output is the
+    N-row shard audit."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    N = N_BALANCE_SHARDS
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    toks = add_token_counts(ds).select_columns(["doc_id", "n_ws_tokens"])
+    toks = toks.map_batches(
+        lambda b: b.assign(neg=-b["n_ws_tokens"].to_numpy(np.int64)),
+        batch_format="pandas",
+    )
+    ranked = ordered_prefix_sum(
+        toks,
+        sort_cols=["neg", "doc_id"],
+        value_col=None,
+        out_col="rk",
+        unique_col="doc_id",
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rk"].to_numpy(np.int64) - 1  # 0-based length-desc rank
+        pos = r % N
+        shard = np.where((r // N) % 2 == 0, pos, N - 1 - pos)
+        return (
+            pd.DataFrame(
+                {"shard": shard, "n": 1,
+                 "tok": b["n_ws_tokens"].to_numpy(np.int64)}
+            )
+            .groupby("shard", as_index=False)
+            .sum()
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"shard": pd.Series([], dtype="int64"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "total_tokens": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("shard", as_index=False).sum()
+    out = out.rename(columns={"n": "n_docs", "tok": "total_tokens"})
+    return out.sort_values("shard").reset_index(drop=True).astype(
+        {"shard": "int64", "n_docs": "int64", "total_tokens": "int64"}
+    )
+
+
+DOC_SHARD_BALANCE_SQL = rf"""
+with t as (
+  select doc_id,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as n_ws_tokens
+  from documents
+), r as (
+  select doc_id, n_ws_tokens,
+         row_number() over (order by n_ws_tokens desc, doc_id) - 1 as r
+  from t
+)
+select (case when (r // {N_BALANCE_SHARDS}) % 2 = 0
+             then r % {N_BALANCE_SHARDS}
+             else {N_BALANCE_SHARDS} - 1 - r % {N_BALANCE_SHARDS} end)::BIGINT
+         as shard,
+       count(*)::BIGINT as n_docs,
+       sum(n_ws_tokens)::BIGINT as total_tokens
+from r
+group by 1
+"""
+
+
 REGISTRY = {
+    "doc_containment_pairs": (doc_containment_pairs, DOC_CONTAINMENT_PAIRS_SQL),
+    "doc_lsh_quality_report": (doc_lsh_quality_report, None),
+    "doc_normalize_dedup": (doc_normalize_dedup, DOC_NORMALIZE_DEDUP_SQL),
+    "doc_shard_balance": (doc_shard_balance, DOC_SHARD_BALANCE_SQL),
     "doc_kwic": (doc_kwic, DOC_KWIC_SQL),
     "doc_anchor_spans": (doc_anchor_spans, DOC_ANCHOR_SPANS_SQL),
     "doc_quality_classifier": (doc_quality_classifier, None),

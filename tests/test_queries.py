@@ -168,6 +168,9 @@ FAST_ORACLE = [
     "doc_span_corruption",
     "vec_int8_quantize",
     "doc_boolean_search",
+    "doc_containment_pairs",
+    "doc_normalize_dedup",
+    "doc_shard_balance",
 ]
 
 
