@@ -874,7 +874,125 @@ def vec_logreg_train(sf_dir: str) -> pd.DataFrame:
     )
 
 
+MMR_LAMBDA = 0.7
+MMR_POOL = 50
+MMR_K = 10
+
+
+def vec_mmr_topk(sf_dir: str) -> pd.DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998): greedy selection trading query relevance against similarity
+    to already-selected results — the diverse-retrieval exit for RAG /
+    training-example selection.  Shape: the candidate pool per query is
+    the DISTRIBUTED brute-force top-``MMR_POOL``; only pool-sized id
+    lists and a pool-sized vector fetch reach the driver, where the
+    O(k·pool) greedy loop runs (k and pool are constants — never
+    corpus-sized).  Rows-only: greedy argmax chains are not SQL; the
+    selection is pinned by a numpy-equivalence unit."""
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    cand = knn_brute_force(ds, ids, vecs, k=MMR_POOL).to_pandas()
+
+    # one bounded vector fetch for every candidate id (pool × queries)
+    need = np.unique(cand["neighbor_id"].to_numpy(np.int64))
+
+    def fetch(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["vec_id"].isin(need)]
+        return m[["vec_id", "embedding"]]
+
+    got = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+    vmat = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in got.itertuples()
+    }
+    qmat = {int(q): v / np.linalg.norm(v) for q, v in zip(ids, vecs)}
+
+    rows = []
+    for qid, grp in cand.groupby("query_id"):
+        pool = grp.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        )["neighbor_id"].to_numpy(np.int64)
+        P = np.stack([vmat[int(i)] for i in pool])
+        P = P / np.linalg.norm(P, axis=1, keepdims=True)
+        rel = P @ qmat[int(qid)]
+        max_sim = np.full(len(pool), -np.inf)
+        avail = np.ones(len(pool), dtype=bool)
+        for rank in range(1, MMR_K + 1):
+            if rank == 1:
+                score = rel.copy()
+            else:
+                score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            score[~avail] = -np.inf
+            # deterministic tie-break: highest score, then smallest id
+            best = np.lexsort((pool, -score))[0]
+            avail[best] = False
+            max_sim = np.maximum(max_sim, P @ P[best])
+            rows.append(
+                {
+                    "query_id": int(qid),
+                    "sel_rank": rank,
+                    "vec_id": int(pool[best]),
+                    "relevance": round(float(rel[best]), 4),
+                }
+            )
+    out = pd.DataFrame(rows)
+    return out.astype(
+        {"query_id": "int64", "sel_rank": "int64", "vec_id": "int64",
+         "relevance": "float64"}
+    )
+
+
+TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def vec_dim_truncation_recall(sf_dir: str) -> pd.DataFrame:
+    """Matryoshka-style truncation audit: recall@k of cosine search
+    using only the first d dimensions against the full-width baseline —
+    the storage/latency-vs-quality curve read before shipping truncated
+    embeddings.  Each truncated pass is the same distributed brute-force
+    top-k over `pc.list_slice` views (zero-copy Arrow prefix slices);
+    recall is integer-exact ppm.  Rows-only (cross-run comparison); the
+    d=full row is pinned to recall 1.0 by the unit test."""
+    import pyarrow.compute as pc
+
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    full = knn_brute_force(ds, ids, vecs, k=KNN_K).to_pandas()
+    truth = full.groupby("query_id")["neighbor_id"].agg(set)
+
+    rows = []
+    for d in TRUNC_DIMS:
+        def trunc(t, _d=d):
+            return t.set_column(
+                t.schema.get_field_index("embedding"),
+                "embedding",
+                pc.list_slice(t["embedding"], 0, _d),
+            )
+
+        got = knn_brute_force(
+            ds.map_batches(trunc, batch_format="pyarrow"),
+            ids,
+            vecs[:, :d],
+            k=KNN_K,
+        ).to_pandas()
+        g = got.groupby("query_id")["neighbor_id"].agg(set)
+        hits = sum(len(g.get(q, set()) & truth[q]) for q in truth.index)
+        total = sum(len(truth[q]) for q in truth.index)
+        rows.append(
+            {
+                "dim": d,
+                "n_queries": len(truth),
+                "recall_ppm": (hits * 1_000_000) // total if total else 1_000_000,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"dim": "int64", "n_queries": "int64", "recall_ppm": "int64"}
+    )
+
+
 REGISTRY = {
+    "vec_mmr_topk": (vec_mmr_topk, None),
+    "vec_dim_truncation_recall": (vec_dim_truncation_recall, None),
     "vec_kmeans": (vec_kmeans, None),
     "vec_logreg_train": (vec_logreg_train, None),
     "vec_knn_recall": (vec_knn_recall, None),
