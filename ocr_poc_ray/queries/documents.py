@@ -5349,7 +5349,89 @@ group by 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Quota dedup — keep at most CAP copies per exact-dup cluster (the
+# multiplicity-capping policy: duplication signal is useful at low
+# multiplicity, harmful at crawl multiplicity — cap it, don't keep-one)
+# ---------------------------------------------------------------------------
+
+DUP_CAP = 2
+
+
+def doc_cluster_cap_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-exact-dup-cluster quota sample: within each md5(text) group,
+    rank members by md5(doc_id) (the deterministic shuffle priority) and
+    keep ranks ≤ DUP_CAP.  Per-batch (fp, prio, doc) projections combine
+    in 16 fp-hash buckets; within a bucket ALL groups rank in one
+    lexsort + segment-boundary pass — group multiplicity never becomes a
+    Ray group count (the crawl regime is few huge clusters)."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        fps = np.asarray(
+            [_hl.md5(t.encode()).hexdigest() for t in batch["text"].fillna("")],
+            dtype=object,
+        )
+        prio = np.asarray(
+            [_hl.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
+        )
+        hb = np.asarray([int(f[:4], 16) % 16 for f in fps], dtype=np.int64)
+        return pd.DataFrame({"fp": fps, "prio": prio, "doc_id": ids, "_hb": hb})
+
+    def rank_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        fp = b["fp"].to_numpy(object)
+        prio = b["prio"].to_numpy(object)
+        ids = b["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, prio, fp))
+        fp, prio, ids = fp[order], prio[order], ids[order]
+        starts = np.ones(len(fp), dtype=bool)
+        starts[1:] = fp[1:] != fp[:-1]
+        seg = np.cumsum(starts) - 1
+        seg_start = np.flatnonzero(starts)
+        rk = np.arange(len(fp)) - seg_start[seg] + 1
+        counts = np.diff(np.append(seg_start, len(fp)))
+        n_docs = counts[seg]
+        keep = rk <= DUP_CAP
+        return pd.DataFrame(
+            {"doc_id": ids[keep],
+             "n_docs": n_docs[keep].astype(np.int64),
+             "kept_rank": rk[keep].astype(np.int64)}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_docs", "kept_rank")}
+        )
+    return out.astype({"doc_id": "int64", "n_docs": "int64", "kept_rank": "int64"})
+
+
+DOC_CLUSTER_CAP_SAMPLE_SQL = f"""
+with g as (
+  select doc_id, md5(text) as fp from documents
+), s as (
+  select doc_id,
+         count(*) over (partition by fp) as n_docs,
+         row_number() over (partition by fp
+                            order by md5(doc_id::VARCHAR), doc_id) as rk
+  from g
+)
+select doc_id, n_docs::BIGINT as n_docs, rk::BIGINT as kept_rank
+from s where rk <= {DUP_CAP}
+"""
+
+
 REGISTRY = {
+    "doc_cluster_cap_sample": (doc_cluster_cap_sample, DOC_CLUSTER_CAP_SAMPLE_SQL),
     "doc_containment_pairs": (doc_containment_pairs, DOC_CONTAINMENT_PAIRS_SQL),
     "doc_lsh_quality_report": (doc_lsh_quality_report, None),
     "doc_normalize_dedup": (doc_normalize_dedup, DOC_NORMALIZE_DEDUP_SQL),

@@ -3444,6 +3444,35 @@ group by user_id
 """
 
 
+def rel_event_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Wide → long reshape (the UNPIVOT primitive): melt the per-user
+    event-count matrix back to (user_id, event_type, n) rows, dropping
+    zero cells.  The melt runs on the pivot's OUTPUT (user-sized — the
+    bounded query result, never the fact table); the distributed work is
+    the pivot pipeline it composes."""
+    wide = rel_event_pivot(sf_dir)
+    cnt_cols = [f"n_{t}" for t in _PIVOT_TYPES]
+    long = wide.melt(
+        id_vars=["user_id"], value_vars=cnt_cols,
+        var_name="event_type", value_name="n",
+    )
+    long["event_type"] = long["event_type"].str[2:]
+    long = long[long["n"] > 0]
+    return (
+        long.sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "event_type": object, "n": "int64"})
+    )
+
+
+REL_EVENT_UNPIVOT_SQL = f"""
+select user_id, event_type, count(*)::BIGINT as n
+from events
+where event_type in ({', '.join(f"'{t}'" for t in _PIVOT_TYPES)})
+group by user_id, event_type
+"""
+
+
 _MAD_SCALE = 1.4826  # normal-consistency constant
 _MAD_SIGMAS = 3.0
 
@@ -6034,6 +6063,7 @@ REGISTRY = {
     "rel_value_tdigest": (rel_value_tdigest, None),
     "rel_agg_lineitem": (rel_agg_lineitem, REL_AGG_LINEITEM_SQL),
     "rel_event_pivot": (rel_event_pivot, REL_EVENT_PIVOT_SQL),
+    "rel_event_unpivot": (rel_event_unpivot, REL_EVENT_UNPIVOT_SQL),
     "rel_regr_slope": (rel_regr_slope, REL_REGR_SLOPE_SQL),
     "rel_mad_outliers": (rel_mad_outliers, REL_MAD_OUTLIERS_SQL),
     "rel_decayed_user_value": (

@@ -103,6 +103,30 @@ def test_shard_balance_bound(ray_session):
     assert spread <= max(4, out["total_tokens"].mean() * 0.05)
 
 
+def test_cluster_cap_sample_planted(ray_session):
+    """A 5-copy cluster keeps exactly DUP_CAP members (the two smallest
+    md5(doc_id) priorities), singletons keep rank 1."""
+    import hashlib
+
+    from ocr_poc_ray.queries.documents import DUP_CAP, doc_cluster_cap_sample
+
+    dup_ids = [100, 101, 102, 103, 104]
+    d = _write_docs(
+        [(i, "the same duplicated text body") for i in dup_ids]
+        + [(200, "a unique document")]
+    )
+    out = doc_cluster_cap_sample(d)
+    grp = out[out["n_docs"] == 5]
+    assert len(grp) == DUP_CAP
+    want = sorted(dup_ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[
+        :DUP_CAP
+    ]
+    assert sorted(grp["doc_id"]) == sorted(want)
+    assert set(grp["kept_rank"]) == set(range(1, DUP_CAP + 1))
+    single = out[out["doc_id"] == 200].iloc[0]
+    assert single["n_docs"] == 1 and single["kept_rank"] == 1
+
+
 def test_lsh_quality_report_consistency(ray_session):
     """Verified-LSH pairs are exactly re-scored, so fp must be 0 and the
     partition tp + fn must cover the exact pair set; recall_ppm is the

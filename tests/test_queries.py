@@ -171,6 +171,8 @@ FAST_ORACLE = [
     "doc_containment_pairs",
     "doc_normalize_dedup",
     "doc_shard_balance",
+    "doc_cluster_cap_sample",
+    "rel_event_unpivot",
 ]
 
 
