@@ -127,6 +127,40 @@ def probed_bucket_paths(index_dir: str, terms: list[str]) -> list[str]:
     return [p for p in paths if os.path.isdir(p)]
 
 
+def append_index_delta(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    delta_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Incremental index maintenance: index NEW documents into
+    ``index_dir/deltas/<delta_name>/bucket=K/`` with the SAME bucket
+    assignment as the base — queries union base + deltas per probed
+    bucket, so daily ingest never rewrites the base index.  Compact by
+    re-running ``build_inverted_index`` over the full corpus when the
+    delta count grows (same trade as LSM levels / the compaction CLI).
+
+    Token → bucket is a pure hash (no learned vocabulary), so a delta
+    built independently is bucket-compatible by construction.
+    """
+    delta_dir = os.path.join(index_dir, "deltas", delta_name)
+    return build_inverted_index(ds, delta_dir, id_col=id_col, text_col=text_col)
+
+
+def _probed_with_deltas(index_dir: str, terms: list[str]) -> list[str]:
+    """Base + every delta's probed buckets (the union a query reads)."""
+    paths = probed_bucket_paths(index_dir, terms)
+    deltas_root = os.path.join(index_dir, "deltas")
+    if os.path.isdir(deltas_root):
+        for d in sorted(os.listdir(deltas_root)):
+            paths.extend(
+                probed_bucket_paths(os.path.join(deltas_root, d), terms)
+            )
+    return paths
+
+
 def boolean_search(index_dir: str, terms: list[str]) -> pd.DataFrame:
     """Doc ids containing ALL ``terms`` (conjunctive boolean retrieval)
     via the persisted index: reads only the probed buckets, filters to
@@ -137,7 +171,7 @@ def boolean_search(index_dir: str, terms: list[str]) -> pd.DataFrame:
     terms_l = sorted({t.lower() for t in terms})
     if not terms_l:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-    paths = probed_bucket_paths(index_dir, terms_l)
+    paths = _probed_with_deltas(index_dir, terms_l)
     if not paths:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     n_terms = len(terms_l)

@@ -5430,8 +5430,132 @@ from s where rk <= {DUP_CAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation funnel — per-stage survivor counts for the curation pipeline
+# (the observability report a corpus owner reads before/after each run)
+# ---------------------------------------------------------------------------
+
+
+def doc_curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """Survivorship counts through the curation chain: total → quality
+    gate → exact dedup (distinct quality texts) → per-language sample
+    cap.  One annotation pass materializes a 3-column projection
+    (flag, lang, text-hash — tens of bytes/doc); counts are per-batch
+    partials plus one bucketed distinct over (lang, hash).  All four
+    numbers are exact integers — the oracle is bit-stable."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            _hl.md5(t.encode("utf-8", "ignore")).hexdigest() if q else ""
+            for t, q in zip(b["text"], b["is_quality"])
+        ]
+        return pd.DataFrame(
+            {"is_quality": b["is_quality"].to_numpy(bool),
+             "lang_pred": b["lang_pred"].to_numpy(object),
+             "h": h}
+        )
+
+    ann = (
+        add_langid(add_quality(ds))
+        .map_batches(project, batch_format="pandas")
+        .materialize()  # read by the count pass AND the distinct pass
+    )
+
+    counts = ann.map_batches(
+        lambda b: pd.DataFrame(
+            {"total": [len(b)], "quality": [int(b["is_quality"].sum())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    n_total = int(counts["total"].sum())
+    n_quality = int(counts["quality"].sum())
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b[b["is_quality"]]
+        p = q[["lang_pred", "h"]].drop_duplicates()
+        p = p.assign(
+            _hb=(pd.util.hash_array(p["h"].to_numpy(object)) % 16).astype("int64")
+        )
+        return p
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["lang_pred", "h"]].drop_duplicates()
+        return d.groupby("lang_pred", as_index=False).agg(n=("h", "size"))
+
+    per_lang = (
+        ann.map_batches(pair_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if per_lang.empty or "lang_pred" not in per_lang.columns:
+        n_dedup = n_sample = 0
+    else:
+        lang_n = per_lang.groupby("lang_pred")["n"].sum()
+        n_dedup = int(lang_n.sum())
+        n_sample = int(lang_n.clip(upper=CURATION_SAMPLE_PER_LANG).sum())
+    return pd.DataFrame(
+        {
+            "stage_idx": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "stage": ["total", "quality", "deduped", "sampled"],
+            "n_docs": pd.Series(
+                [n_total, n_quality, n_dedup, n_sample], dtype="int64"
+            ),
+        }
+    )
+
+
+_CURATION_FUNNEL_TEMPLATE = r"""
+with m as (
+  select doc_id, text,
+         length(text)::DOUBLE as n_chars,
+         len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE as n_punct,
+         case when {strip} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as ws_tokens,
+         {hits_en} as he, {hits_fr} as hf, {hits_de} as hd, {hits_es} as hs
+  from documents
+),
+q as (
+  select doc_id, text,
+         case when he + hf + hd + hs = 0 then 'und'
+              when he >= hf and he >= hd and he >= hs then 'en'
+              when hf >= hd and hf >= hs then 'fr'
+              when hd >= hs then 'de'
+              else 'es' end as lang_pred
+  from m
+  where n_chars >= 50
+    and (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.20
+    and ws_tokens >= 10
+),
+d as (
+  select lang_pred, count(distinct md5(text)) as n from q group by lang_pred
+)
+select 1::BIGINT as stage_idx, 'total' as stage,
+       (select count(*) from documents)::BIGINT as n_docs
+union all
+select 2, 'quality', (select count(*) from q)
+union all
+select 3, 'deduped', coalesce((select sum(n) from d), 0)
+union all
+select 4, 'sampled',
+       coalesce((select sum(least(n, {cap})) from d), 0)
+"""
+
+
 REGISTRY = {
     "doc_cluster_cap_sample": (doc_cluster_cap_sample, DOC_CLUSTER_CAP_SAMPLE_SQL),
+    "doc_curation_funnel": (
+        doc_curation_funnel,
+        _CURATION_FUNNEL_TEMPLATE.format(
+            strip=_STRIP("text"),
+            hits_en=_lang_hits_sql("en"), hits_fr=_lang_hits_sql("fr"),
+            hits_de=_lang_hits_sql("de"), hits_es=_lang_hits_sql("es"),
+            cap=CURATION_SAMPLE_PER_LANG,
+        ),
+    ),
     "doc_containment_pairs": (doc_containment_pairs, DOC_CONTAINMENT_PAIRS_SQL),
     "doc_lsh_quality_report": (doc_lsh_quality_report, None),
     "doc_normalize_dedup": (doc_normalize_dedup, DOC_NORMALIZE_DEDUP_SQL),

@@ -173,6 +173,7 @@ FAST_ORACLE = [
     "doc_shard_balance",
     "doc_cluster_cap_sample",
     "rel_event_unpivot",
+    "doc_curation_funnel",
 ]
 
 

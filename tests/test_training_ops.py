@@ -143,6 +143,67 @@ def test_inverted_index_pruning_contract(ray_session):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_index_delta_append(ray_session):
+    """Incremental maintenance: docs indexed later via a delta are
+    found by the same query without touching the base index's files."""
+    import ray
+
+    import pyarrow as pa
+
+    from ocr_poc_ray.functions.text_index import (
+        append_index_delta,
+        boolean_search,
+        build_inverted_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="ti_delta_")
+    try:
+        base = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1, 2], pa.int64()),
+                 "text": pa.array(["alpha beta gamma", "beta gamma delta"])}
+            )
+        )
+        build_inverted_index(base, idx)
+        before = boolean_search(idx, ["beta", "gamma"])["doc_id"].tolist()
+        assert before == [1, 2]
+
+        base_files = {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(idx)
+            for f in fs
+        }
+        base_mtimes = {p: os.path.getmtime(p) for p in base_files}
+
+        delta = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([7], pa.int64()),
+                 "text": pa.array(["gamma beta epsilon"])}
+            )
+        )
+        append_index_delta(delta, idx, "day1")
+
+        after = boolean_search(idx, ["beta", "gamma"])["doc_id"].tolist()
+        assert after == [1, 2, 7]
+        # base files untouched (append never rewrites the base)
+        for p, m in base_mtimes.items():
+            assert os.path.getmtime(p) == m
+        # term only in the delta
+        assert boolean_search(idx, ["epsilon"])["doc_id"].tolist() == [7]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_curation_funnel_monotone(ray_session):
+    """Funnel counts never increase stage over stage."""
+    from ocr_poc_ray.queries.documents import doc_curation_funnel
+
+    out = doc_curation_funnel(SF_DIR).sort_values("stage_idx")
+    n = out["n_docs"].tolist()
+    assert n == sorted(n, reverse=True)
+    assert out.iloc[0]["stage"] == "total" and n[0] == 500
+
+
 def test_boolean_search_empty_terms(ray_session):
     from ocr_poc_ray.functions.text_index import boolean_search
 
