@@ -1040,6 +1040,79 @@ from t
 """
 
 
+def doc_pack_efficiency(sf_dir: str) -> pd.DataFrame:
+    """Per-pack packing audit over the greedy in-order layout: docs per
+    pack, tokens whose sequence STARTS in the pack, and integer-ppm
+    utilization vs the budget (straddling docs push a pack past 10⁶ —
+    that is the straddle signal, not an error).  Partial per-batch sums
+    (packs straddle batch edges) combine in 16 pack-hash buckets;
+    output is pack-count sized."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    toks = add_token_counts(ds).select_columns(["doc_id", "n_ws_tokens"])
+    cum = ordered_prefix_sum(
+        toks, sort_cols=["doc_id"], value_col="n_ws_tokens", out_col="cum_tokens"
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cum_tokens"].to_numpy(np.int64)
+        n = b["n_ws_tokens"].to_numpy(np.int64)
+        pid = (c - n) // PACK_TOKEN_BUDGET
+        g = (
+            pd.DataFrame({"pack_id": pid, "n_docs": 1, "fill_tokens": n})
+            .groupby("pack_id", as_index=False)
+            .sum()
+        )
+        g["_hb"] = g["pack_id"] % 16
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pack_id", as_index=False)[["n_docs", "fill_tokens"]].sum()
+        out["util_ppm"] = (
+            out["fill_tokens"] * 1_000_000 // PACK_TOKEN_BUDGET
+        )
+        return out
+
+    out = (
+        cum.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "pack_id" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("pack_id", "n_docs", "fill_tokens", "util_ppm")}
+        )
+    return (
+        out.sort_values("pack_id")
+        .reset_index(drop=True)
+        .astype({"pack_id": "int64", "n_docs": "int64",
+                 "fill_tokens": "int64", "util_ppm": "int64"})
+    )
+
+
+DOC_PACK_EFFICIENCY_SQL = rf"""
+with t as (
+  select doc_id,
+         case when {_STRIP('text')} = '' then 0
+              else len(regexp_extract_all(text, '\S+')) end as n_ws_tokens
+  from documents
+), p as (
+  select doc_id, n_ws_tokens,
+         ((sum(n_ws_tokens) over (order by doc_id))::BIGINT - n_ws_tokens)
+           // {PACK_TOKEN_BUDGET} as pack_id
+  from t
+)
+select pack_id, count(*)::BIGINT as n_docs,
+       sum(n_ws_tokens)::BIGINT as fill_tokens,
+       (sum(n_ws_tokens)::BIGINT * 1000000 // {PACK_TOKEN_BUDGET})
+         as util_ppm
+from p group by pack_id
+"""
+
+
 def doc_pack_interleaved(sf_dir: str) -> pd.DataFrame:
     """The data-loader's pack layout: greedy 512-token packs over the
     LANGUAGE-INTERLEAVED order (k-th doc of every language adjacent) —
@@ -5607,6 +5680,7 @@ REGISTRY = {
     "doc_mixture_allocate": (doc_mixture_allocate, DOC_MIXTURE_ALLOCATE_SQL),
     "doc_temperature_sample": (doc_temperature_sample, DOC_TEMPERATURE_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
+    "doc_pack_efficiency": (doc_pack_efficiency, DOC_PACK_EFFICIENCY_SQL),
     "doc_pack_interleaved": (doc_pack_interleaved, DOC_PACK_INTERLEAVED_SQL),
     "doc_length_ntile": (doc_length_ntile, DOC_LENGTH_NTILE_SQL),
     "doc_shuffled_order": (doc_shuffled_order, DOC_SHUFFLED_ORDER_SQL),

@@ -2466,6 +2466,77 @@ from events group by hour
 HIST_WIDTH = 25
 
 
+EQUIDEPTH_K = 10
+
+
+def rel_value_equidepth(sf_dir: str) -> pd.DataFrame:
+    """Equi-DEPTH histogram of event value (NTILE(10) buckets): equal
+    row counts per bucket with exact value boundaries — the optimizer
+    statistics complement of the equi-width histogram (depth buckets
+    track quantiles, width buckets track ranges).  One global rank via
+    the prefix-scan machinery (ties broken by event_id, so both engines
+    order identically); bucket assignment is NTILE's closed form
+    row-locally; per-batch (bucket, count, min, max) partials combine
+    driver-side at K×blocks rows."""
+    from ocr_poc_ray.functions.prefix import ordered_prefix_sum
+
+    k = EQUIDEPTH_K
+    ds = ray.data.read_parquet(_path(sf_dir, "events"), columns=["event_id", "value"])
+    ranked = ordered_prefix_sum(
+        ds,
+        sort_cols=["value", "event_id"],
+        value_col=None,
+        out_col="rk",
+        unique_col="event_id",
+    ).materialize()  # read twice: the scalar count and the bucket pass
+    n = ranked.count()
+    if n == 0:
+        return pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"),
+             "n_values": pd.Series([], dtype="int64"),
+             "vmin": pd.Series([], dtype="float64"),
+             "vmax": pd.Series([], dtype="float64")}
+        )
+    big, small = n % k, n // k
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rk"].to_numpy(np.int64) - 1
+        cut = big * (small + 1)
+        bucket = np.where(
+            r < cut, r // (small + 1), big + (r - cut) // max(small, 1)
+        ) + 1
+        v = b["value"].to_numpy(np.float64)
+        return (
+            pd.DataFrame({"bucket": bucket, "v": v})
+            .groupby("bucket")
+            .agg(n_values=("v", "size"), vmin=("v", "min"), vmax=("v", "max"))
+            .reset_index()
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_values=("n_values", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+    )
+    return (
+        out.sort_values("bucket")
+        .reset_index(drop=True)
+        .astype({"bucket": "int64", "n_values": "int64",
+                 "vmin": "float64", "vmax": "float64"})
+    )
+
+
+REL_VALUE_EQUIDEPTH_SQL = f"""
+with r as (
+  select value,
+         ntile({EQUIDEPTH_K}) over (order by value, event_id) as bucket
+  from events
+)
+select bucket::BIGINT as bucket, count(*)::BIGINT as n_values,
+       min(value) as vmin, max(value) as vmax
+from r group by bucket
+"""
+
+
 def rel_value_histogram(sf_dir: str) -> pd.DataFrame:
     """Equi-width histogram of event value (width-25 bins): exact count
     and 2-dp total per bin — the profiling primitive behind range
@@ -6114,6 +6185,7 @@ REGISTRY = {
     "rel_winsorized_stats": (rel_winsorized_stats, REL_WINSORIZED_STATS_SQL),
     "rel_hourly_profile": (rel_hourly_profile, REL_HOURLY_PROFILE_SQL),
     "rel_value_histogram": (rel_value_histogram, REL_VALUE_HISTOGRAM_SQL),
+    "rel_value_equidepth": (rel_value_equidepth, REL_VALUE_EQUIDEPTH_SQL),
     "rel_nation_trade_matrix": (rel_nation_trade_matrix, REL_NATION_TRADE_MATRIX_SQL),
     "rel_window_dedup": (rel_window_dedup, REL_WINDOW_DEDUP_SQL),
     "rel_value_psi": (rel_value_psi, REL_VALUE_PSI_SQL),

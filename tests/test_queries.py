@@ -174,6 +174,8 @@ FAST_ORACLE = [
     "doc_cluster_cap_sample",
     "rel_event_unpivot",
     "doc_curation_funnel",
+    "doc_pack_efficiency",
+    "rel_value_equidepth",
 ]
 
 
