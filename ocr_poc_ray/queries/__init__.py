@@ -55,7 +55,7 @@ _ALL.update(_train.REGISTRY)
 #: doc_containment_pairs, doc_lsh_quality_report, doc_normalize_dedup,
 #: doc_shard_balance, vec_mmr_topk, vec_dim_truncation_recall,
 #: doc_cluster_cap_sample, rel_event_unpivot, doc_curation_funnel,
-#: doc_pack_efficiency, rel_value_equidepth,
+#: doc_pack_efficiency, rel_value_equidepth, vec_ivf_probe_curve,
 #: doc_source_contamination_sketch, rel_late_events, xs_role_balance,
 #: vec_logreg_train, doc_quality_classifier,
 #: rel_promo_revenue, rel_small_qty_revenue, rel_supplier_value_share,

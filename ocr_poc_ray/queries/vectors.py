@@ -990,8 +990,39 @@ def vec_dim_truncation_recall(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PROBE_CURVE = (1, 2, 4, 8, 16)
+
+
+def vec_ivf_probe_curve(sf_dir: str) -> pd.DataFrame:
+    """IVF tuning curve: recall@k against the brute-force baseline at
+    nprobe ∈ {1,2,4,8,16} (nlist=16, so nprobe=16 scans every list and
+    must hit recall 1.0 — the built-in sanity pin).  The measurement
+    that picks the probe count before an index ships; integer-ppm.
+    Rows-only (cross-run comparison, same contract as vec_knn_recall)."""
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    exact = knn_brute_force(ds, ids, vecs, k=KNN_K).to_pandas()
+    truth = exact.groupby("query_id")["neighbor_id"].agg(set)
+
+    rows = []
+    for nprobe in PROBE_CURVE:
+        got = knn_ivf(ds, ids, vecs, k=KNN_K, nlist=16, nprobe=nprobe).to_pandas()
+        g = got.groupby("query_id")["neighbor_id"].agg(set)
+        hits = sum(len(g.get(q, set()) & truth[q]) for q in truth.index)
+        total = sum(len(truth[q]) for q in truth.index)
+        rows.append(
+            {"nprobe": nprobe,
+             "n_queries": len(truth),
+             "recall_ppm": (hits * 1_000_000) // total if total else 1_000_000}
+        )
+    return pd.DataFrame(rows).astype(
+        {"nprobe": "int64", "n_queries": "int64", "recall_ppm": "int64"}
+    )
+
+
 REGISTRY = {
     "vec_mmr_topk": (vec_mmr_topk, None),
+    "vec_ivf_probe_curve": (vec_ivf_probe_curve, None),
     "vec_dim_truncation_recall": (vec_dim_truncation_recall, None),
     "vec_kmeans": (vec_kmeans, None),
     "vec_logreg_train": (vec_logreg_train, None),

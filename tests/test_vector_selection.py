@@ -75,6 +75,19 @@ def test_mmr_first_pick_is_top1(ray_session):
         assert first[q] == top1[q]
 
 
+def test_ivf_probe_curve_pins(ray_session):
+    """nprobe = nlist scans every list → recall exactly 1.0; recall is
+    monotone non-decreasing in nprobe (probed lists only ever grow)."""
+    from ocr_poc_ray.queries.vectors import PROBE_CURVE, vec_ivf_probe_curve
+
+    out = vec_ivf_probe_curve(SF_DIR)
+    assert list(out["nprobe"]) == list(PROBE_CURVE)
+    assert out.iloc[-1]["recall_ppm"] == 1_000_000  # nprobe == nlist
+    rec = out["recall_ppm"].tolist()
+    assert rec == sorted(rec)
+    assert (out["recall_ppm"] > 0).all()
+
+
 def test_dim_truncation_recall_pins(ray_session):
     from ocr_poc_ray.queries.vectors import TRUNC_DIMS, vec_dim_truncation_recall
 
