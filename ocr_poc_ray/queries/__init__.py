@@ -56,6 +56,7 @@ _ALL.update(_train.REGISTRY)
 #: doc_shard_balance, vec_mmr_topk, vec_dim_truncation_recall,
 #: doc_cluster_cap_sample, rel_event_unpivot, doc_curation_funnel,
 #: doc_pack_efficiency, rel_value_equidepth, vec_ivf_probe_curve,
+#: doc_dup_threshold_curve, doc_split_leakage_audit,
 #: doc_source_contamination_sketch, rel_late_events, xs_role_balance,
 #: vec_logreg_train, doc_quality_classifier,
 #: rel_promo_revenue, rel_small_qty_revenue, rel_supplier_value_share,

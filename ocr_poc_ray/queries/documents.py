@@ -5504,6 +5504,146 @@ from s where rk <= {DUP_CAP}
 
 
 # ---------------------------------------------------------------------------
+# Dup-threshold sensitivity curve — pair counts at rising Jaccard cuts
+# (the sweep a corpus owner reads before fixing the dedup threshold)
+# ---------------------------------------------------------------------------
+
+DUP_THRESHOLDS_PCT = (50, 60, 70, 80, 90)
+
+
+def doc_dup_threshold_curve(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pair counts at each candidate threshold, from ONE exact
+    pair-grid run at the lowest cut (higher cuts are row-local filters
+    of its output — the sweep costs one join, not five).  Both engines
+    compare the 6-dp-rounded jaccard against thr/100.0, so the bucket
+    edges are bit-identical."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    pairs = ngram_jaccard_pairs(
+        ds, threshold=min(DUP_THRESHOLDS_PCT) / 100.0, chunk_rows=256
+    ).to_pandas()
+    j = pairs["jaccard"].to_numpy(np.float64) if len(pairs) else np.array([])
+    rows = [
+        {"thr_pct": t, "n_pairs": int((j >= t / 100.0).sum())}
+        for t in DUP_THRESHOLDS_PCT
+    ]
+    return pd.DataFrame(rows).astype({"thr_pct": "int64", "n_pairs": "int64"})
+
+
+DOC_DUP_THRESHOLD_CURVE_SQL = rf"""
+with t as (
+  select doc_id, toks,
+         case when len(toks) = 0 then []::VARCHAR[]
+              when len(toks) < 3 then [array_to_string(toks, ' ')]
+              else list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)]) end as sh
+  from (
+    select doc_id, regexp_extract_all(lower(text), '\S+') as toks
+    from documents where doc_id < {JACCARD_MAX_DOC_ID}
+  )
+), p as (
+  select round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) as j
+  from t a join t b on a.doc_id < b.doc_id
+  where len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(a.sh || b.sh)) >= {min(DUP_THRESHOLDS_PCT) / 100.0}
+)
+select thr.thr_pct::BIGINT as thr_pct,
+       count(*) filter (p.j >= thr.thr_pct / 100.0)::BIGINT as n_pairs
+from (values {', '.join(f'({t})' for t in DUP_THRESHOLDS_PCT)}) thr(thr_pct)
+left join p on true
+group by thr.thr_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# Split leakage audit — do exact-dup groups straddle the train/eval
+# boundary of the NAIVE per-doc split?  (The number that motivates
+# doc_leakage_safe_split: any straddling group leaks eval content into
+# training.)
+# ---------------------------------------------------------------------------
+
+
+def doc_split_leakage_audit(sf_dir: str) -> pd.DataFrame:
+    """One-row audit: exact-dup groups (md5 text, n≥2), and how many
+    straddle train vs non-train under the doc-keyed md5 split.  Per-
+    batch (hash, side) projections combine in 16 hash buckets; group
+    multiplicity never becomes a Ray group count."""
+    import hashlib as _hl
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        h = np.asarray(
+            [_hl.md5(t.encode()).hexdigest() for t in b["text"].fillna("")],
+            dtype=object,
+        )
+        frac = np.asarray(
+            [int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids]
+        )
+        is_train = frac < SPLIT_TRAIN_PCT
+        g = pd.DataFrame({"h": h, "n": 1,
+                          "n_train": is_train.astype(np.int64)})
+        g = g.groupby("h", as_index=False).sum()
+        g["_hb"] = [int(x[:4], 16) % 16 for x in g["h"]]
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("h", as_index=False)[["n", "n_train"]].sum()
+        dup = d[d["n"] >= 2]
+        straddle = dup[(dup["n_train"] > 0) & (dup["n_train"] < dup["n"])]
+        return pd.DataFrame(
+            {"dup_groups": [len(dup)],
+             "straddling_groups": [len(straddle)],
+             "docs_in_dup_groups": [int(dup["n"].sum())]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = out.sum() if len(out) else None
+    return pd.DataFrame(
+        {
+            "dup_groups": pd.Series(
+                [int(tot["dup_groups"]) if tot is not None else 0], dtype="int64"
+            ),
+            "straddling_groups": pd.Series(
+                [int(tot["straddling_groups"]) if tot is not None else 0],
+                dtype="int64",
+            ),
+            "docs_in_dup_groups": pd.Series(
+                [int(tot["docs_in_dup_groups"]) if tot is not None else 0],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+DOC_SPLIT_LEAKAGE_AUDIT_SQL = f"""
+with s as (
+  select md5(text) as h,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+           < {SPLIT_TRAIN_PCT} as is_train
+  from documents
+), g as (
+  select h, count(*) as n, sum(case when is_train then 1 else 0 end) as n_train
+  from s group by h having count(*) >= 2
+)
+select coalesce(count(*), 0)::BIGINT as dup_groups,
+       coalesce(count(*) filter (n_train > 0 and n_train < n), 0)::BIGINT
+         as straddling_groups,
+       coalesce(sum(n), 0)::BIGINT as docs_in_dup_groups
+from g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Curation funnel — per-stage survivor counts for the curation pipeline
 # (the observability report a corpus owner reads before/after each run)
 # ---------------------------------------------------------------------------
@@ -5620,6 +5760,12 @@ select 4, 'sampled',
 
 REGISTRY = {
     "doc_cluster_cap_sample": (doc_cluster_cap_sample, DOC_CLUSTER_CAP_SAMPLE_SQL),
+    "doc_dup_threshold_curve": (
+        doc_dup_threshold_curve, DOC_DUP_THRESHOLD_CURVE_SQL,
+    ),
+    "doc_split_leakage_audit": (
+        doc_split_leakage_audit, DOC_SPLIT_LEAKAGE_AUDIT_SQL,
+    ),
     "doc_curation_funnel": (
         doc_curation_funnel,
         _CURATION_FUNNEL_TEMPLATE.format(

@@ -127,6 +127,37 @@ def test_cluster_cap_sample_planted(ray_session):
     assert single["n_docs"] == 1 and single["kept_rank"] == 1
 
 
+def test_split_leakage_audit_planted(ray_session):
+    """A dup group whose members land on both sides of the md5 split
+    must count as straddling; a same-side group must not."""
+    import hashlib
+
+    from ocr_poc_ray.queries.documents import (
+        SPLIT_TRAIN_PCT,
+        doc_split_leakage_audit,
+    )
+
+    def side(i: int) -> bool:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < SPLIT_TRAIN_PCT
+
+    ids = list(range(1000, 1400))
+    train_ids = [i for i in ids if side(i)]
+    test_ids = [i for i in ids if not side(i)]
+    assert len(train_ids) >= 2 and len(test_ids) >= 1
+    rows = [
+        (train_ids[0], "straddling duplicate text"),
+        (test_ids[0], "straddling duplicate text"),
+        (train_ids[1], "same side duplicate text"),
+        (train_ids[2], "same side duplicate text"),
+        (9999, "a singleton document"),
+    ]
+    d = _write_docs(rows)
+    out = doc_split_leakage_audit(d).iloc[0]
+    assert out["dup_groups"] == 2
+    assert out["straddling_groups"] == 1
+    assert out["docs_in_dup_groups"] == 4
+
+
 def test_lsh_quality_report_consistency(ray_session):
     """Verified-LSH pairs are exactly re-scored, so fp must be 0 and the
     partition tp + fn must cover the exact pair set; recall_ppm is the

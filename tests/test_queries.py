@@ -176,6 +176,8 @@ FAST_ORACLE = [
     "doc_curation_funnel",
     "doc_pack_efficiency",
     "rel_value_equidepth",
+    "doc_dup_threshold_curve",
+    "doc_split_leakage_audit",
 ]
 
 
