@@ -433,6 +433,86 @@ def doc_dup_components_exact(sf_dir: str) -> pd.DataFrame:
     return comp.astype({"doc_id": "int64", "component": "int64"})
 
 
+def doc_near_dedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END near-deduplication — the operation every web-scale
+    curation run actually ships: exact n-gram Jaccard pairs (PPJoin
+    prefix path, the near-linear scale route) → distributed connected
+    components → keep ONE representative per cluster (min doc_id, the
+    closure's own component label) plus all singletons.  Returns the
+    kept corpus as (doc_id, cluster_size, was_deduped).
+
+    Scale shape: losers leave via ``membership_flag`` (broadcast ↔
+    bloom+verify size switch — the corpus is never collected); cluster
+    sizes are per-batch partials combined on the driver (dup-CLUSTER-
+    count-sized, i.e. dedup-output-sized — swap to the hash-bucket
+    combine if clusters ever outnumber driver memory)."""
+    from ocr_poc_ray.functions.dedup import (
+        connected_components_distributed,
+        membership_flag,
+        ngram_jaccard_pairs_prefix,
+    )
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    pairs = ngram_jaccard_pairs_prefix(ds, threshold=JACCARD_THRESHOLD)
+    pairs = pairs.map_batches(
+        lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ],
+        batch_format="pandas",
+    )
+    comp = connected_components_distributed(pairs, num_buckets=8).materialize()
+
+    # cluster sizes: per-batch partial counts -> one driver combine
+    # (bounded by the number of distinct clusters, not docs)
+    parts = comp.map_batches(
+        lambda b: b.groupby("component", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(parts):
+        sizes = parts.groupby("component")["size"].sum()
+        comp_ids = np.sort(sizes.index.to_numpy(np.int64))
+        comp_n = sizes.reindex(comp_ids).to_numpy(np.int64)
+    else:
+        comp_ids = np.array([], dtype=np.int64)
+        comp_n = np.array([], dtype=np.int64)
+    sizes_ref = _ray.put((comp_ids, comp_n))
+
+    losers = comp.map_batches(
+        lambda b: b[b["doc_id"] != b["component"]][["doc_id"]],
+        batch_format="pandas",
+    )
+    flagged = membership_flag(
+        ds.select_columns(["doc_id"]), "doc_id", losers, "doc_id"
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids_s, n_s = _ray.get(sizes_ref)
+        k = b[~b["_in_set"]]
+        ids = k["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(ids_s, ids)
+        hit = (pos < len(ids_s)) & (ids_s[np.minimum(pos, max(len(ids_s) - 1, 0))] == ids) if len(ids_s) else np.zeros(len(ids), dtype=bool)
+        csize = np.ones(len(ids), dtype=np.int64)
+        csize[hit] = n_s[pos[hit]]
+        return pd.DataFrame(
+            {"doc_id": ids, "cluster_size": csize, "was_deduped": csize > 1}
+        )
+
+    out = flagged.map_batches(keep, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_size": pd.Series([], dtype="int64"),
+             "was_deduped": pd.Series([], dtype="bool")}
+        )
+    return out.astype(
+        {"doc_id": "int64", "cluster_size": "int64", "was_deduped": "bool"}
+    )
+
+
 # Transitive closure via WITH RECURSIVE (UNION dedups, so the closure
 # is bounded per component); component = min reachable id.
 DOC_DUP_COMPONENTS_SQL = f"""
@@ -448,6 +528,36 @@ reach(node, r) as (
 )
 select node as doc_id, least(node, min(r))::BIGINT as component
 from reach group by node
+"""
+
+
+# Same closure; keep = singleton (no pair row) OR cluster representative
+# (node == component, the minimum id — identical pick on both engines).
+DOC_NEAR_DEDUP_CORPUS_SQL = f"""
+with recursive
+p as ({DOC_JACCARD_PAIRS_SQL}),
+edges as (select id_a as a, id_b as b from p
+          union all
+          select id_b as a, id_a as b from p),
+reach(node, r) as (
+  select a, b from edges
+  union
+  select reach.node, e.b from reach join edges e on e.a = reach.r
+),
+comp as (
+  select node as doc_id, least(node, min(r)) as component
+  from reach group by node
+),
+sz as (select component, count(*) as n from comp group by component),
+kept as (
+  select d.doc_id, c.component
+  from (select doc_id from documents where doc_id < {JACCARD_MAX_DOC_ID}) d
+  left join comp c using (doc_id)
+  where c.doc_id is null or c.doc_id = c.component
+)
+select k.doc_id, coalesce(sz.n, 1)::BIGINT as cluster_size,
+       coalesce(sz.n, 1) > 1 as was_deduped
+from kept k left join sz on k.component = sz.component
 """
 
 
@@ -2878,6 +2988,116 @@ select doc_id,
        (n_chars >= {FILTER_MIN_CHARS} and e >= {FILTER_MIN_ENTROPY}
         and frac <= {_REP_T}) as is_kept
 from sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1) — the published heuristic
+# rule set for web-scale pretraining corpora, adapted to this corpus's
+# ranges (word counts 10-99; the canonical 50-100k band would pass
+# everything).  Every signal is INTEGER arithmetic so the pass/keep
+# booleans are bit-identical between engines: "mean word length in
+# [4,10]" is evaluated as 4*n <= total_chars <= 10*n, never as a float
+# mean (CLAUDE.md rounding-boundary note).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+# canonical Gopher list ∩-friendly extension: this corpus's function
+# words are 'the' and 'a'; the published "≥2 distinct stopword hits"
+# rule needs a list the vocabulary can hit twice.
+GOPHER_STOPS = ("the", "a", "and", "of", "to", "is", "in", "that")
+
+
+def doc_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Per-document Gopher rule report: the four signals, one pass flag
+    per rule, and the composite keep decision.  Entirely row-local —
+    one zero-shuffle map_batches pass; at 100 TB this is the cheapest
+    possible shape (embarrassingly parallel, no exchange)."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    stops = np.array(sorted(GOPHER_STOPS), dtype=object)
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, doc_idx = _flat_tokens(b["text"])
+        n = len(b)
+        tok = pd.Series(flat, dtype=object)
+        tlen = tok.str.len().to_numpy(np.int64) if len(flat) else np.array([], dtype=np.int64)
+        total_chars = np.bincount(doc_idx, weights=tlen, minlength=n).astype(np.int64)
+        alpha = (
+            tok.str.contains("[a-z]", regex=True).to_numpy()
+            if len(flat) else np.array([], dtype=bool)
+        )
+        n_alpha = np.bincount(doc_idx[alpha], minlength=n).astype(np.int64)
+        # distinct stopword hits per doc: filter to the 8-word list,
+        # dedup (doc, word), count — bounded at 8 rows per doc.
+        hits = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            m = np.isin(flat, stops)
+            if m.any():
+                hp = pd.DataFrame({"d": doc_idx[m], "w": flat[m]}).drop_duplicates()
+                hits = np.bincount(hp["d"].to_numpy(), minlength=n).astype(np.int64)
+        nw = lens
+        p_count = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+        p_len = (total_chars >= 4 * nw) & (total_chars <= 10 * nw)
+        p_alpha = 5 * n_alpha >= 4 * nw
+        p_stop = hits >= 2
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_words": nw,
+                "total_word_chars": total_chars,
+                "n_alpha_words": n_alpha,
+                "n_stop_hits": hits,
+                "pass_wordcount": p_count,
+                "pass_wordlen": p_len,
+                "pass_alpha": p_alpha,
+                "pass_stop": p_stop,
+                "is_kept": p_count & p_len & p_alpha & p_stop,
+            }
+        )
+
+    out = ds.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.astype(
+        {
+            "doc_id": "int64", "n_words": "int64", "total_word_chars": "int64",
+            "n_alpha_words": "int64", "n_stop_hits": "int64",
+            "pass_wordcount": "bool", "pass_wordlen": "bool",
+            "pass_alpha": "bool", "pass_stop": "bool", "is_kept": "bool",
+        }
+    )
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(GOPHER_STOPS))
+
+DOC_GOPHER_RULES_SQL = rf"""
+with t as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as toks from documents
+), s as (
+  select doc_id,
+         len(toks) as n_words,
+         coalesce(list_sum(list_transform(toks, w -> length(w))), 0)::BIGINT
+           as total_word_chars,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::BIGINT
+           as n_alpha_words,
+         len(list_distinct(list_filter(
+           toks, w -> list_contains([{_GOPHER_STOPS_SQL}], w))))::BIGINT
+           as n_stop_hits
+  from t
+)
+select doc_id, n_words::BIGINT as n_words, total_word_chars, n_alpha_words,
+       n_stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS})
+         as pass_wordcount,
+       (total_word_chars >= 4 * n_words and total_word_chars <= 10 * n_words)
+         as pass_wordlen,
+       (5 * n_alpha_words >= 4 * n_words) as pass_alpha,
+       (n_stop_hits >= 2) as pass_stop,
+       ((n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS})
+        and (total_word_chars >= 4 * n_words
+             and total_word_chars <= 10 * n_words)
+        and (5 * n_alpha_words >= 4 * n_words)
+        and (n_stop_hits >= 2)) as is_kept
+from s
 """
 
 
@@ -5879,4 +6099,6 @@ REGISTRY = {
     ),
     "doc_quality_blend": (doc_quality_blend, DOC_QUALITY_BLEND_SQL),
     "doc_filter_report": (doc_filter_report, DOC_FILTER_REPORT_SQL),
+    "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),
+    "doc_near_dedup_corpus": (doc_near_dedup_corpus, DOC_NEAR_DEDUP_CORPUS_SQL),
 }

@@ -20,6 +20,8 @@ TABLES = (
 
 # oracle-checked here (cheap at sf0.001); the rest still must RUN
 FAST_ORACLE = [
+    "doc_gopher_rules",
+    "doc_near_dedup_corpus",
     "xs_turn_overlap",
     "doc_kwic",
     "doc_anchor_spans",
