@@ -3101,6 +3101,80 @@ from s
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002) — the privacy counterpart of the PII
+# regex scrub: docs whose quasi-identifier combination (lang, source,
+# length bucket) is shared by fewer than K corpus documents are
+# re-identifiable through metadata alone, even after text-level PII
+# removal.  A release gate runs this per shipped corpus slice.
+# ---------------------------------------------------------------------------
+
+K_ANONYMITY = 3
+K_ANON_LEN_BUCKET = 100  # chars per length bucket
+
+
+def doc_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """Per quasi-identifier cell: member count and the k-anonymity
+    flag.  Shape: per-batch partial counts (cell-bounded: langs ×
+    sources × length buckets, never doc-bounded) → 8-bucket hash
+    combine — nothing corpus-sized moves."""
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["lang", "source", "n_chars"]
+    )
+    n_buckets = 8
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cells = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(object),
+                "source": b["source"].to_numpy(object),
+                "len_bucket": (b["n_chars"].to_numpy(np.int64)
+                               // K_ANON_LEN_BUCKET),
+            }
+        ).groupby(["lang", "source", "len_bucket"], as_index=False).size()
+        hb = pd.util.hash_pandas_object(
+            cells[["lang", "source", "len_bucket"]], index=False
+        ).to_numpy(np.uint64)
+        return cells.assign(_hb=(hb % n_buckets).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["lang", "source", "len_bucket"], as_index=False).agg(
+            group_n=("size", "sum")
+        )
+        t["is_k_anon"] = t["group_n"] >= K_ANONYMITY
+        return t
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=object),
+             "source": pd.Series([], dtype=object),
+             "len_bucket": pd.Series([], dtype="int64"),
+             "group_n": pd.Series([], dtype="int64"),
+             "is_k_anon": pd.Series([], dtype="bool")}
+        )
+    return out[["lang", "source", "len_bucket", "group_n", "is_k_anon"]].astype(
+        {"lang": object, "source": object, "len_bucket": "int64",
+         "group_n": "int64", "is_k_anon": "bool"}
+    )
+
+
+# n_chars is positive, so DuckDB's truncating // equals Python's floor
+# (CLAUDE.md pre-1970 caveat does not apply to counts).
+DOC_K_ANONYMITY_SQL = f"""
+select lang, source, (n_chars // {K_ANON_LEN_BUCKET})::BIGINT as len_bucket,
+       count(*)::BIGINT as group_n,
+       count(*) >= {K_ANONYMITY} as is_k_anon
+from documents
+group by lang, source, len_bucket
+"""
+
+
 def doc_quality_blend(sf_dir: str) -> pd.DataFrame:
     """Percentile-normalized score ensembling: blend two quality
     signals on incommensurable scales (length, token entropy) by
@@ -6101,4 +6175,5 @@ REGISTRY = {
     "doc_filter_report": (doc_filter_report, DOC_FILTER_REPORT_SQL),
     "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),
     "doc_near_dedup_corpus": (doc_near_dedup_corpus, DOC_NEAR_DEDUP_CORPUS_SQL),
+    "doc_k_anonymity": (doc_k_anonymity, DOC_K_ANONYMITY_SQL),
 }

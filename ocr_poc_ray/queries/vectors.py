@@ -114,6 +114,21 @@ def vec_knn_ivf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def vec_knn_hnsw(sf_dir: str) -> pd.DataFrame:
+    """Sharded HNSW graph ANN (Malkov & Yashunin 2016) — rows-only;
+    recall vs brute force is asserted in tests/test_functions.py.
+    Completes the ANN family: brute (exact) / LSH / IVF / PQ / HNSW."""
+    from ocr_poc_ray.functions.hnsw import knn_hnsw
+
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    out = knn_hnsw(ds, ids, vecs, k=KNN_K, M=8, ef_search=64).to_pandas()
+    out = out[["query_id", "neighbor_id", "cosine", "rank"]]
+    return out.astype(
+        {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int64"}
+    )
+
+
 def vec_knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product-quantization ANN with exact refinement — rows-only;
     recall vs brute force is asserted in tests/test_functions.py."""
@@ -1038,6 +1053,7 @@ REGISTRY = {
     "vec_knn_ivf": (vec_knn_ivf, None),
     "vec_knn_ivf_index": (vec_knn_ivf_index, None),
     "vec_knn_pq": (vec_knn_pq, None),
+    "vec_knn_hnsw": (vec_knn_hnsw, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_semantic_dedup": (vec_semantic_dedup, VEC_SEMANTIC_DEDUP_SQL),
     "vec_contrastive_pairs": (vec_contrastive_pairs, VEC_CONTRASTIVE_PAIRS_SQL),

@@ -1256,6 +1256,58 @@ def test_knn_pq_recall(emb_ds):
     assert np.mean(recalls) >= 0.6, np.mean(recalls)
 
 
+def test_knn_hnsw_recall(emb_ds):
+    """Sharded HNSW recovers nearly all brute-force neighbors at
+    ef_search=64 (graph search is exact over each shard's candidates;
+    only the beam truncation is approximate), and returned cosines are
+    true dot products (4-dp rounded)."""
+    from ocr_poc_ray.functions.hnsw import knn_hnsw
+    from ocr_poc_ray.functions.similarity import knn_brute_force
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.vstack(
+        [np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]]
+    )
+    exact = knn_brute_force(emb_ds, qids, qvecs, k=5).to_pandas()
+    approx = knn_hnsw(emb_ds, qids, qvecs, k=5, shard_rows=32).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = exact.loc[exact.query_id == qid].set_index("neighbor_id")["cosine"]
+        a = approx.loc[approx.query_id == qid].set_index("neighbor_id")["cosine"]
+        common = e.index.intersection(a.index)
+        if len(e):
+            recalls.append(len(common) / len(e))
+        assert (e.loc[common] - a.loc[common]).abs().max() <= 1e-9
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
+
+
+def test_hnsw_graph_invariants_and_exactness():
+    """Single-graph HNSW on a planted clustered set: neighbor lists
+    respect the M/2M caps, search is deterministic for a fixed seed,
+    and with ef >= n the beam degenerates to exact top-k."""
+    from ocr_poc_ray.functions.hnsw import HnswGraph
+    from ocr_poc_ray.functions.similarity import _normalize
+
+    rng = np.random.RandomState(7)
+    X = _normalize(rng.randn(200, 16))
+    g = HnswGraph(X, M=6, ef_construction=32, seed=3)
+    for lvl, layer in enumerate(g.layers):
+        cap = 12 if lvl == 0 else 6
+        for i, nbrs in enumerate(layer):
+            assert len(nbrs) <= cap
+            assert i not in nbrs  # no self-loops
+            for j in nbrs:
+                assert g.levels[j] >= lvl  # neighbors exist at this level
+    q = X[0]
+    ids1, sims1 = g.search(q, 10, ef=200)
+    ids2, _ = g.search(q, 10, ef=200)
+    assert np.array_equal(ids1, ids2)
+    true = np.argsort(-(X @ q), kind="stable")[:10]
+    assert set(ids1) == set(true)
+    assert np.all(np.diff(sims1) <= 1e-12)  # sorted desc
+
+
 def test_pq_encode_roundtrip_distortion():
     """Quantizing then scoring via the LUT approximates the true inner
     product: mean ADC error is far below inter-neighbor cosine gaps."""

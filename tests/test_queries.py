@@ -22,6 +22,7 @@ TABLES = (
 FAST_ORACLE = [
     "doc_gopher_rules",
     "doc_near_dedup_corpus",
+    "doc_k_anonymity",
     "xs_turn_overlap",
     "doc_kwic",
     "doc_anchor_spans",
