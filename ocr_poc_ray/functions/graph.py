@@ -159,3 +159,114 @@ def pagerank(
         ),
         batch_format="pandas",
     )
+
+
+def triangle_counts(
+    pairs: Dataset,
+    *,
+    num_partitions: int = 8,
+    id_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> Dataset:
+    """(doc_id, n_triangles) over the undirected pair graph — the
+    transitivity audit of a near-dup pass (clique-like dup clusters are
+    safe to collapse; chain-like ones mix distinct documents through
+    weak links).
+
+    The classic two-join dataflow (Cohen 2009 / Suri & Vassilvitskii
+    2011): canonicalize edges a<b, wedge join e1(a,b) ⋈ e2(b,c) on the
+    middle node, then close each wedge against the edge set on the
+    packed (a,c) key — both joins hash-partitioned and capped at
+    cluster CPUs (CLAUDE.md deadlock pitfall), inputs repartitioned
+    to merge 0-row blocks away.  Per-node counts are per-batch
+    partials + one bounded combine.  Node ids must fit 31 bits (the
+    packed closing key) — asserted, the same bound as substring
+    dedup's winner key."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_poc_ray.functions.dedup import _join_parallelism
+
+    a, b = id_cols
+    jp = _join_parallelism(num_partitions)
+
+    def canon(bt: pd.DataFrame) -> pd.DataFrame:
+        x = bt[a].to_numpy(np.int64)
+        y = bt[b].to_numpy(np.int64)
+        if len(x) and (min(x.min(), y.min()) < 0 or max(x.max(), y.max()) >= 1 << 31):
+            raise ValueError("triangle_counts: node ids must fit 31 bits")
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        keep = lo != hi
+        return pd.DataFrame({"u": lo[keep], "v": hi[keep]}).drop_duplicates()
+
+    # global distinct: per-batch drop_duplicates only dedups WITHIN a
+    # block — the same edge arriving in two blocks would double-count
+    # every wedge through it, so finish with a bucketed exact distinct
+    # (dup-graph-sized, bounded buckets).
+    edges = (
+        pairs.map_batches(canon, batch_format="pandas")
+        .map_batches(
+            lambda bt: bt.assign(
+                _hb=((bt["u"].to_numpy(np.int64) * 0x9E3779B1)
+                     + bt["v"].to_numpy(np.int64)) % jp
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_hb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["u", "v"])[["u", "v"]],
+            batch_format="pandas",
+        )
+        .repartition(jp)
+        .materialize()  # feeds THREE consumers (wedge x2 + close) — one scan
+    )
+
+    # wedge join on the middle node: (u<v) x (v<w) -> (u, v, w)
+    left = edges.map_batches(
+        lambda bt: pd.DataFrame({"wu": bt["u"], "mid": bt["v"]}),
+        batch_format="pandas",
+    ).repartition(jp)
+    right = edges.map_batches(
+        lambda bt: pd.DataFrame({"mid": bt["u"], "ww": bt["v"]}),
+        batch_format="pandas",
+    ).repartition(jp)
+    wedges = left.join(right, "inner", num_partitions=jp, on=("mid",))
+
+    def pack_close(bt: pd.DataFrame) -> pd.DataFrame:
+        u = bt["wu"].to_numpy(np.int64)
+        w = bt["ww"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"wu": u, "mid": bt["mid"].to_numpy(np.int64), "ww": w,
+             "_ck": (u << 31) | w}
+        )
+
+    closing = edges.map_batches(
+        lambda bt: pd.DataFrame(
+            {"_ck": (bt["u"].to_numpy(np.int64) << 31)
+                    | bt["v"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    ).repartition(jp)
+    tris = wedges.map_batches(pack_close, batch_format="pandas").repartition(
+        jp
+    ).join(closing, "inner", num_partitions=jp, on=("_ck",))
+
+    def role_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [bt["wu"].to_numpy(np.int64), bt["mid"].to_numpy(np.int64),
+             bt["ww"].to_numpy(np.int64)]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": u, "n": c.astype(np.int64),
+             "_hb": (u % 8).astype(np.int64)}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("doc_id", as_index=False).agg(n_triangles=("n", "sum"))
+        return t
+
+    return (
+        tris.map_batches(role_partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+    )

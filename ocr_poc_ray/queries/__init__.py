@@ -43,6 +43,8 @@ _ALL.update(_train.REGISTRY)
 #: rel_event_pivot, rel_regr_slope, mm_exact_dup, doc_bm25_topk,
 #: rel_mad_outliers, vec_semantic_dedup, mm_phash_neardup,
 #: rel_value_histogram, doc_heavy_tokens_mg, rel_nation_trade_matrix,
+#: doc_gopher_rules, doc_near_dedup_corpus, doc_k_anonymity,
+#: doc_pareto_frontier, doc_dup_triangles, vec_knn_hnsw,
 #: doc_incremental_dedup, rel_window_dedup, xs_tool_runs,
 #: vec_contrastive_pairs, doc_snapshot_diff, rel_value_psi,
 #: vec_knn_ivf_index, rel_cohort_ltv, doc_source_ttr,

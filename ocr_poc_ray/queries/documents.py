@@ -531,6 +531,49 @@ from reach group by node
 """
 
 
+def doc_dup_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-doc triangle membership over the exact near-dup graph — the
+    transitivity audit: clique-like clusters (high triangle counts) are
+    safe to collapse to one representative; chain-like components
+    (members with 0 triangles) link distinct documents through weak
+    middle nodes and deserve a higher verify threshold."""
+    from ocr_poc_ray.functions.graph import triangle_counts
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
+    )
+    pairs = ngram_jaccard_pairs(ds, threshold=JACCARD_THRESHOLD, chunk_rows=256)
+    pairs = pairs.map_batches(
+        lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ],
+        batch_format="pandas",
+    )
+    out = triangle_counts(pairs).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_triangles": pd.Series([], dtype="int64")})
+    return out.astype({"doc_id": "int64", "n_triangles": "int64"})
+
+
+DOC_DUP_TRIANGLES_SQL = f"""
+with p as ({DOC_JACCARD_PAIRS_SQL}),
+e as (select id_a as a, id_b as b from p),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1 join e e2 on e2.a = e1.b
+  join e e3 on e3.a = e1.a and e3.b = e2.b
+),
+m as (
+  select x as doc_id from tri
+  union all select y from tri
+  union all select z from tri
+)
+select doc_id, count(*)::BIGINT as n_triangles from m group by doc_id
+"""
+
+
 # Same closure; keep = singleton (no pair row) OR cluster representative
 # (node == component, the minimum id — identical pick on both engines).
 DOC_NEAR_DEDUP_CORPUS_SQL = f"""
@@ -3098,6 +3141,83 @@ select doc_id, n_words::BIGINT as n_words, total_word_chars, n_alpha_words,
         and (5 * n_alpha_words >= 4 * n_words)
         and (n_stop_hits >= 2)) as is_kept
 from s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline query, Börzsönyi et al. 2001): the documents
+# not dominated under (maximize distinct-token vocabulary, minimize
+# character cost) — the "most signal per byte" shortlist a curation run
+# hand-reviews.  Distribution relies on the skyline algebra
+# skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)): each batch emits
+# its LOCAL skyline (for random 2-D data that is O(log batch) points),
+# and one output-sized final pass merges them.  Both criteria are
+# integers, so dominance is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows not dominated under (min n_chars, max n_distinct); ties on
+    both axes are all kept (dominance requires one STRICT inequality).
+    Kept iff d == max(d | same c) and d > max(d | smaller c)."""
+    md = df.groupby("n_chars")["n_distinct"].max().sort_index()
+    prior = md.cummax().shift(fill_value=np.iinfo(np.int64).min)
+    at_max = df["n_distinct"].to_numpy() == md.reindex(df["n_chars"]).to_numpy()
+    beats_prior = df["n_distinct"].to_numpy() > prior.reindex(df["n_chars"]).to_numpy()
+    return df[at_max & beats_prior]
+
+
+def doc_pareto_frontier(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, doc_idx = _flat_tokens(b["text"])
+        nd = np.zeros(len(b), dtype=np.int64)
+        if len(flat):
+            nd = (
+                pd.DataFrame({"d": doc_idx, "w": flat})
+                .drop_duplicates()
+                .groupby("d")
+                .size()
+                .reindex(range(len(b)), fill_value=0)
+                .to_numpy(np.int64)
+            )
+        cand = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_chars": b["n_chars"].to_numpy(np.int64),
+                "n_distinct": nd,
+            }
+        )
+        return _skyline_2d(cand)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_chars": pd.Series([], dtype="int64"),
+             "n_distinct": pd.Series([], dtype="int64")}
+        )
+    out = _skyline_2d(cand).sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_chars": "int64", "n_distinct": "int64"})
+
+
+DOC_PARETO_FRONTIER_SQL = r"""
+with s as (
+  select doc_id, n_chars,
+         len(list_distinct(regexp_extract_all(lower(text), '\S+')))::BIGINT
+           as n_distinct
+  from documents
+)
+select a.doc_id, a.n_chars::BIGINT as n_chars, a.n_distinct
+from s a
+where not exists (
+  select 1 from s b
+  where b.n_distinct >= a.n_distinct and b.n_chars <= a.n_chars
+    and (b.n_distinct > a.n_distinct or b.n_chars < a.n_chars)
+)
 """
 
 
@@ -6043,12 +6163,12 @@ d as (
 select 1::BIGINT as stage_idx, 'total' as stage,
        (select count(*) from documents)::BIGINT as n_docs
 union all
-select 2, 'quality', (select count(*) from q)
+select 2, 'quality', (select count(*) from q)::BIGINT
 union all
-select 3, 'deduped', coalesce((select sum(n) from d), 0)
+select 3, 'deduped', coalesce((select sum(n) from d), 0)::BIGINT
 union all
 select 4, 'sampled',
-       coalesce((select sum(least(n, {cap})) from d), 0)
+       coalesce((select sum(least(n, {cap})) from d), 0)::BIGINT
 """
 
 
@@ -6176,4 +6296,6 @@ REGISTRY = {
     "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),
     "doc_near_dedup_corpus": (doc_near_dedup_corpus, DOC_NEAR_DEDUP_CORPUS_SQL),
     "doc_k_anonymity": (doc_k_anonymity, DOC_K_ANONYMITY_SQL),
+    "doc_pareto_frontier": (doc_pareto_frontier, DOC_PARETO_FRONTIER_SQL),
+    "doc_dup_triangles": (doc_dup_triangles, DOC_DUP_TRIANGLES_SQL),
 }

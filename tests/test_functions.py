@@ -1308,6 +1308,20 @@ def test_hnsw_graph_invariants_and_exactness():
     assert np.all(np.diff(sims1) <= 1e-12)  # sorted desc
 
 
+def test_triangle_counts_planted():
+    """K4 -> every node in C(3,2)=3 triangles; a 3-chain -> none; edge
+    direction/duplication in the input must not change counts."""
+    import itertools
+
+    from ocr_poc_ray.functions.graph import triangle_counts
+
+    k4 = [{"doc_a": a, "doc_b": b} for a, b in itertools.combinations(range(4), 2)]
+    rev = [{"doc_a": b["doc_b"], "doc_b": b["doc_a"]} for b in k4]  # dups, reversed
+    chain = [{"doc_a": 10, "doc_b": 11}, {"doc_a": 11, "doc_b": 12}]
+    t = triangle_counts(ray.data.from_items(k4 + rev + chain)).to_pandas()
+    assert dict(zip(t["doc_id"], t["n_triangles"])) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_pq_encode_roundtrip_distortion():
     """Quantizing then scoring via the LUT approximates the true inner
     product: mean ADC error is far below inter-neighbor cosine gaps."""

@@ -23,6 +23,8 @@ FAST_ORACLE = [
     "doc_gopher_rules",
     "doc_near_dedup_corpus",
     "doc_k_anonymity",
+    "doc_pareto_frontier",
+    "doc_dup_triangles",
     "xs_turn_overlap",
     "doc_kwic",
     "doc_anchor_spans",
