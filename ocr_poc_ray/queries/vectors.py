@@ -1035,8 +1035,42 @@ def vec_ivf_probe_curve(sf_dir: str) -> pd.DataFrame:
     )
 
 
+HNSW_EF_CURVE = (4, 8, 16, 64, 512)
+
+
+def vec_hnsw_ef_curve(sf_dir: str) -> pd.DataFrame:
+    """HNSW tuning curve: recall@k vs ef_search — the beam-width
+    counterpart of vec_ivf_probe_curve (the measurement that picks
+    ef before an index ships).  ef=512 exceeds every shard's size at
+    the checked scales, so the beam degenerates to an exact scan and
+    recall pins to 1.0 — the built-in sanity row.  Integer-ppm,
+    rows-only (approximate by design)."""
+    from ocr_poc_ray.functions.hnsw import knn_hnsw
+
+    ids, vecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    exact = knn_brute_force(ds, ids, vecs, k=KNN_K).to_pandas()
+    truth = exact.groupby("query_id")["neighbor_id"].agg(set)
+
+    rows = []
+    for ef in HNSW_EF_CURVE:
+        got = knn_hnsw(ds, ids, vecs, k=KNN_K, ef_search=ef, shard_rows=512).to_pandas()
+        g = got.groupby("query_id")["neighbor_id"].agg(set)
+        hits = sum(len(g.get(q, set()) & truth[q]) for q in truth.index)
+        total = sum(len(truth[q]) for q in truth.index)
+        rows.append(
+            {"ef_search": ef,
+             "n_queries": len(truth),
+             "recall_ppm": (hits * 1_000_000) // total if total else 1_000_000}
+        )
+    return pd.DataFrame(rows).astype(
+        {"ef_search": "int64", "n_queries": "int64", "recall_ppm": "int64"}
+    )
+
+
 REGISTRY = {
     "vec_mmr_topk": (vec_mmr_topk, None),
+    "vec_hnsw_ef_curve": (vec_hnsw_ef_curve, None),
     "vec_ivf_probe_curve": (vec_ivf_probe_curve, None),
     "vec_dim_truncation_recall": (vec_dim_truncation_recall, None),
     "vec_kmeans": (vec_kmeans, None),

@@ -88,6 +88,20 @@ def test_ivf_probe_curve_pins(ray_session):
     assert (out["recall_ppm"] > 0).all()
 
 
+def test_hnsw_ef_curve_pins(ray_session):
+    """ef >= shard size degenerates the beam to an exact scan → the
+    last row pins recall at exactly 1.0; the curve never falls far as
+    ef grows (greedy entry points can jitter a hair between efs)."""
+    from ocr_poc_ray.queries.vectors import HNSW_EF_CURVE, vec_hnsw_ef_curve
+
+    out = vec_hnsw_ef_curve(SF_DIR)
+    assert list(out["ef_search"]) == list(HNSW_EF_CURVE)
+    assert out.iloc[-1]["recall_ppm"] == 1_000_000
+    rec = out["recall_ppm"].tolist()
+    assert all(b >= a - 50_000 for a, b in zip(rec, rec[1:]))
+    assert (out["recall_ppm"] > 0).all()
+
+
 def test_dim_truncation_recall_pins(ray_session):
     from ocr_poc_ray.queries.vectors import TRUNC_DIMS, vec_dim_truncation_recall
 
