@@ -205,3 +205,175 @@ def knn_hnsw(
         return g
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Persisted sharded HNSW: build once / query many — the graph sibling
+# of functions/ann_index.py's IVF layout and functions/text_index.py's
+# inverted index.  HNSW is scatter-gather (every shard answers every
+# query), so unlike IVF the win is not read pruning but BUILD reuse:
+# the O(n log n) graph construction is paid once at build time and the
+# query path only deserializes (np.frombuffer views, no insertion
+# loop).
+#
+# Layout under ``index_dir``::
+#
+#     meta.json                  {n_shards, dim, M, ef_construction,
+#                                 n_rows, seed, version}
+#     shards/*.parquet           one row per shard: (shard_id, n, dim,
+#                                 ids, vecs, levels, graph) — binary
+#                                 blobs, int64/float64 little-endian
+# ---------------------------------------------------------------------------
+
+_HNSW_INDEX_VERSION = 1
+
+
+def _ser_graph(g: HnswGraph) -> bytes:
+    """Flat int64 stream: [n, top, entry, entry_level], levels[n], then
+    per level l=0..top, per node i: [len, ids...]."""
+    n = len(g.X)
+    top = len(g.layers) - 1
+    parts = [
+        np.array([n, top, g.entry, g.entry_level], dtype=np.int64),
+        np.asarray(g.levels, dtype=np.int64),
+    ]
+    for layer in g.layers:
+        for nbrs in layer:
+            parts.append(np.array([len(nbrs)], dtype=np.int64))
+            if nbrs:
+                parts.append(np.asarray(nbrs, dtype=np.int64))
+    return np.concatenate(parts).tobytes()
+
+
+def _deser_graph(blob: bytes, X: np.ndarray) -> HnswGraph:
+    a = np.frombuffer(blob, dtype=np.int64)
+    n, top, entry, entry_level = (int(a[0]), int(a[1]), int(a[2]), int(a[3]))
+    g = HnswGraph.__new__(HnswGraph)
+    g.X = X
+    g.levels = a[4 : 4 + n].copy()
+    g.M = 0  # unused after build
+    g.entry, g.entry_level = entry, entry_level
+    pos = 4 + n
+    layers = []
+    for _l in range(top + 1):
+        layer = []
+        for _i in range(n):
+            ln = int(a[pos]); pos += 1
+            layer.append([int(x) for x in a[pos : pos + ln]])
+            pos += ln
+        layers.append(layer)
+    g.layers = layers
+    return g
+
+
+def build_hnsw_index(
+    ds: Dataset,
+    index_dir: str,
+    *,
+    M: int = 8,
+    ef_construction: int = 64,
+    shard_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the per-shard graphs in parallel and persist them; returns
+    the meta dict.  Vectors are stored L2-normalized (cosine = dot)."""
+    import json
+    import os
+
+    n = ds.count()
+    num_shards = max(2, -(-n // shard_rows))
+
+    def build_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        X = _normalize(_to_matrix(batch[vec_col]))
+        g = HnswGraph(X, M=M, ef_construction=ef_construction, seed=seed)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(ids)], dtype="int64"),
+                "dim": pd.Series([X.shape[1]], dtype="int64"),
+                "ids": [ids.tobytes()],
+                "vecs": [np.ascontiguousarray(X, dtype=np.float64).tobytes()],
+                "graph": [_ser_graph(g)],
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.repartition(num_shards).map_batches(
+        build_shard, batch_format="pandas", batch_size=None
+    ).write_parquet(os.path.join(index_dir, "shards"))
+    meta = {
+        "n_shards": num_shards, "n_rows": int(n), "M": M,
+        "ef_construction": ef_construction, "seed": seed,
+        "version": _HNSW_INDEX_VERSION,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def knn_hnsw_index(
+    index_dir: str,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    ef_search: int = 64,
+    exclude_self: bool = True,
+) -> Dataset:
+    """Query the persisted index: one task per shard file deserializes
+    (frombuffer views — no graph construction) and beam-searches; the
+    merge is output-sized.  Same result contract as ``knn_hnsw``."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _HNSW_INDEX_VERSION:
+        raise ValueError(
+            f"hnsw index version {meta.get('version')} != "
+            f"{_HNSW_INDEX_VERSION}; rebuild the index"
+        )
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    state_ref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
+
+    def search_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(state_ref)
+        qids, Q = st["ids"], st["mat"]
+        out_q, out_n, out_s = [], [], []
+        kk = k + 1 if exclude_self else k
+        for _, row in batch.iterrows():
+            n, dim = int(row["n"]), int(row["dim"])
+            ids = np.frombuffer(row["ids"], dtype=np.int64)
+            X = np.frombuffer(row["vecs"], dtype=np.float64).reshape(n, dim)
+            g = _deser_graph(row["graph"], X)
+            for qi in range(Q.shape[0]):
+                rows, sims = g.search(Q[qi], kk, ef=max(ef_search, kk))
+                for r, s in zip(rows, sims):
+                    nid = ids[r]
+                    if exclude_self and nid == qids[qi]:
+                        continue
+                    out_q.append(qids[qi])
+                    out_n.append(nid)
+                    out_s.append(float(s))
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+        )
+
+    partial = rd.read_parquet(os.path.join(index_dir, "shards")).map_batches(
+        search_shard, batch_format="pandas"
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(4)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -795,6 +795,34 @@ def vec_knn_ivf_index(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def vec_knn_hnsw_index(sf_dir: str) -> pd.DataFrame:
+    """Build-once/query-many HNSW: the persisted sharded graph index
+    (``functions/hnsw.py``) built under /tmp per corpus, then queried
+    by deserializing each shard's graph — no insertion loop on the
+    query path (the IVF-index economics applied to graph ANN)."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from ocr_poc_ray.functions.hnsw import build_hnsw_index, knn_hnsw_index
+
+    emb = _emb_path(sf_dir)
+    tag = hashlib.md5(
+        f"{emb}:{_os.path.getmtime(emb)}:{_os.path.getsize(emb)}".encode()
+    ).hexdigest()[:12]
+    idx = _os.path.join(tempfile.gettempdir(), f"ocr_poc_ray_hnsw_{tag}")
+    if not _os.path.exists(_os.path.join(idx, "meta.json")):
+        ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+        build_hnsw_index(ds, idx)
+    ids, vecs = _query_vectors(sf_dir)
+    out = knn_hnsw_index(idx, ids, vecs, k=KNN_K, ef_search=64).to_pandas()
+    out = out[["query_id", "neighbor_id", "cosine", "rank"]]
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "neighbor_id": "int64",
+         "cosine": "float64", "rank": "int64"}
+    )
+
+
 def vec_knn_recall(sf_dir: str) -> pd.DataFrame:
     """ANN quality report: recall@k of every approximate path (LSH /
     IVF / PQ) against the brute-force baseline on the SAME query set —
@@ -1088,6 +1116,7 @@ REGISTRY = {
     "vec_knn_ivf_index": (vec_knn_ivf_index, None),
     "vec_knn_pq": (vec_knn_pq, None),
     "vec_knn_hnsw": (vec_knn_hnsw, None),
+    "vec_knn_hnsw_index": (vec_knn_hnsw_index, None),
     "vec_near_dup": (vec_near_dup, VEC_NEAR_DUP_SQL),
     "vec_semantic_dedup": (vec_semantic_dedup, VEC_SEMANTIC_DEDUP_SQL),
     "vec_contrastive_pairs": (vec_contrastive_pairs, VEC_CONTRASTIVE_PAIRS_SQL),

@@ -1322,6 +1322,46 @@ def test_triangle_counts_planted():
     assert dict(zip(t["doc_id"], t["n_triangles"])) == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def test_hnsw_persisted_index_roundtrip(emb_ds, tmp_path):
+    """The persisted index returns EXACTLY what the in-pipeline path
+    returns for the same (M, efC, seed, shard size): build is
+    deterministic, serialization is lossless, and the query path never
+    rebuilds.  A version mismatch refuses loudly."""
+    import json
+
+    from ocr_poc_ray.functions.hnsw import (
+        build_hnsw_index,
+        knn_hnsw,
+        knn_hnsw_index,
+    )
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(4).tolist()
+    qvecs = np.vstack(
+        [np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]]
+    )
+    idx = str(tmp_path / "hnsw_idx")
+    meta = build_hnsw_index(emb_ds, idx, shard_rows=32)
+    assert meta["n_shards"] >= 2
+    inline = knn_hnsw(emb_ds, qids, qvecs, k=5, shard_rows=32).to_pandas()
+    persisted = knn_hnsw_index(idx, qids, qvecs, k=5).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        inline.sort_values(key).reset_index(drop=True)[
+            ["query_id", "neighbor_id", "cosine", "rank"]
+        ],
+        persisted.sort_values(key).reset_index(drop=True)[
+            ["query_id", "neighbor_id", "cosine", "rank"]
+        ],
+    )
+    # version guard
+    m = json.load(open(f"{idx}/meta.json"))
+    m["version"] = 999
+    json.dump(m, open(f"{idx}/meta.json", "w"))
+    with pytest.raises(ValueError, match="version"):
+        knn_hnsw_index(idx, qids, qvecs, k=5)
+
+
 def test_pq_encode_roundtrip_distortion():
     """Quantizing then scoring via the LUT approximates the true inner
     product: mean ADC error is far below inter-neighbor cosine gaps."""
