@@ -220,6 +220,23 @@ def triangle_counts(
         .materialize()  # feeds THREE consumers (wedge x2 + close) — one scan
     )
 
+    def _empty() -> Dataset:
+        import ray.data as _rd
+
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_triangles": pd.Series([], dtype="int64")}
+            )
+        )
+
+    # an ALL-empty pandas dataset loses its schema through repartition
+    # (Ray 2.49) and the hash join then raises ArrowInvalid on the key
+    # FieldRef — guard the degenerate graphs out before each join.
+    # count() on a materialized dataset is metadata-only.
+    if edges.count() == 0:
+        return _empty()
+
     # wedge join on the middle node: (u<v) x (v<w) -> (u, v, w)
     left = edges.map_batches(
         lambda bt: pd.DataFrame({"wu": bt["u"], "mid": bt["v"]}),
@@ -246,9 +263,12 @@ def triangle_counts(
         ),
         batch_format="pandas",
     ).repartition(jp)
-    tris = wedges.map_batches(pack_close, batch_format="pandas").repartition(
+    packed = wedges.map_batches(pack_close, batch_format="pandas").repartition(
         jp
-    ).join(closing, "inner", num_partitions=jp, on=("_ck",))
+    ).materialize()
+    if packed.count() == 0:  # no wedges → no triangles (schema guard)
+        return _empty()
+    tris = packed.join(closing, "inner", num_partitions=jp, on=("_ck",))
 
     def role_partial(bt: pd.DataFrame) -> pd.DataFrame:
         ids = np.concatenate(

@@ -64,6 +64,13 @@ DIFF_QUERIES = [
     "xs_role_transitions",
     "xs_conv_pack",
     "xs_truncate_to_budget",
+    # round-4 wave — integer/boolean outputs, exact-division thresholds
+    "doc_gopher_rules",
+    "doc_k_anonymity",
+    "doc_pareto_frontier",
+    "doc_dup_triangles",
+    "doc_near_dedup_corpus",
+    "doc_curation_funnel",
 ]
 
 #: TPC-H-family queries over GENERATED relational tables (third wave).
