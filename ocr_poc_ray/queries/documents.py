@@ -298,14 +298,27 @@ JACCARD_MAX_DOC_ID = 500  # absolute id range (not a mod filter — that
 # tractable at every scale the checker runs
 
 
+def _docs_jaccard_subset(sf_dir: str) -> "ray.data.Dataset":
+    """Column-pruned + PREDICATE-PUSHED read of the oracle-tractable
+    doc subset: the ``doc_id < JACCARD_MAX_DOC_ID`` cut rides into
+    ``read_parquet(filter=...)`` so parquet row-group statistics prune
+    at the READ — at 100 TB the subset pipelines touch only matching
+    row groups instead of scanning the corpus and masking afterwards
+    (was a post-read ``map_batches`` mask at 8 call sites)."""
+    import pyarrow.compute as pc
+
+    return ray.data.read_parquet(
+        _docs_path(sf_dir),
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < JACCARD_MAX_DOC_ID),
+    )
+
+
 def doc_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """EXACT all-pairs n-gram Jaccard join (blocked pair-grid) over a
     deterministic doc subset — the oracle-verified exact counterpart of
     the MinHash candidate path (same shingle semantics)."""
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     out = ngram_jaccard_pairs(ds, threshold=JACCARD_THRESHOLD, chunk_rows=256).to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -346,10 +359,7 @@ def doc_jaccard_pairs_prefix(sf_dir: str) -> pd.DataFrame:
     the 100-TB regime.  Shares the same DuckDB oracle."""
     from ocr_poc_ray.functions.dedup import ngram_jaccard_pairs_prefix
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     out = ngram_jaccard_pairs_prefix(ds, threshold=JACCARD_THRESHOLD).to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -415,10 +425,7 @@ def doc_dup_components_exact(sf_dir: str) -> pd.DataFrame:
     (``connected_components_distributed`` — bucketed co-group rounds,
     never a driver union-find), checked cell-by-cell against a DuckDB
     ``WITH RECURSIVE`` transitive closure."""
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     pairs = ngram_jaccard_pairs(ds, threshold=JACCARD_THRESHOLD, chunk_rows=256)
     pairs = pairs.map_batches(
         lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})[
@@ -453,10 +460,7 @@ def doc_near_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     )
     import ray as _ray
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     pairs = ngram_jaccard_pairs_prefix(ds, threshold=JACCARD_THRESHOLD)
     pairs = pairs.map_batches(
         lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})[
@@ -539,10 +543,7 @@ def doc_dup_triangles(sf_dir: str) -> pd.DataFrame:
     middle nodes and deserve a higher verify threshold."""
     from ocr_poc_ray.functions.graph import triangle_counts
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     pairs = ngram_jaccard_pairs(ds, threshold=JACCARD_THRESHOLD, chunk_rows=256)
     pairs = pairs.map_batches(
         lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})[
@@ -5587,10 +5588,7 @@ def doc_containment_pairs(sf_dir: str) -> pd.DataFrame:
     boilerplate inclusions."""
     from ocr_poc_ray.functions.dedup import ngram_containment_pairs
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     out = ngram_containment_pairs(
         ds, threshold=CONTAINMENT_THRESHOLD, chunk_rows=256
     ).to_pandas()
@@ -5640,10 +5638,7 @@ def doc_lsh_quality_report(sf_dir: str) -> pd.DataFrame:
     (candidates are re-scored exactly); fn counts the pairs LSH's
     banding missed; recall_ppm is the integer-exact recall.  Driver-side
     set ops touch only pair-id lists (dedup OUTPUT, never the corpus)."""
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    ).materialize()  # feeds three passes below
+    ds = _docs_jaccard_subset(sf_dir).materialize()  # feeds three passes below
 
     exact = ngram_jaccard_pairs(
         ds, threshold=JACCARD_THRESHOLD, chunk_rows=256
@@ -5931,10 +5926,7 @@ def doc_dup_threshold_curve(sf_dir: str) -> pd.DataFrame:
     of its output — the sweep costs one join, not five).  Both engines
     compare the 6-dp-rounded jaccard against thr/100.0, so the bucket
     edges are bit-identical."""
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: b[b["doc_id"] < JACCARD_MAX_DOC_ID], batch_format="pandas"
-    )
+    ds = _docs_jaccard_subset(sf_dir)
     pairs = ngram_jaccard_pairs(
         ds, threshold=min(DUP_THRESHOLDS_PCT) / 100.0, chunk_rows=256
     ).to_pandas()

@@ -349,19 +349,24 @@ PURCHASE_MIN_VALUE = 100.0
 
 
 def rel_big_purchases(sf_dir: str) -> pd.DataFrame:
-    """Filter + projection with column pruning at the read."""
+    """Filter + projection with column pruning AND predicate pushdown
+    at the read: the WHERE rides into ``read_parquet(filter=...)`` so
+    row-group statistics prune before any byte leaves storage (the
+    same pyarrow expression the kernel used to apply after a full
+    scan — identical semantics, verified by the same oracle)."""
+    import pyarrow.compute as pc
+
     ds = ray.data.read_parquet(
-        _path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+        _path(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(
+            (pc.field("event_type") == "purchase")
+            & (pc.field("value") > PURCHASE_MIN_VALUE)
+        ),
     )
 
     def kernel(batch: "pa.Table") -> "pa.Table":
-        import pyarrow.compute as pc
-
-        mask = pc.and_(
-            pc.equal(batch["event_type"], "purchase"),
-            pc.greater(batch["value"], PURCHASE_MIN_VALUE),
-        )
-        return batch.filter(mask).select(["event_id", "user_id", "value"])
+        return batch.select(["event_id", "user_id", "value"])
 
     out = ds.map_batches(kernel, batch_format="pyarrow").to_pandas()
     if out.empty:
