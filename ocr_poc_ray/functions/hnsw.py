@@ -170,6 +170,12 @@ def knn_hnsw(
     state_ref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
 
     def shard_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:  # repartition pads with empty blocks when n < shards
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
         st = ray.get(state_ref)
         qids, Q = st["ids"], st["mat"]
         ids = batch[id_col].to_numpy()
@@ -286,6 +292,14 @@ def build_hnsw_index(
     num_shards = max(2, -(-n // shard_rows))
 
     def build_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:  # repartition pads with empty blocks when n < shards
+            return pd.DataFrame(
+                {"n": pd.Series([], dtype="int64"),
+                 "dim": pd.Series([], dtype="int64"),
+                 "ids": pd.Series([], dtype=object),
+                 "vecs": pd.Series([], dtype=object),
+                 "graph": pd.Series([], dtype=object)}
+            )
         ids = batch[id_col].to_numpy(np.int64)
         X = _normalize(_to_matrix(batch[vec_col]))
         g = HnswGraph(X, M=M, ef_construction=ef_construction, seed=seed)
@@ -345,6 +359,8 @@ def knn_hnsw_index(
         qids, Q = st["ids"], st["mat"]
         out_q, out_n, out_s = [], [], []
         kk = k + 1 if exclude_self else k
+        if not batch.empty:
+            batch = batch[batch["n"] > 0]
         for _, row in batch.iterrows():
             n, dim = int(row["n"]), int(row["dim"])
             ids = np.frombuffer(row["ids"], dtype=np.int64)

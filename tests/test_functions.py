@@ -1322,6 +1322,28 @@ def test_triangle_counts_planted():
     assert dict(zip(t["doc_id"], t["n_triangles"])) == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def test_hnsw_tiny_corpus_empty_shards(tmp_path):
+    """n < num_shards forces empty repartition blocks: both the
+    in-pipeline path and the persisted build must skip them (an empty
+    block once crashed _to_matrix on np.vstack of nothing)."""
+    from ocr_poc_ray.functions.hnsw import (
+        build_hnsw_index,
+        knn_hnsw,
+        knn_hnsw_index,
+    )
+
+    rows = [{"vec_id": i, "embedding": [float(i == j) for j in range(4)]}
+            for i in range(3)]
+    ds = ray.data.from_items(rows)
+    q = np.array([[1.0, 0.0, 0.0, 0.0]])
+    out = knn_hnsw(ds, [99], q, k=2, shard_rows=4096).to_pandas()
+    assert list(out["neighbor_id"])[0] == 0  # exact match ranks first
+    idx = str(tmp_path / "tiny_idx")
+    build_hnsw_index(ds, idx, shard_rows=4096)
+    out2 = knn_hnsw_index(idx, [99], q, k=2).to_pandas()
+    assert list(out2["neighbor_id"]) == list(out["neighbor_id"])
+
+
 def test_hnsw_persisted_index_roundtrip(emb_ds, tmp_path):
     """The persisted index returns EXACTLY what the in-pipeline path
     returns for the same (M, efC, seed, shard size): build is
