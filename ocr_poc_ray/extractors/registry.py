@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from ocr_poc_ray.extractors.base import MAX_TEXT_CHARS, ExtractionResult
 from ocr_poc_ray.extractors.html import extract_html
+from ocr_poc_ray.extractors.json_tool import extract_json
 from ocr_poc_ray.extractors.markdown import extract_markdown
 from ocr_poc_ray.extractors.pdf import extract_pdf
 from ocr_poc_ray.extractors.plain import extract_plain
@@ -20,6 +21,7 @@ from ocr_poc_ray.extractors.plain import extract_plain
 EXTRACTORS: dict[str, Callable[[str], ExtractionResult]] = {
     "": extract_plain,
     "html": extract_html,
+    "json": extract_json,
     "md": extract_markdown,
     "pdf": extract_pdf,
 }

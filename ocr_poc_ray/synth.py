@@ -18,6 +18,7 @@ No external data; everything derives from the word list below.
 
 from __future__ import annotations
 
+import json
 import os
 import random
 
@@ -58,7 +59,7 @@ BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 #: bump when generator OUTPUT changes for the same (n, seed) — cache
 #: keys (bench fixtures) include it so stale corpora are regenerated.
-FIXTURE_VERSION = "5"  # 5: markdown turns (tool="md") join the payload mix
+FIXTURE_VERSION = "6"  # 6: JSON tool-envelope turns (tool="json") join the mix
 
 
 def _sentence(rng: random.Random, min_chars: int = 30) -> str:
@@ -178,6 +179,39 @@ def _wrap_markdown(rng: random.Random, paragraphs: list[str]) -> str:
     return "\n".join(lines)
 
 
+def _wrap_json(rng: random.Random, paragraphs: list[str]) -> str:
+    """Clean paragraphs as long string leaves of a JSON tool envelope,
+    surrounded by short structural noise (ids, scores, cursors — all
+    strings < extractors/json_tool.MIN_CONTENT_CHARS, or non-strings).
+    DFS document order of the leaves == paragraph order, so extraction
+    reproduces the clean join exactly."""
+
+    def _nid() -> str:
+        return "".join(rng.choice("abcdef0123456789") for _ in range(rng.randint(4, 8)))
+
+    def _noisy(p: str) -> str:
+        # whitespace noise the normalizer collapses
+        if rng.random() < 0.4:
+            p = p.replace(" ", "  ", 1)
+        if rng.random() < 0.3:
+            p = " " + p + "\t"
+        return p
+
+    items = []
+    for p in paragraphs:
+        item = {"id": _nid(), "snippet": _noisy(p), "score": round(rng.random(), 3)}
+        if rng.random() < 0.3:
+            item["tags"] = [rng.choice(("web", "news", "doc"))]
+        items.append(item)
+    doc = {
+        "status": rng.choice(("ok", "partial")),
+        "took_ms": rng.randint(1, 500),
+        "result": {"items": items, "cursor": _nid()},
+        "meta": {"node": f"w{rng.randint(0, 9)}", "cached": rng.random() < 0.5},
+    }
+    return json.dumps(doc)
+
+
 def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
     """Serialize clean text as scrambled x0,y0,x1,y1|text span lines
     laid out in 1–3 columns (the extractor detects columns by gap
@@ -232,7 +266,7 @@ def _wrap_pdf(rng: random.Random, paragraphs: list[str]) -> str:
 _PATHOLOGICAL_KINDS = (
     "empty", "whitespace", "mrz_only", "html_boilerplate_only",
     "pdf_malformed", "pdf_furniture_only", "unknown_tool", "oversized",
-    "md_furniture_only",
+    "md_furniture_only", "json_malformed", "json_noise_only",
 )
 
 
@@ -268,6 +302,13 @@ def _pathological(rng: random.Random) -> tuple[str, str, str]:
             "md",
             "no_content_lines",
         )
+    if kind == "json_malformed":
+        return '{"status": "ok", "result": [1, 2', "json", "json_parse"
+    if kind == "json_noise_only":
+        doc = {"status": "ok", "took_ms": rng.randint(1, 99),
+               "result": {"items": [], "cursor": "ab12"},
+               "meta": {"node": f"w{rng.randint(0, 9)}"}}
+        return json.dumps(doc), "json", "no_content_strings"
     # oversized: exceeds the request-size validator (P12 analog)
     return "x" * (MAX_TEXT_CHARS + 1), "", "oversized"
 
@@ -314,9 +355,12 @@ def generate_transcripts(
         elif r < 0.85:
             text, tool = _wrap_html(rng, paragraphs), "html"
             role = "tool"
-        elif r < 0.93:
+        elif r < 0.91:
             text, tool = _wrap_markdown(rng, paragraphs), "md"
             role = "assistant"
+        elif r < 0.95:
+            text, tool = _wrap_json(rng, paragraphs), "json"
+            role = "tool"
         else:
             text, tool = _wrap_pdf(rng, paragraphs), "pdf"
             role = "tool"

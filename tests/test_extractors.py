@@ -332,3 +332,52 @@ def test_markdown_unclosed_fence_contained():
     r = extract_markdown("Good opening prose line here.\n```\ncode forever\nmore code")
     assert r.success
     assert r.extracted_text == "Good opening prose line here."
+
+
+def test_json_extracts_long_string_leaves_in_document_order():
+    from ocr_poc_ray.extractors.json_tool import extract_json
+
+    text = (
+        '{"status": "ok", "took_ms": 42, "result": {"items": ['
+        '{"id": "a1b2", "snippet": "First  long prose payload about rivers and bridges.", "score": 0.5},'
+        '{"id": "c3d4", "snippet": "Second long prose payload about market squares.", "tags": ["web"]}'
+        '], "cursor": "ff00"}, "meta": {"node": "w3", "cached": true}}'
+    )
+    r = extract_json(text)
+    assert r.success
+    assert r.extracted_text == (
+        "First long prose payload about rivers and bridges. "
+        "Second long prose payload about market squares."
+    )
+    # blocks = ALL string leaves (status, ids, snippets, tags, cursor, node)
+    assert r.n_kept == 2 and r.n_blocks == 8
+    first_len = len("First long prose payload about rivers and bridges.")
+    assert r.spans.split(";")[0] == f"0:{first_len}"
+
+
+def test_json_noise_only_fails():
+    from ocr_poc_ray.extractors.json_tool import extract_json
+
+    r = extract_json('{"status": "ok", "ids": ["a1", "b2"], "n": 3}')
+    assert not r.success
+    assert r.error == "no_content_strings"
+    assert r.n_blocks == 3
+
+
+def test_json_malformed_fails_as_data():
+    from ocr_poc_ray.extractors.json_tool import extract_json
+
+    r = extract_json('{"status": "ok", "result": [1, 2')
+    assert not r.success
+    assert r.error == "json_parse"
+
+
+def test_json_dispatch_registered():
+    from ocr_poc_ray.extractors.registry import extract_turn
+
+    r = extract_turn(
+        '{"content": "Dispatched through the registry with enough characters."}',
+        "json",
+    )
+    assert r.success
+    assert r.extracted_text == "Dispatched through the registry with enough characters."
