@@ -11,7 +11,7 @@ from ocr_poc_ray.extractors.base import normalize_ws
 from ocr_poc_ray.extractors.fields import extract_fields
 from ocr_poc_ray.extractors.registry import extract_turn
 
-_tools = st.sampled_from(["", "html", "pdf", "img", "weird", "HTML"])
+_tools = st.sampled_from(["", "html", "pdf", "md", "json", "img", "weird", "HTML"])
 
 
 @settings(max_examples=300, deadline=None)
