@@ -141,7 +141,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         mm_phash_neardup,
         xs_curation_pipeline,
     )
-    from ocr_poc_ray.queries.vectors import vec_kmeans, vec_knn_cosine, vec_semantic_dedup
+    from ocr_poc_ray.queries.vectors import (
+        vec_kmeans, vec_knn_cosine, vec_knn_hnsw, vec_semantic_dedup,
+    )
 
     out: dict[str, float] = {}
     for name, fn in (
@@ -164,6 +166,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("ngram_novelty", doc_ngram_novelty),
         ("curation_pipeline", xs_curation_pipeline),
         ("cdc_chunk_stats", doc_cdc_chunk_stats),
+        ("knn_hnsw", vec_knn_hnsw),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)
