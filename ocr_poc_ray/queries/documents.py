@@ -103,6 +103,64 @@ from e
 """
 
 
+def doc_extract_json(sf_dir: str) -> pd.DataFrame:
+    """The JSON tool-envelope program (extractors/json_tool.py) under
+    the ORACLE gate: each document wrapped as a deterministic tool
+    result ({"id", "content", "meta"}) and extracted — json.dumps ∘
+    json.loads round-trips exactly, so the extraction is the frozen
+    whitespace normalization of the text when it clears the
+    MIN_CONTENT_CHARS block rule, else a failure envelope.  Row-local,
+    zero shuffle."""
+    import json as _json
+
+    from ocr_poc_ray.extractors.json_tool import extract_json
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        rows = [
+            extract_json(_json.dumps(
+                {"id": "x1", "content": t or "", "meta": {"node": "w1"}}
+            ))
+            for t in batch["text"].to_pylist()
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "extracted_text": [r.extracted_text for r in rows],
+                "success": [r.success for r in rows],
+                "n_blocks": pd.Series([r.n_blocks for r in rows], dtype="int64"),
+                "n_kept": pd.Series([r.n_kept for r in rows], dtype="int64"),
+                "confidence": [round(float(r.confidence), 6) for r in rows],
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow").to_pandas()
+
+
+# mirrors extractors/json_tool.py over the deterministic 3-string-leaf
+# envelope: content survives iff its normalized form has >= 24 chars
+# (the "id"/"node" noise leaves never do).
+_JSON_NORM = _STRIP(r"regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')")
+
+DOC_EXTRACT_JSON_SQL = rf"""
+with n as (
+  select doc_id,
+         {_JSON_NORM} as norm
+  from documents
+)
+select doc_id,
+       case when length(norm) >= 24 then norm else '' end as extracted_text,
+       length(norm) >= 24 as success,
+       3::BIGINT as n_blocks,
+       case when length(norm) >= 24 then 1 else 0 end::BIGINT as n_kept,
+       case when length(norm) >= 24 then round(1.0 / 3, 6) else 0.0 end
+         as confidence
+from n
+"""
+
+
 # ---------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish regex)
 # ---------------------------------------------------------------------------
@@ -6207,6 +6265,7 @@ REGISTRY = {
     "doc_substring_dedup": (doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
     "doc_cdc_chunk_stats": (doc_cdc_chunk_stats, None),
     "doc_extract_plain": (doc_extract_plain, DOC_EXTRACT_PLAIN_SQL),
+    "doc_extract_json": (doc_extract_json, DOC_EXTRACT_JSON_SQL),
     "doc_tfidf_scores": (doc_tfidf_scores, DOC_TFIDF_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "doc_top_tfidf_per_lang": (doc_top_tfidf_per_lang, DOC_TOP_TFIDF_SQL),

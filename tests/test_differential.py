@@ -71,6 +71,7 @@ DIFF_QUERIES = [
     "doc_dup_triangles",
     "doc_near_dedup_corpus",
     "doc_curation_funnel",
+    "doc_extract_json",
 ]
 
 #: TPC-H-family queries over GENERATED relational tables (third wave).

@@ -23,6 +23,7 @@ FAST_ORACLE = [
     "doc_gopher_rules",
     "doc_near_dedup_corpus",
     "doc_k_anonymity",
+    "doc_extract_json",
     "doc_pareto_frontier",
     "doc_dup_triangles",
     "xs_turn_overlap",
