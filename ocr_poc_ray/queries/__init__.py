@@ -45,7 +45,7 @@ _ALL.update(_train.REGISTRY)
 #: rel_value_histogram, doc_heavy_tokens_mg, rel_nation_trade_matrix,
 #: doc_gopher_rules, doc_near_dedup_corpus, doc_k_anonymity,
 #: doc_pareto_frontier, doc_dup_triangles, vec_knn_hnsw,
-#: vec_knn_hnsw_index, vec_hnsw_ef_curve,
+#: vec_knn_hnsw_index, vec_hnsw_ef_curve, doc_extract_json,
 #: doc_incremental_dedup, rel_window_dedup, xs_tool_runs,
 #: vec_contrastive_pairs, doc_snapshot_diff, rel_value_psi,
 #: vec_knn_ivf_index, rel_cohort_ltv, doc_source_ttr,
