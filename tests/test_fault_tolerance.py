@@ -126,3 +126,45 @@ def test_minhash_distributed_path_survives_worker_death(ray_session, monkeypatch
     )
     assert os.path.exists(marker)
     pd.testing.assert_frame_equal(clean, hit)
+
+
+def test_hnsw_build_survives_worker_death(ray_session):
+    """Sharded HNSW under a one-shot worker kill during the build pass:
+    Ray retries the dead shard task and the merged top-k equals the
+    undisturbed run exactly (builds are deterministic per shard)."""
+    import numpy as np
+
+    from ocr_poc_ray.functions.hnsw import knn_hnsw
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(120, 8)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(120, dtype=np.int64),
+         "embedding": [row.tolist() for row in X]}
+    )
+    base = rd.from_pandas(df).repartition(4)
+    qids = [0, 50]
+    qvecs = X[[0, 50]]
+
+    clean = (
+        knn_hnsw(base, qids, qvecs, k=5, shard_rows=30)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    marker = tempfile.mktemp(prefix="crash_hnsw_")
+
+    def saboteur(batch: pd.DataFrame) -> pd.DataFrame:
+        if (batch["vec_id"] == 77).any() and not os.path.exists(marker):
+            open(marker, "w").write("x")
+            os._exit(1)
+        return batch
+
+    hit = (
+        knn_hnsw(
+            base.map_batches(saboteur, batch_format="pandas"),
+            qids, qvecs, k=5, shard_rows=30,
+        )
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert os.path.exists(marker)
+    pd.testing.assert_frame_equal(clean, hit)
