@@ -517,7 +517,16 @@ def _filter_hot_buckets(
             lambda b: b[b["_in_set"]].drop(columns=["_in_set", "_hk"]),
             batch_format="pandas",
         )
-        return filtered, hot_ds
+        # MATERIALIZE at the branch boundary: left lazy, the bloom
+        # verify join would fuse into ONE streaming plan with the
+        # downstream salting joins + pair-grid sorts, and that
+        # mega-plan intermittently LIVELOCKS Ray 2.49's streaming
+        # executor (measured at 1M docs / 20% dups: 2 of 4 runs
+        # stalled >10 min at ~1 busy core in the Join+Union stage;
+        # with the plan split here, 5/5 runs complete in ~80 s).  The
+        # cost is one object-store round trip of the HOT projection —
+        # dup-volume-sized, the data the later sorts must move anyway.
+        return filtered.materialize(), hot_ds
 
     hot_df = hot_ds.to_pandas()
     all_int = all(hot_df[c].dtype.kind in "iu" for c in key_cols)
