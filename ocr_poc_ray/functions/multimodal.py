@@ -390,21 +390,32 @@ def dhash_near_dup_pairs(
     *,
     max_hamming: int = 7,
     id_col: str = "media_id",
-    n_meta_buckets: int = 64,
 ) -> Dataset:
     """(id_a, id_b, hamming) pairs with XOR-popcount ≤ ``max_hamming``.
 
     EXACT under banding by pigeonhole: the 64-bit hash splits into 8
     8-bit bands; ≤7 differing bits touch ≤7 bands, so every qualifying
     pair shares at least one untouched band and is generated by that
-    band's bucket.  Band buckets hash into ``n_meta_buckets``
-    meta-groups and ONE vectorized kernel per group emits pairs for
-    every contained bucket (sort -> segment boundaries -> repeat/tile
-    pair indices — never one Ray group per bucket, the measured
-    many-group cliff).  Duplicate pairs from multiple shared bands are
-    removed by the bounded-bucket distinct; hamming is recomputed from
-    the pair rows themselves (hashes ride along — no verify join)."""
-    from ocr_poc_ray.functions.dedup import _distinct_pairs
+    band's bucket.  Pair generation rides the shared LSH machinery
+    (``functions/dedup.py``): singleton buckets are pre-filtered by the
+    bounded hot-bucket combine, OVERSIZED buckets — e.g. millions of
+    near-uniform crawl images sharing a band value — are salted into
+    k×k chunk grids so no single (band, value) bucket is quadratic in
+    one task, and bucket keys hash into O(data/64 MB) meta-groups with
+    ONE vectorized kernel per group (never one Ray group per bucket,
+    the measured many-group cliff).  Duplicate pairs from multiple
+    shared bands are removed by the bounded-bucket distinct; hamming is
+    recomputed from the pair rows themselves (hashes ride along — no
+    verify join)."""
+    from ocr_poc_ray.functions.dedup import (
+        _distinct_pairs,
+        _filter_hot_buckets,
+        _grid_pair_indices,
+        _pair_meta_buckets,
+        _salt_oversized,
+        _salted_row_count,
+        _PAIR_CHUNK,
+    )
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy()
@@ -415,75 +426,78 @@ def dhash_near_dup_pairs(
             np.int64
         )  # (n, 8)
         band_id = np.broadcast_to(np.arange(8, dtype=np.int64), (n, 8))
-        # meta-bucket key mixes (band_id, band_val) so one Ray group
-        # serves many buckets
-        mix = pd.util.hash_array(
-            (band_id * 257 + band_val).ravel().astype(np.int64)
-        )
         return pd.DataFrame(
             {
-                "_id": np.repeat(ids, 8),
+                "doc_id": np.repeat(ids, 8),
                 "_h": np.repeat(h.view(np.int64), 8),
-                "_band": band_id.ravel(),
-                "_bval": band_val.ravel(),
-                "_mb": (mix % n_meta_buckets).astype("int64"),
+                "band_id": band_id.ravel(),
+                "band_hash": band_val.ravel(),
             }
         )
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["_band", "_bval", "_id"], kind="mergesort")
-        ids = g["_id"].to_numpy()
+    # materialized: the hot-bucket count branch and the pair branch both read it
+    exploded = hashes.map_batches(band_rows, batch_format="pandas").materialize()
+    exploded_hot, hot_sizes = _filter_hot_buckets(exploded, ["band_id", "band_hash"])
+    if exploded_hot is None:
+        import ray
+
+        sch = hashes.schema()
+        id_type = sch.types[sch.names.index(id_col)]
+        if not isinstance(id_type, pa.DataType):  # pandas-backed block schema
+            id_type = pa.from_numpy_dtype(id_type) if id_type != object else pa.string()
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                      "hamming": pa.array([], pa.int64())})
+        )
+    # oversized band buckets → k×k chunk grid (the text-LSH shape):
+    # every pair still found exactly once, per-task pair volume bounded
+    exploded_hot = _salt_oversized(exploded_hot, ["band_id", "band_hash"], hot_sizes)
+
+    _empty_pairs = pd.DataFrame(
+        {"doc_a": pd.array([], dtype=object), "doc_b": pd.array([], dtype=object),
+         "_ha": pd.Series([], dtype="int64"), "_hb": pd.Series([], dtype="int64")}
+    )
+
+    def grouped_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """All pairs of EVERY (band, value, grid-cell) bucket in this
+        meta-group: one sort, one segment-index build, one chunked
+        popcount pass — no per-bucket Ray group."""
+        if len(group) < 2:
+            return _empty_pairs
+        g = group.sort_values(
+            ["band_id", "band_hash", "_ci", "_cj"], kind="mergesort"
+        )
+        iu, ju = _grid_pair_indices(
+            [g["band_id"].to_numpy(), g["band_hash"].to_numpy()],
+            g["_ci"].to_numpy(), g["_cj"].to_numpy(), g["_chunk"].to_numpy(),
+        )
+        if not len(iu):
+            return _empty_pairs
+        ids = g["doc_id"].to_numpy()
         hs = g["_h"].to_numpy()
-        key = g["_band"].to_numpy() * (1 << 9) + g["_bval"].to_numpy()
-        # segment boundaries via shifted != (the keyed_sorted_match shape)
-        new_seg = np.empty(len(g), dtype=bool)
-        new_seg[0] = True
-        np.not_equal(key[1:], key[:-1], out=new_seg[1:])
-        seg_start = np.flatnonzero(new_seg)
-        seg_end = np.append(seg_start[1:], len(g))
-        a_idx, b_idx = [], []
-        CHUNK = 4096  # bound one segment's pair slab
-        for s, e in zip(seg_start, seg_end):
-            m = e - s
-            if m < 2:
-                continue
-            for cs in range(s, e, CHUNK):
-                ce = min(cs + CHUNK, e)
-                # intra-chunk upper triangle
-                iu, ju = np.triu_indices(ce - cs, k=1)
-                a_idx.append(iu + cs)
-                b_idx.append(ju + cs)
-                # chunk x remaining-rows grid
-                if ce < e:
-                    left = np.arange(cs, ce)
-                    right = np.arange(ce, e)
-                    a_idx.append(np.repeat(left, len(right)))
-                    b_idx.append(np.tile(right, len(left)))
-        if not a_idx:
-            return pd.DataFrame(
-                {"doc_a": pd.array([], dtype=object), "doc_b": pd.array([], dtype=object),
-                 "_ha": pd.array([], dtype="int64"), "_hb": pd.array([], dtype="int64")}
-            )
-        ai = np.concatenate(a_idx)
-        bi = np.concatenate(b_idx)
-        a, b = ids[ai], ids[bi]
-        ha, hb = hs[ai], hs[bi]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        ha2 = np.where(swap, hb, ha)
-        hb2 = np.where(swap, ha, hb)
-        keep = _popcount64(ha2 ^ hb2) <= max_hamming
+        out_a, out_b, out_ha, out_hb = [], [], [], []
+        for s in range(0, len(iu), _PAIR_CHUNK):
+            i, j = iu[s : s + _PAIR_CHUNK], ju[s : s + _PAIR_CHUNK]
+            ha, hb = hs[i], hs[j]
+            keep = _popcount64(ha ^ hb) <= max_hamming
+            a, b = ids[i[keep]], ids[j[keep]]
+            ha, hb = ha[keep], hb[keep]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_ha.append(np.where(swap, hb, ha))
+            out_hb.append(np.where(swap, ha, hb))
+        if not out_a:
+            return _empty_pairs
         return pd.DataFrame(
-            {"doc_a": a2[keep], "doc_b": b2[keep],
-             "_ha": ha2[keep], "_hb": hb2[keep]}
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "_ha": np.concatenate(out_ha), "_hb": np.concatenate(out_hb)}
         )
 
-    pairs = (
-        hashes.map_batches(band_rows, batch_format="pandas")
-        .groupby("_mb")
-        .map_groups(emit_pairs, batch_format="pandas")
+    meta = _pair_meta_buckets(
+        exploded_hot, ["band_id", "band_hash"], _salted_row_count(hot_sizes), 64
     )
+    pairs = meta.groupby("_pb").map_groups(grouped_pairs, batch_format="pandas")
     distinct = _distinct_pairs(pairs, ["doc_a", "doc_b", "_ha", "_hb"])
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:

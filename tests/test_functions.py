@@ -1795,6 +1795,52 @@ def test_dhash_near_dup_pairs_exact_vs_bruteforce():
     assert len(brute) >= 3  # the planted 1/3/7-flip pairs
 
 
+def test_dhash_hot_band_bucket_is_salted_and_exact():
+    """An ultra-hot band bucket (>= 10^4 images sharing one band value —
+    near-uniform crawl imagery) must be salted into k x k chunk grids
+    (never one quadratic task) and still emit EXACTLY the brute-force
+    pair set.  Guards the multimodal leg of the _salt_oversized path."""
+    from ocr_poc_ray.functions import dedup as dd
+    from ocr_poc_ray.functions.multimodal import dhash_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    n = 10_000
+    # band 0 (low byte) constant -> one bucket of size n; upper 56 bits
+    # random so almost every pair fails hamming <= 7
+    upper = rng.randint(0, 2**56, size=n, dtype=np.uint64)
+    arr = ((upper << np.uint64(8)) | np.uint64(0xAB)).view(np.int64)
+    # plant a handful of true near-dups (1..7 bit flips in the upper bits)
+    for i, flips in [(0, 1), (100, 3), (2000, 7)]:
+        h = arr[i].astype(np.uint64)
+        for b in range(flips):
+            h ^= np.uint64(1) << np.uint64(8 + (b * 7) % 56)
+        arr[i + 1] = np.int64(h.astype(np.int64))
+    ds = ray.data.from_arrow(
+        pa.table({"media_id": pa.array(np.arange(n)), "dhash": pa.array(arr)})
+    )
+    got = dhash_near_dup_pairs(ds, max_hamming=7).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+
+    # brute force in blocked numpy (n^2/2 popcounts)
+    u = arr.view(np.uint64)
+    brute = set()
+    B = 1024
+    for s in range(0, n, B):
+        x = u[s : s + B]
+        ham = np.zeros((len(x), n), dtype=np.int64)
+        xor = x[:, None] ^ u[None, :]
+        for shift in range(0, 64, 8):
+            ham += dd._POPCOUNT8[((xor >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
+        ii, jj = np.nonzero(ham <= 7)
+        for i, j in zip(ii + s, jj):
+            if i < j:
+                brute.add((int(i), int(j), int(ham[i - s, j])))
+    assert got_set == brute
+    assert len(brute) >= 3
+    # the hot bucket really went down the salted path: k = ceil(n/512) > 1
+    assert n > dd._BUCKET_CHUNK
+
+
 def test_phash_fixture_groups_are_separable():
     """The 40 planted md5 patterns must sit > 7 hamming apart so the
     oracle's same-group pair rule is exactly the engine's output."""
