@@ -801,17 +801,27 @@ def vec_knn_hnsw_index(sf_dir: str) -> pd.DataFrame:
     by deserializing each shard's graph — no insertion loop on the
     query path (the IVF-index economics applied to graph ANN)."""
     import hashlib
+    import json as _json
     import os as _os
     import tempfile
 
-    from ocr_poc_ray.functions.hnsw import build_hnsw_index, knn_hnsw_index
+    from ocr_poc_ray.functions.hnsw import (
+        _HNSW_INDEX_VERSION,
+        build_hnsw_index,
+        knn_hnsw_index,
+    )
 
     emb = _emb_path(sf_dir)
     tag = hashlib.md5(
         f"{emb}:{_os.path.getmtime(emb)}:{_os.path.getsize(emb)}".encode()
     ).hexdigest()[:12]
     idx = _os.path.join(tempfile.gettempdir(), f"ocr_poc_ray_hnsw_{tag}")
-    if not _os.path.exists(_os.path.join(idx, "meta.json")):
+    meta_path = _os.path.join(idx, "meta.json")
+    cached = False
+    if _os.path.exists(meta_path):  # meta presence == one complete generation
+        with open(meta_path) as f:
+            cached = _json.load(f).get("version") == _HNSW_INDEX_VERSION
+    if not cached:
         ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
         build_hnsw_index(ds, idx)
     ids, vecs = _query_vectors(sf_dir)
@@ -1076,7 +1086,13 @@ def vec_hnsw_ef_curve(sf_dir: str) -> pd.DataFrame:
     from ocr_poc_ray.functions.hnsw import knn_hnsw
 
     ids, vecs = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    # materialize once: the brute-force pass plus five knn_hnsw calls
+    # would otherwise each re-read (and possibly re-slice) the corpus,
+    # so every ef point searches IDENTICAL shard compositions and the
+    # parquet is scanned a single time
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    ).materialize()
     exact = knn_brute_force(ds, ids, vecs, k=KNN_K).to_pandas()
     truth = exact.groupby("query_id")["neighbor_id"].agg(set)
 

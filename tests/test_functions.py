@@ -1384,6 +1384,69 @@ def test_hnsw_persisted_index_roundtrip(emb_ds, tmp_path):
         knn_hnsw_index(idx, qids, qvecs, k=5)
 
 
+def test_hnsw_csr_search_equals_list_search():
+    """The frozen-CSR query path (stamped visited array, threshold
+    pre-filter, precomputed whole-shard matvec) must return EXACTLY the
+    list-based beam's results when both see the same similarity values
+    — the r5 vectorization is a representation change, not an
+    algorithm change."""
+    from ocr_poc_ray.functions.hnsw import HnswGraph, _search_layer
+    from ocr_poc_ray.functions.similarity import _normalize
+
+    rng = np.random.RandomState(19)
+    X = _normalize(rng.randn(500, 24))
+    g = HnswGraph(X, M=6, ef_construction=48, seed=11)
+    layers = g.layers  # keep the list form before any search freezes CSR
+    Q = _normalize(rng.randn(40, 24))
+    for qi in range(len(Q)):
+        q = Q[qi]
+        sims_full = X @ q  # shared values: isolates representation diff
+        ep = g.entry
+        for l in range(g.entry_level, 0, -1):
+            ids, _ = _search_layer(X, layers[l], q, [ep], 1, sims_full)
+            ep = int(ids[0])
+        ids_list, sims_list = _search_layer(X, layers[0], q, [ep], 32, sims_full)
+        ids_csr, sims_csr = g.search(q, 32, ef=32)
+        assert np.array_equal(ids_list[:32], ids_csr)
+        assert np.array_equal(sims_list[:32], sims_csr)
+
+
+def test_hnsw_index_build_is_atomic_and_idempotent(emb_ds, tmp_path):
+    """A rebuild into an existing index dir must REPLACE the generation
+    (not append a second set of shard files the reader would merge into
+    duplicate neighbor rows), a crashed build must leave no meta.json
+    behind, and the v2 layout carries shard_id + dim."""
+    import glob
+    import json
+    import os
+
+    from ocr_poc_ray.functions.hnsw import build_hnsw_index, knn_hnsw_index
+
+    emb = emb_ds.to_pandas()
+    qids = emb["vec_id"].head(3).tolist()
+    qvecs = np.vstack(
+        [np.asarray(v) for v in emb.set_index("vec_id").loc[qids, "embedding"]]
+    )
+    idx = str(tmp_path / "idx")
+    meta = build_hnsw_index(emb_ds, idx, shard_rows=32)
+    files1 = sorted(glob.glob(f"{idx}/shards/*.parquet"))
+    build_hnsw_index(emb_ds, idx, shard_rows=32)  # rebuild over existing
+    files2 = sorted(glob.glob(f"{idx}/shards/*.parquet"))
+    assert len(files1) == len(files2)  # one generation, not two
+    out = knn_hnsw_index(idx, qids, qvecs, k=5).to_pandas()
+    # duplicated shards would duplicate neighbor rows inside the top-k
+    assert not out.duplicated(["query_id", "neighbor_id"]).any()
+    assert (out.groupby("query_id").size() <= 5).all()
+    # documented layout: shard_id column + dim in meta
+    assert meta["dim"] == len(emb["embedding"].iloc[0])
+    sh = pd.read_parquet(files2[0])
+    assert "shard_id" in sh.columns
+    # a crashed build (simulated: half-written temp dir) leaves no meta
+    tmp = idx + "2.building"
+    os.makedirs(os.path.join(tmp, "shards"), exist_ok=True)
+    assert not os.path.exists(os.path.join(idx + "2", "meta.json"))
+
+
 def test_pq_encode_roundtrip_distortion():
     """Quantizing then scoring via the LUT approximates the true inner
     product: mean ADC error is far below inter-neighbor cosine gaps."""
