@@ -196,6 +196,68 @@ def test_lsh_distributed_hot_path_equality(monkeypatch):
     assert n_cluster_pairs == len(cluster) * (len(cluster) - 1) // 2
 
 
+def test_lsh_distributed_branch_splits_plan_at_bloom_join(monkeypatch):
+    """REGRESSION PIN for the r4 1M-doc livelock fix (commit 527f8f6):
+    the crawl-scale branch of _filter_hot_buckets must return a
+    MATERIALIZED dataset — left lazy, the bloom verify join fuses into
+    one streaming plan with the downstream salting joins + pair-grid
+    sorts, and that mega-plan intermittently livelocks Ray 2.49's
+    executor (measured: 2 of 4 runs at 1M docs stalled >10 min).  If a
+    refactor drops the materialize boundary this fails immediately."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    import ocr_poc_ray.functions.dedup as dd
+
+    monkeypatch.setattr(dd, "BROADCAST_KEY_LIMIT", 0)
+    exploded = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(40, dtype=np.int64),
+             "band_id": np.zeros(40, dtype=np.int64),
+             "band_hash": np.repeat(np.arange(20, dtype=np.int64), 2)}
+        )
+    )
+    filtered, hot_sizes = dd._filter_hot_buckets(exploded, ["band_id", "band_hash"])
+    assert isinstance(filtered, MaterializedDataset), (
+        "distributed _filter_hot_buckets no longer materializes at the "
+        "bloom-join boundary — re-read the livelock pitfall in CLAUDE.md"
+    )
+    assert isinstance(hot_sizes, rd.Dataset)  # sizes stay distributed
+    assert filtered.count() == 40  # every bucket here is hot (size 2)
+
+
+def test_scale_drive_synth_plants_are_consistent(tmp_path):
+    """The committed scale-drive corpus generator's plant maps must
+    agree with the data it writes (the r4 drives lived in /tmp; this
+    keeps the committed tool honest at test scale)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_drive",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_drive.py"),
+    )
+    sd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sd)
+
+    out = str(tmp_path / "corpus")
+    plants = sd.synth_corpus(out, 2000, dup_frac=0.2, near_frac=0.05,
+                             n_files=4, seed=3)
+    df = pd.concat(
+        [pd.read_parquet(f"{out}/{f}") for f in sorted(os.listdir(out))]
+    ).set_index("doc_id")
+    assert len(df) == 2000
+    assert len(plants["exact"]) == 400 and len(plants["near"]) == 100
+    for copy_id, src_id in plants["exact"].items():
+        assert df.loc[copy_id, "text"] == df.loc[src_id, "text"]
+    for copy_id, src_id in plants["near"].items():
+        a = df.loc[copy_id, "text"].split()
+        b = df.loc[src_id, "text"].split()
+        assert a != b and sum(x != y for x, y in zip(a, b)) == 1
+    # no unplanned duplicates: distinct texts == docs - exact copies
+    assert df["text"].nunique() == 2000 - 400
+
+
 def test_membership_flag_paths():
     """Broadcast and bloom paths agree for int and string keys."""
     import ray.data as rd
