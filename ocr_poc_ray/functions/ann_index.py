@@ -36,6 +36,7 @@ from ocr_poc_ray.functions.similarity import (
     _kmeans_lite,
     _normalize,
     _to_matrix,
+    _topk_merge_fn,
 )
 
 INDEX_VERSION = "1.0.0"
@@ -177,13 +178,6 @@ def knn_ivf_index(
 
     partial = ds.map_batches(partial_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

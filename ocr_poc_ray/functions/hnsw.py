@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ocr_poc_ray.functions.similarity import _normalize, _to_matrix
+from ocr_poc_ray.functions.similarity import _normalize, _to_matrix, _topk_merge_fn
 
 _MAX_LEVEL = 8  # geometric tail above this is vanishingly rare at shard sizes
 
@@ -345,14 +345,7 @@ def knn_hnsw(
         shard_topk, batch_format="pandas", batch_size=None
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
@@ -567,13 +560,6 @@ def knn_hnsw_index(
         columns=["n", "dim", "ids", "vecs", "graph"],
     ).map_batches(search_shard, batch_format="pandas")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

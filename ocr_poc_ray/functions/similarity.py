@@ -37,12 +37,37 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _topk_merge_fn(k: int):
+    """Final per-query merge shared by every knn variant: rank by the
+    ROUNDED (4 dp) cosine with neighbor-id tiebreak.  The rounding that
+    absorbs summation-order ULPs must also govern the ORDER — ranking
+    raw cosines lets two engines (or two runs with different batch
+    slicing) rank 1e-16-near-ties differently at the k boundary, which
+    the randomized differential harness caught on generated
+    embeddings."""
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["cosine"] = g["cosine"].round(4)
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return merge
+
+
 def _partial_topk_fn(queries_ref, k: int, id_col: str, vec_col: str, exclude_self: bool):
     """Per-batch local top-k against the broadcast query matrix.
 
     A plain task (not an actor pool): ``ray.get`` of the shared ref is
     a zero-copy plasma read cached per worker, so there is no per-batch
-    shipping and no pool spin-up latency."""
+    shipping and no pool spin-up latency.  Selection uses the SAME
+    (rounded cosine desc, id asc) order as the final merge — a raw
+    argpartition can keep the wrong member of a 4-dp tie group (e.g. a
+    clump of exact-duplicate vectors straddling the batch's k-th slot)
+    and the merge could then disagree with an all-candidates oracle."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(queries_ref)
@@ -54,8 +79,8 @@ def _partial_topk_fn(queries_ref, k: int, id_col: str, vec_col: str, exclude_sel
         kk = min(k + (1 if exclude_self else 0), len(ids))
         for qi in range(Q.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-            for t in top:
+            order = np.lexsort((ids, -np.round(col, 4)))[:kk]
+            for t in order:
                 if exclude_self and ids[t] == query_ids[qi]:
                     continue
                 out_q.append(query_ids[qi])
@@ -90,14 +115,7 @@ def knn_brute_force(
         batch_size=4096,
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
@@ -181,14 +199,7 @@ def knn_lsh(
 
     partial = ds.map_batches(partial_bucket_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
@@ -286,14 +297,7 @@ def knn_ivf(
 
     partial = ds.map_batches(partial_ivf_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
@@ -539,14 +543,7 @@ def knn_pq(
 
     partial = ds.map_batches(partial_pq_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cosine"] = g["cosine"].round(4)
-        return g
+    merge = _topk_merge_fn(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 

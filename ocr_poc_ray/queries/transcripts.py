@@ -293,6 +293,10 @@ def mm_frame_sample(sf_dir: str) -> pd.DataFrame:
     from ocr_poc_ray.functions.multimodal import sample_frames
 
     out = sample_frames(_media_ds(sf_dir), every_ms=1000).to_pandas()
+    if len(out) == 0:  # no decodable videos: 0-row to_pandas drops columns
+        return pd.DataFrame({"media_id": pd.Series([], dtype=object),
+                             "frame_idx": pd.Series([], dtype="int64"),
+                             "ts_ms": pd.Series([], dtype="int64")})
     return out.astype({"frame_idx": "int64", "ts_ms": "int64"})
 
 

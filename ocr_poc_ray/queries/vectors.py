@@ -68,7 +68,9 @@ with q as (
   where e.vec_id <> q.qid
 )
 select qid as query_id, vec_id as neighbor_id, round(sim, 4) as cosine,
-       row_number() over (partition by qid order by sim desc, vec_id) as rank
+       row_number() over (
+         partition by qid order by round(sim, 4) desc, vec_id
+       ) as rank
 from s
 qualify rank <= {KNN_K}
 """

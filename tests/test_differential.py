@@ -101,6 +101,31 @@ DIFF_TPCH_QUERIES = [
     "rel_customer_name_fuzzy_pairs",
 ]
 
+#: vector + multimodal queries over GENERATED embeddings/documents
+#: (round-5 wave).  The vec oracles are generic over any
+#: (vec_id, embedding, label) table; the mm oracles re-derive the
+#: planted media rules relationally from doc_id, so any documents table
+#: works.  Planted structure: label clusters (tight -> semantic-dedup +
+#: contrastive pairs fire), exact duplicate vectors (cosine exactly 1,
+#: tie-broken by vec_id identically on both engines), near-duplicate
+#: perturbations, and vec_ids divisible by 100 (the knn query-set rule).
+DIFF_VEC_MM_QUERIES = [
+    "vec_knn_cosine",
+    "vec_near_dup",
+    "vec_semantic_dedup",
+    "vec_contrastive_pairs",
+    "vec_norm_outliers",
+    "vec_label_medoid",
+    "vec_group_centroids",
+    "mm_decode",
+    "mm_frame_sample",
+    "mm_audio_windows",
+    "mm_resize",
+    "mm_exact_dup",
+    "mm_phash_neardup",
+    "mm_phash_components",
+]
+
 _STOP = {
     "en": ["the", "and", "with", "from"],
     "fr": ["le", "et", "dans", "pour"],
@@ -136,7 +161,11 @@ def _gen_documents(rng: np.random.Generator, n: int) -> pd.DataFrame:
     for _ in range(max(2, n // 10)):
         i, j = rng.integers(0, n, 2)
         texts[i] = texts[j]
-    ids = rng.permutation(np.arange(n, dtype=np.int64) * 3 + 1)
+    # *7+1 cycles every residue mod 3/37/40/50 — the media-kind and
+    # mm-dup-group rules all fire (with *3+1 every doc was ≡1 mod 3:
+    # no videos existed, which masked mm_frame_sample's 0-row schema
+    # loss until the vec/mm wave hit it)
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 7 + 1)
     return pd.DataFrame(
         {
             "doc_id": ids,
@@ -167,6 +196,42 @@ def _gen_events(rng: np.random.Generator, n: int) -> pd.DataFrame:
             "value": rng.integers(0, 2000, n).astype(np.float64) / 4.0,
             "props": pd.Series(['{"k": %d}' % int(x) for x in rng.integers(0, 97, n)],
                                dtype=object),
+        }
+    )
+
+
+def _gen_embeddings(rng: np.random.Generator, n: int) -> "pa.Table":
+    """Seeded (vec_id, embedding, label) table with planted structure:
+    4 label clusters (center + 0.3σ noise at dim 12), ~n/10 EXACT
+    duplicate vectors, ~n/10 near-duplicates (1e-3 perturbation), and
+    the first ids forced to multiples of 100 (the knn query-set rule).
+    float32 storage matches the driver testdata schema."""
+    import pyarrow as pa
+
+    dim, k = 12, 4
+    centers = rng.normal(size=(k, dim)) * 2.0
+    labels = rng.integers(0, k, n)
+    X = centers[labels] + rng.normal(size=(n, dim)) * 0.3
+    # exact duplicates (same label): cosine exactly 1.0 on both engines
+    for _ in range(max(2, n // 10)):
+        i, j = rng.integers(0, n, 2)
+        X[i] = X[j]
+        labels[i] = labels[j]
+    # near duplicates: tiny perturbation, cosine ~0.9999
+    for _ in range(max(2, n // 10)):
+        i, j = rng.integers(0, n, 2)
+        X[i] = X[j] + rng.normal(size=dim) * 1e-3
+        labels[i] = labels[j]
+    ids = np.arange(n, dtype=np.int64) * 7 + 3
+    ids[: max(3, n // 20)] = np.arange(max(3, n // 20), dtype=np.int64) * 100
+    X32 = X.astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [row for row in X32.tolist()], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
 
@@ -317,6 +382,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.fixture(scope="module", params=[101, 202, 303])
 def random_sf_dir(request, tmp_path_factory):
+    import pyarrow.parquet as pq
+
     rng = np.random.default_rng(request.param)
     d = tmp_path_factory.mktemp(f"diff_{request.param}")
     _gen_documents(rng, int(rng.integers(40, 160))).to_parquet(
@@ -324,6 +391,10 @@ def random_sf_dir(request, tmp_path_factory):
     )
     _gen_events(rng, int(rng.integers(100, 500))).to_parquet(
         os.path.join(d, "events.parquet"), index=False
+    )
+    pq.write_table(
+        _gen_embeddings(rng, int(rng.integers(60, 140))),
+        os.path.join(d, "embeddings.parquet"),
     )
     return str(d)
 
@@ -350,6 +421,27 @@ def test_differential_random_tpch(ray_session, random_tpch_dir, name):
             f"read_parquet('{random_tpch_dir}/{t}.parquet')"
         )
     mine = _canon(fn(random_tpch_dir))
+    oracle = _canon(con.execute(sql).fetchdf())
+    assert list(mine.columns) == list(oracle.columns), name
+    assert len(mine) == len(oracle), f"{name}: {len(mine)} vs {len(oracle)}"
+    if len(mine):
+        oracle = oracle.astype(mine.dtypes.to_dict())
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", DIFF_VEC_MM_QUERIES)
+def test_differential_random_vec_mm(ray_session, random_sf_dir, name):
+    from ocr_poc_ray.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    assert sql is not None
+    con = duckdb.connect()
+    for t in TABLES + ("embeddings",):
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{random_sf_dir}/{t}.parquet')"
+        )
+    mine = _canon(fn(random_sf_dir))
     oracle = _canon(con.execute(sql).fetchdf())
     assert list(mine.columns) == list(oracle.columns), name
     assert len(mine) == len(oracle), f"{name}: {len(mine)} vs {len(oracle)}"

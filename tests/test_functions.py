@@ -425,7 +425,10 @@ def _numpy_oracle_knn(emb: pd.DataFrame, qids: list[int], k: int) -> dict[int, l
     out = {}
     for qid in qids:
         q = mat[ids == qid][0]
-        sims = mat @ q
+        # rank by the ROUNDED cosine (id tiebreak) — the engine's
+        # contract since r5: the 4-dp rounding that absorbs
+        # summation-order ULPs also governs the order
+        sims = np.round(mat @ q, 4)
         order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
         out[qid] = [i for s, i in order if i != qid][:k]
     return out
