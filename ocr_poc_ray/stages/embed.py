@@ -54,15 +54,34 @@ class TextEmbedder:
     vectorized forward (measured in BASELINE.md's model-seat note).
     """
 
-    def __init__(self, *, dim: int = EMBED_DIM, use_real_model: bool = False):
+    def __init__(
+        self,
+        *,
+        dim: int = EMBED_DIM,
+        use_real_model: bool = False,
+        buckets: int = 8192,
+        init_log_dir: str | None = None,
+    ):
         self.dim = dim
         self._cache: dict[str, np.ndarray] = {}
         self.E: np.ndarray | None = None
         if use_real_model:
             from ocr_poc_ray.models import hashed_embedding_path
 
-            self.E = np.load(hashed_embedding_path(dim=dim))["E"]
-            assert self.E.shape[1] == dim
+            self.E = np.load(hashed_embedding_path(buckets=buckets, dim=dim))["E"]
+            assert self.E.shape == (buckets, dim)
+        if init_log_dir:
+            # load-once evidence for tests: one marker file per ACTOR
+            # init (batch calls never touch this) — lets a test assert
+            # init count == actor count at the 200 MB-artifact size
+            import os
+            import uuid
+
+            os.makedirs(init_log_dir, exist_ok=True)
+            with open(
+                os.path.join(init_log_dir, f"init-{uuid.uuid4().hex}"), "w"
+            ) as f:
+                f.write(str(os.getpid()))
 
     def _encode_weights(self, texts: list[str]) -> np.ndarray:
         """Batched forward pass over the loaded embedding table."""
@@ -115,6 +134,8 @@ def embed_text(
     batch_size: int = 256,
     concurrency: int | tuple[int, int] = (1, 8),
     use_real_model: bool = False,
+    buckets: int = 8192,
+    init_log_dir: str | None = None,
 ) -> Dataset:
     """(…, text) → (…, embedding list<float32>); batched actor pool."""
     if text_col != "text":
@@ -123,7 +144,10 @@ def embed_text(
         )
     return ds.map_batches(
         TextEmbedder,
-        fn_constructor_kwargs={"dim": dim, "use_real_model": use_real_model},
+        fn_constructor_kwargs={
+            "dim": dim, "use_real_model": use_real_model,
+            "buckets": buckets, "init_log_dir": init_log_dir,
+        },
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -640,6 +640,44 @@ def test_embed_text_deterministic(ray_session):
     assert emb.E is not None and emb.E.shape[1] == 64
 
 
+def test_embed_large_checkpoint_loads_once_per_actor(ray_session, tmp_path):
+    """The 100 MB+-checkpoint regime (r5): a ~200 MB versioned .npz in
+    the model seat must be np.load-ed ONCE PER ACTOR — init-marker
+    count == actor count while the batch count is an order of magnitude
+    larger.  (The 2 MB toy proved the shape in r4; this pins the real
+    large-artifact economics — see tools/model_scale_drive.py for the
+    measured amortization curve.)"""
+    import os
+
+    import ray.data as rd
+
+    from ocr_poc_ray.models import hashed_embedding_path
+    from ocr_poc_ray.stages.embed import embed_text
+
+    dim, buckets = 128, (200 << 20) // (128 * 4)  # ~200 MB float32 table
+    path = hashed_embedding_path(buckets=buckets, dim=dim)
+    assert os.path.getsize(path) > 190 << 20
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(800, dtype=np.int64),
+         "text": [f"alpha beta w{i % 97} gamma" for i in range(800)]}
+    )
+    log_dir = str(tmp_path / "inits")
+    out = embed_text(
+        rd.from_pandas(df).repartition(8),
+        use_real_model=True, dim=dim, buckets=buckets,
+        batch_size=64, concurrency=(2, 2), init_log_dir=log_dir,
+    ).to_pandas()
+    assert len(out) == 800
+    vecs = np.vstack(out["embedding"].to_numpy())
+    assert vecs.shape == (800, dim)
+    assert np.allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+    inits = os.listdir(log_dir)
+    n_batches = -(-800 // 64)
+    assert n_batches >= 5 * len(inits)  # batches ≫ actors
+    assert len(inits) == 2, inits  # exactly one load per actor
+
+
 def test_hll_distinct_within_tolerance(ray_session):
     import ray.data as rd
 
