@@ -186,8 +186,18 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
         if obj_gb:
             kw["object_store_memory"] = int(float(obj_gb) * (1 << 30))
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR", log_to_driver=False, **kw)
+        # RAY_ADDRESS naming a running cluster makes this the
+        # ray-job-submit path: CONNECT (cluster shape is the cluster's,
+        # so num_cpus/object-store knobs are not forwarded).  Unset or
+        # "local" keeps the sandbox/bench single-node session.
+        address = os.environ.get("RAY_ADDRESS") or "local"
+        if address != "local":
+            ray.init(address=address, include_dashboard=False,
+                     logging_level="ERROR", log_to_driver=False)
+        else:
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, logging_level="ERROR",
+                     log_to_driver=False, **kw)
     sf = _sf_of(sf_dir)
     out_dir = os.path.join(BENCH_TMP, f"out_{num_cpus}_{int(time.time())}")
     queries: dict[str, float] = {}
@@ -206,13 +216,16 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         queries.update(bench_queries(sf_dir))
 
     total = round(sum(queries.values()), 3)
+    # report the LIVE session's CPU count: when RAY_ADDRESS pointed at a
+    # running cluster the requested num_cpus was never forwarded
+    live_cpus = int(ray.cluster_resources().get("CPU", num_cpus))
     result = {
         "metric": "turns/sec extraction throughput (headline) + pipeline wall times",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        "num_cpus": num_cpus,
+        "num_cpus": live_cpus,
         "n_turns": n_turns,
         "turns_per_sec": turns_per_sec,
     }

@@ -24,13 +24,23 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
+    """Own (or join) the Ray session for a CLI command.
+
+    ``RAY_ADDRESS`` makes this the ``ray job submit`` entrypoint: when
+    it names a running cluster (anything but "local"), we CONNECT —
+    cluster shape is the cluster's, so per-process ``num_cpus`` is not
+    forwarded.  Unset or "local" starts a single-node session (the
+    sandbox/bench default)."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        address = os.environ.get("RAY_ADDRESS") or "local"
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
+        if address == "local" and num_cpus:
             kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+        ray.init(address=address, **kwargs)
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
@@ -153,7 +163,24 @@ def cmd_shard(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_bench_info(_args: argparse.Namespace) -> int:
+def cmd_bench_info(args: argparse.Namespace) -> int:
+    """Cluster shape (from the live Ray session — identical under
+    ``ray job submit`` on a real cluster and in the sandbox) followed
+    by the operator registry."""
+    import ray
+
+    _ensure_ray(getattr(args, "num_cpus", None))
+    res = ray.cluster_resources()
+    nodes = [n for n in ray.nodes() if n.get("Alive")]
+    print(json.dumps({
+        "nodes": len(nodes),
+        "cpus": res.get("CPU", 0),
+        "gpus": res.get("GPU", 0),
+        "memory_gb": round(res.get("memory", 0) / (1 << 30), 1),
+        "object_store_gb": round(
+            res.get("object_store_memory", 0) / (1 << 30), 1
+        ),
+    }))
     from ocr_poc_ray.queries import REGISTRY
 
     for name, (_fn, sql) in sorted(REGISTRY.items()):
