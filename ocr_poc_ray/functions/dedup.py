@@ -477,6 +477,27 @@ def _filter_hot_buckets(
         t = group.groupby(key_cols, as_index=False)["size"].sum()
         return t.loc[t["size"] > 1, key_cols + ["size"]]
 
+    # SMALL-PROJECTION FAST PATH: when the whole exploded projection is
+    # driver-trivial, the bounded distributed combine is pure stage
+    # overhead (measured 1.7 s of scheduler latency for 40 k rows / 303
+    # hot keys at sf0.1 — it was the dominant cost of the dHash pair
+    # path).  Collect the per-batch partials (≤ exploded rows) and
+    # combine in pandas; semantics identical.  Gated on
+    # BROADCAST_KEY_LIMIT too, so monkeypatching the limit to 0 still
+    # forces the crawl-scale branch in the equality tests.
+    n_rows = exploded.count()  # metadata: callers pass it materialized
+    if n_rows <= min(_DRIVER_COMBINE_LIMIT, BROADCAST_KEY_LIMIT):
+        parts = (
+            exploded.select_columns(key_cols)
+            .map_batches(partial_counts, batch_format="pyarrow")
+            .to_pandas()
+        )
+        t = parts.groupby(key_cols, as_index=False)["size"].sum()
+        hot_df = t.loc[t["size"] > 1, key_cols + ["size"]].reset_index(drop=True)
+        if hot_df.empty:
+            return None, pd.DataFrame(columns=key_cols + ["size"])
+        return _broadcast_hot_filter(exploded, key_cols, hot_df), hot_df
+
     hot_ds = (
         exploded.select_columns(key_cols)
         .map_batches(partial_counts, batch_format="pyarrow")
@@ -535,6 +556,23 @@ def _filter_hot_buckets(
         return filtered.materialize(), hot_ds
 
     hot_df = hot_ds.to_pandas()
+    return _broadcast_hot_filter(exploded, key_cols, hot_df), hot_df
+
+
+#: above this many exploded rows the hot-key combine runs distributed;
+#: below it the per-batch partials collect to the driver (bounded by the
+#: row count itself) — the distributed combine's ~1-2 s of stage latency
+#: dominated small-corpus LSH queries (measured: 1.7 s for 40 k rows)
+_DRIVER_COMBINE_LIMIT = 2_000_000
+
+
+def _broadcast_hot_filter(
+    exploded: Dataset, key_cols: list[str], hot_df: pd.DataFrame
+) -> Dataset:
+    """Filter ``exploded`` to rows whose key is in the driver-held hot
+    set (broadcast once via ``ray.put``)."""
+    import ray
+
     all_int = all(hot_df[c].dtype.kind in "iu" for c in key_cols)
     if all_int:
         # integer key(s): sorted uint64 (mixed) key array + searchsorted
@@ -562,7 +600,7 @@ def _filter_hot_buckets(
             mask = [key in h for key in zip(*(batch[c] for c in key_cols))]
             return batch[pd.Series(mask, index=batch.index)]
 
-    return exploded.map_batches(only_hot, batch_format="pandas"), hot_df
+    return exploded.map_batches(only_hot, batch_format="pandas")
 
 
 def _mixed_int_key(df: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
