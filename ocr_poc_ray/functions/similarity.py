@@ -750,7 +750,12 @@ def contrastive_pairs(
                 s, sm = sims, same
                 rid, nid = ids_a, ids_b
             for kind, mask in (("pos", sm), ("neg", ~sm)):
-                masked = np.where(mask, s, -2.0)
+                # ROUNDED cosine before argmax: the 4-dp rounding that
+                # absorbs summation ULPs must also govern the hardest-
+                # neighbor pick, or 1e-16 cross-engine noise flips ties
+                # (ids ascend, so argmax of the rounded row takes the
+                # smallest id in a tie — the documented rule)
+                masked = np.round(np.where(mask, s, -2.0), 4)
                 j = masked.argmax(axis=1)
                 best = masked[np.arange(len(rid)), j]
                 ok = best > -1.5

@@ -759,7 +759,9 @@ with s as (
   from embeddings a join embeddings b on a.vec_id <> b.vec_id
 ), r as (
   select vec_id, same, nid, sim,
-         row_number() over (partition by vec_id, same order by sim desc, nid) as rn
+         row_number() over (
+           partition by vec_id, same order by round(sim, 4) desc, nid
+         ) as rn
   from s
 )
 select p.vec_id, p.nid as pos_id, round(p.sim, 4) as pos_cos,

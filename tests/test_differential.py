@@ -380,7 +380,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-@pytest.fixture(scope="module", params=[101, 202, 303])
+#: override with e.g. DIFF_SEEDS=7,8,9 for a wider local shakeout sweep
+_SEEDS = [int(s) for s in os.environ.get("DIFF_SEEDS", "101,202,303").split(",")]
+_TPCH_SEEDS = [
+    int(s) for s in os.environ.get("DIFF_TPCH_SEEDS", "404,505").split(",")
+]
+
+
+@pytest.fixture(scope="module", params=_SEEDS)
 def random_sf_dir(request, tmp_path_factory):
     import pyarrow.parquet as pq
 
@@ -399,7 +406,7 @@ def random_sf_dir(request, tmp_path_factory):
     return str(d)
 
 
-@pytest.fixture(scope="module", params=[404, 505])
+@pytest.fixture(scope="module", params=_TPCH_SEEDS)
 def random_tpch_dir(request, tmp_path_factory):
     rng = np.random.default_rng(request.param)
     d = tmp_path_factory.mktemp(f"difftpch_{request.param}")
