@@ -395,15 +395,33 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
         )
         return t.loc[t["size"] > 1, ["content_hash", "win"]]
 
-    dups_ds = (
-        hashed.map_batches(partial_stats, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(find_dup_winners, batch_format="pandas")
-        .materialize()
-    )
-    # a fully-unique corpus yields zero rows here
-    if dups_ds.count() == 0:
-        return hashed
+    # SMALL-PROJECTION FAST PATH (same gate as _filter_hot_buckets):
+    # below _DRIVER_COMBINE_LIMIT rows the bounded distributed combine
+    # is pure stage latency — collect the per-batch (hash, size, min)
+    # partials and combine in pandas; semantics identical.  Gated on
+    # BROADCAST_KEY_LIMIT too so the bloom-path equality tests (which
+    # monkeypatch the limit to 0) still run the distributed discovery.
+    if hashed.count() <= min(_DRIVER_COMBINE_LIMIT, BROADCAST_KEY_LIMIT):
+        import ray.data as _rd
+
+        parts = hashed.map_batches(partial_stats, batch_format="pandas").to_pandas()
+        t = parts.groupby("content_hash", as_index=False).agg(
+            size=("size", "sum"), win=("win", "min")
+        )
+        dups_df = t.loc[t["size"] > 1, ["content_hash", "win"]].reset_index(drop=True)
+        if dups_df.empty:
+            return hashed
+        dups_ds = _rd.from_pandas(dups_df)
+    else:
+        dups_ds = (
+            hashed.map_batches(partial_stats, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(find_dup_winners, batch_format="pandas")
+            .materialize()
+        )
+        # a fully-unique corpus yields zero rows here
+        if dups_ds.count() == 0:
+            return hashed
 
     # dup-hash membership: broadcast when small, bloom semi-join when the
     # duplicate volume is web-crawl-sized (the driver never holds the set)
