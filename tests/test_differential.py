@@ -222,8 +222,14 @@ def _gen_embeddings(rng: np.random.Generator, n: int) -> "pa.Table":
         i, j = rng.integers(0, n, 2)
         X[i] = X[j] + rng.normal(size=dim) * 1e-3
         labels[i] = labels[j]
+    # ids ≡ 3 (mod 7); the forced knn-query ids are multiples of 700
+    # (≡ 0 mod 7) so they can NEVER collide with the bulk ids — seed 44
+    # once produced a duplicate vec_id 500, and with a duplicated key
+    # the engine (row-pair) and the SQL (vec_id < vec_id) legitimately
+    # disagree about the self-pair
     ids = np.arange(n, dtype=np.int64) * 7 + 3
-    ids[: max(3, n // 20)] = np.arange(max(3, n // 20), dtype=np.int64) * 100
+    ids[: max(3, n // 20)] = np.arange(max(3, n // 20), dtype=np.int64) * 700
+    assert len(np.unique(ids)) == n
     X32 = X.astype(np.float32)
     return pa.table(
         {
