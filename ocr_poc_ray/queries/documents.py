@@ -3354,6 +3354,81 @@ group by lang, source, len_bucket
 """
 
 
+L_DIVERSITY = 3
+
+
+def doc_l_diversity(sf_dir: str) -> pd.DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    stronger sibling: a quasi-identifier group that is k-anonymous can
+    still leak when every member shares ONE sensitive value, so each
+    (lang, len_bucket) group must contain ≥ L DISTINCT sensitive values
+    (``source`` stands in as the sensitive attribute).
+
+    Shape: per-batch DISTINCT (lang, len_bucket, source, n) partials
+    (cell-bounded: langs × buckets × sources, never doc-bounded) →
+    hash buckets keyed on the QUASI-IDENTIFIER only, so every source of
+    a group co-locates and ``nunique`` is exact — nothing corpus-sized
+    moves."""
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["lang", "source", "n_chars"]
+    )
+    n_buckets = 8
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cells = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(object),
+                "source": b["source"].to_numpy(object),
+                "len_bucket": (b["n_chars"].to_numpy(np.int64)
+                               // K_ANON_LEN_BUCKET),
+            }
+        ).groupby(["lang", "len_bucket", "source"], as_index=False).size()
+        # bucket on the quasi-identifier ONLY: a group's sources must
+        # land in one combine task for the exact distinct count
+        hb = pd.util.hash_pandas_object(
+            cells[["lang", "len_bucket"]], index=False
+        ).to_numpy(np.uint64)
+        return cells.assign(_hb=(hb % n_buckets).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["lang", "len_bucket"], as_index=False).agg(
+            group_n=("size", "sum"), distinct_sources=("source", "nunique")
+        )
+        t["is_l_diverse"] = t["distinct_sources"] >= L_DIVERSITY
+        return t
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=object),
+             "len_bucket": pd.Series([], dtype="int64"),
+             "group_n": pd.Series([], dtype="int64"),
+             "distinct_sources": pd.Series([], dtype="int64"),
+             "is_l_diverse": pd.Series([], dtype="bool")}
+        )
+    return out[
+        ["lang", "len_bucket", "group_n", "distinct_sources", "is_l_diverse"]
+    ].astype(
+        {"lang": object, "len_bucket": "int64", "group_n": "int64",
+         "distinct_sources": "int64", "is_l_diverse": "bool"}
+    )
+
+
+DOC_L_DIVERSITY_SQL = f"""
+select lang, (n_chars // {K_ANON_LEN_BUCKET})::BIGINT as len_bucket,
+       count(*)::BIGINT as group_n,
+       count(distinct source)::BIGINT as distinct_sources,
+       count(distinct source) >= {L_DIVERSITY} as is_l_diverse
+from documents
+group by lang, len_bucket
+"""
+
+
 def doc_quality_blend(sf_dir: str) -> pd.DataFrame:
     """Percentile-normalized score ensembling: blend two quality
     signals on incommensurable scales (length, token entropy) by
@@ -6349,6 +6424,7 @@ REGISTRY = {
     "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),
     "doc_near_dedup_corpus": (doc_near_dedup_corpus, DOC_NEAR_DEDUP_CORPUS_SQL),
     "doc_k_anonymity": (doc_k_anonymity, DOC_K_ANONYMITY_SQL),
+    "doc_l_diversity": (doc_l_diversity, DOC_L_DIVERSITY_SQL),
     "doc_pareto_frontier": (doc_pareto_frontier, DOC_PARETO_FRONTIER_SQL),
     "doc_dup_triangles": (doc_dup_triangles, DOC_DUP_TRIANGLES_SQL),
 }

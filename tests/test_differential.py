@@ -67,6 +67,7 @@ DIFF_QUERIES = [
     # round-4 wave — integer/boolean outputs, exact-division thresholds
     "doc_gopher_rules",
     "doc_k_anonymity",
+    "doc_l_diversity",
     "doc_pareto_frontier",
     "doc_dup_triangles",
     "doc_near_dedup_corpus",
