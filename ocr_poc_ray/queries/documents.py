@@ -3429,6 +3429,137 @@ group by lang, len_bucket
 """
 
 
+#: t-closeness threshold — numerator comparison is INTEGER-exact at
+#: t = 1/2: TVD ≤ 1/2 ⟺ Σ|n_gs·N − gn_s·Gn| ≤ Gn·N
+T_CLOSENESS_NUM = 1
+T_CLOSENESS_DEN = 2
+
+
+def doc_t_closeness(sf_dir: str) -> pd.DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    of the classic privacy triple: an l-diverse group can still leak
+    when its sensitive-value DISTRIBUTION is skewed vs the corpus, so
+    each quasi-identifier group's total-variation distance to the
+    global ``source`` distribution must be ≤ t.
+
+    TVD is computed over a COMMON integer denominator —
+    ``Σ_s |n_gs·N − gn_s·Gn| / (2·Gn·N)`` — so the flag comparison
+    ``Σ ≤ (num/den)·2·Gn·N`` is integer-exact at t = 1/2 (no float can
+    sit on the boundary); only the reported ``tvd`` column rounds (6 dp).
+
+    Shape: the l-diversity bucketed combine plus a BROADCAST global
+    (source → count) table (sources are few); absent sources contribute
+    their full global mass — the per-group kernel iterates the global
+    source vector, never documents."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["lang", "source", "n_chars"]
+    )
+    n_buckets = 8
+
+    # global source counts: partial agg + driver fold (sources are few)
+    glob = (
+        ds.map_batches(
+            lambda b: b.groupby("source", as_index=False).size(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["size"].sum()
+        .sort_values("source")
+    )
+    g_sources = glob["source"].to_numpy(object)
+    g_counts = glob["size"].to_numpy(np.int64)
+    big_n = int(g_counts.sum())
+    gref = _ray.put((g_sources, g_counts))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cells = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(object),
+                "source": b["source"].to_numpy(object),
+                "len_bucket": (b["n_chars"].to_numpy(np.int64)
+                               // K_ANON_LEN_BUCKET),
+            }
+        ).groupby(["lang", "len_bucket", "source"], as_index=False).size()
+        hb = pd.util.hash_pandas_object(
+            cells[["lang", "len_bucket"]], index=False
+        ).to_numpy(np.uint64)
+        return cells.assign(_hb=(hb % n_buckets).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        src_all, cnt_all = _ray.get(gref)
+        t = g.groupby(["lang", "len_bucket", "source"], as_index=False)[
+            "size"
+        ].sum()
+        rows = []
+        for (lang, lb), grp in t.groupby(["lang", "len_bucket"], sort=False):
+            gn = int(grp["size"].sum())
+            # per-source group counts aligned to the global source vector
+            pos = np.searchsorted(src_all, grp["source"].to_numpy(object))
+            n_gs = np.zeros(len(src_all), dtype=np.int64)
+            n_gs[pos] = grp["size"].to_numpy(np.int64)
+            num = int(np.abs(n_gs * big_n - cnt_all * gn).sum())
+            rows.append(
+                {
+                    "lang": lang, "len_bucket": int(lb), "group_n": gn,
+                    "tvd": round(num / (2.0 * gn * big_n), 6),
+                    "is_t_close": num * T_CLOSENESS_DEN
+                    <= 2 * T_CLOSENESS_NUM * gn * big_n,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=object),
+             "len_bucket": pd.Series([], dtype="int64"),
+             "group_n": pd.Series([], dtype="int64"),
+             "tvd": pd.Series([], dtype="float64"),
+             "is_t_close": pd.Series([], dtype="bool")}
+        )
+    return out[["lang", "len_bucket", "group_n", "tvd", "is_t_close"]].astype(
+        {"lang": object, "len_bucket": "int64", "group_n": "int64",
+         "tvd": "float64", "is_t_close": "bool"}
+    )
+
+
+DOC_T_CLOSENESS_SQL = f"""
+with cell as (
+  select lang, (n_chars // {K_ANON_LEN_BUCKET})::BIGINT as len_bucket,
+         source, count(*)::BIGINT as n
+  from documents group by 1, 2, 3
+), grp as (
+  select lang, len_bucket, sum(n)::BIGINT as group_n from cell group by 1, 2
+), gsum as (
+  select source, count(*)::BIGINT as gn from documents group by source
+), tot as (
+  select count(*)::BIGINT as big_n from documents
+), terms as (
+  -- every (group, GLOBAL source) pair: absent sources contribute
+  -- their full global mass |0 - gn*group_n|
+  select g.lang, g.len_bucket, g.group_n, t.big_n,
+         abs(coalesce(c.n, 0) * t.big_n - s.gn * g.group_n) as term
+  from grp g cross join gsum s cross join tot t
+  left join cell c
+    on c.lang = g.lang and c.len_bucket = g.len_bucket
+   and c.source = s.source
+)
+select lang, len_bucket, group_n,
+       round(sum(term) / (2.0 * group_n * big_n), 6) as tvd,
+       sum(term) * {T_CLOSENESS_DEN}
+         <= 2 * {T_CLOSENESS_NUM} * group_n * big_n as is_t_close
+from terms
+group by lang, len_bucket, group_n, big_n
+"""
+
+
 def doc_quality_blend(sf_dir: str) -> pd.DataFrame:
     """Percentile-normalized score ensembling: blend two quality
     signals on incommensurable scales (length, token entropy) by
@@ -6425,6 +6556,7 @@ REGISTRY = {
     "doc_near_dedup_corpus": (doc_near_dedup_corpus, DOC_NEAR_DEDUP_CORPUS_SQL),
     "doc_k_anonymity": (doc_k_anonymity, DOC_K_ANONYMITY_SQL),
     "doc_l_diversity": (doc_l_diversity, DOC_L_DIVERSITY_SQL),
+    "doc_t_closeness": (doc_t_closeness, DOC_T_CLOSENESS_SQL),
     "doc_pareto_frontier": (doc_pareto_frontier, DOC_PARETO_FRONTIER_SQL),
     "doc_dup_triangles": (doc_dup_triangles, DOC_DUP_TRIANGLES_SQL),
 }

@@ -68,6 +68,7 @@ DIFF_QUERIES = [
     "doc_gopher_rules",
     "doc_k_anonymity",
     "doc_l_diversity",
+    "doc_t_closeness",
     "doc_pareto_frontier",
     "doc_dup_triangles",
     "doc_near_dedup_corpus",
