@@ -405,6 +405,8 @@ def exact_dedup(ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text") 
         import ray.data as _rd
 
         parts = hashed.map_batches(partial_stats, batch_format="pandas").to_pandas()
+        if parts.empty:  # 0-row to_pandas drops columns (CLAUDE.md)
+            return hashed
         t = parts.groupby("content_hash", as_index=False).agg(
             size=("size", "sum"), win=("win", "min")
         )
@@ -510,6 +512,8 @@ def _filter_hot_buckets(
             .map_batches(partial_counts, batch_format="pyarrow")
             .to_pandas()
         )
+        if parts.empty:  # 0-row to_pandas drops columns (CLAUDE.md)
+            return None, pd.DataFrame(columns=key_cols + ["size"])
         t = parts.groupby(key_cols, as_index=False)["size"].sum()
         hot_df = t.loc[t["size"] > 1, key_cols + ["size"]].reset_index(drop=True)
         if hot_df.empty:

@@ -196,6 +196,39 @@ def test_lsh_distributed_hot_path_equality(monkeypatch):
     assert n_cluster_pairs == len(cluster) * (len(cluster) - 1) // 2
 
 
+def test_small_projection_fast_paths_survive_empty_partials(tmp_path):
+    """The r5 driver-combine fast paths collect per-batch partials with
+    ``to_pandas()`` — which DROPS COLUMNS on a 0-row dataset (the
+    CLAUDE.md pitfall; hypothesis found it via an all-short-doc corpus
+    whose shingle projection is empty).  Both fast paths must survive
+    empty partials."""
+    import ray.data as rd
+
+    import ocr_poc_ray.functions.dedup as dd
+    from ocr_poc_ray.queries.documents import doc_dup_ngram_fraction
+
+    # _filter_hot_buckets: every doc too short for a 3-gram → empty
+    # exploded projection
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["one two", ""], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = doc_dup_ngram_fraction(str(tmp_path))
+    assert list(out.columns) == ["doc_id", "n_shingles", "n_dup_shingles",
+                                 "dup_fraction"] or len(out) == 0
+
+    # exact_dedup: an empty corpus flows through the fast path untouched
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    kept = dd.exact_dedup(empty).to_pandas()
+    assert len(kept) == 0
+
+
 def test_lsh_distributed_branch_splits_plan_at_bloom_join(monkeypatch):
     """REGRESSION PIN for the r4 1M-doc livelock fix (commit 527f8f6):
     the crawl-scale branch of _filter_hot_buckets must return a
