@@ -1333,6 +1333,45 @@ def ngram_jaccard_verify(
         jp
     ).materialize()
 
+    # SMALL-CANDIDATE FAST PATH: with a bounded packed-shingle
+    # projection (size_bytes() is metadata on the materialized
+    # dataset), the two hash joins are pure exchange-stage latency —
+    # broadcast the sorted (id → packed shingles) arrays once and
+    # attach + verify in ONE pass over the pair rows.  Semantics match
+    # the inner joins exactly (pairs with a dangling doc id drop).
+    # Gated on BROADCAST_KEY_LIMIT so the limit-0 monkeypatch tests
+    # still force the join dataflow.
+    if (
+        n_pairs <= BROADCAST_KEY_LIMIT
+        and cand_texts.size_bytes() <= _VERIFY_BROADCAST_BYTES
+    ):
+        cd = cand_texts.to_pandas()
+        if cd.empty:  # 0-row to_pandas drops columns: every pair dangles
+            return pairs_mat.limit(0).map_batches(
+                lambda b: b.assign(jaccard=pd.Series([], dtype="float64")),
+                batch_format="pandas",
+            )
+        order = np.argsort(cd["_jid"].to_numpy(np.int64), kind="mergesort")
+        jids = cd["_jid"].to_numpy(np.int64)[order]
+        blobs = cd["_jsh"].to_numpy(object)[order]
+        blob_ref = ray.put((jids, blobs))
+
+        def attach_verify(batch: pd.DataFrame) -> pd.DataFrame:
+            k, bl = ray.get(blob_ref)
+            a = batch["doc_a"].to_numpy(np.int64)
+            b = batch["doc_b"].to_numpy(np.int64)
+            pa_ = np.minimum(np.searchsorted(k, a), len(k) - 1)
+            pb_ = np.minimum(np.searchsorted(k, b), len(k) - 1)
+            keep = (k[pa_] == a) & (k[pb_] == b)  # inner-join semantics
+            batch = batch[keep]
+            pa_, pb_ = pa_[keep], pb_[keep]
+            jac = _jaccard_from_blobs(bl[pa_], bl[pb_])
+            out = batch.copy()
+            out["jaccard"] = jac
+            return out
+
+        return pairs_mat.map_batches(attach_verify, batch_format="pandas")
+
     j1 = pairs_mat.join(
         cand_texts, "inner", num_partitions=jp,
         on=("doc_a",), right_on=("_jid",),
@@ -1351,25 +1390,41 @@ def ngram_jaccard_verify(
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        jac = np.zeros(n, dtype=np.float64)
-        for i, (ba, bb) in enumerate(zip(batch["_sh_a"], batch["_sh_b"])):
-            a = np.frombuffer(ba, dtype=np.uint64)
-            b = np.frombuffer(bb, dtype=np.uint64)
-            if len(a) > len(b):
-                a, b = b, a
-            if len(b):
-                # both sorted-unique (np.unique contract): count hits
-                idx = np.searchsorted(b, a)
-                idx[idx == len(b)] = 0
-                inter = int((b[idx] == a).sum())
-                union = len(a) + len(b) - inter
-                jac[i] = inter / union if union else 0.0
+        jac = _jaccard_from_blobs(
+            batch["_sh_a"].to_numpy(object), batch["_sh_b"].to_numpy(object)
+        )
         out = batch.drop(columns=["_sh_a", "_sh_b"]).copy()
         out["jaccard"] = jac
         return out
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+#: packed-shingle projection size below which ngram_jaccard_verify
+#: broadcasts the candidate blobs instead of running two hash joins
+#: (the joins are ~2 s of exchange-stage latency at toy pair volumes;
+#: 256 MB is one object-store copy per node on a real cluster)
+_VERIFY_BROADCAST_BYTES = 256 << 20
+
+
+def _jaccard_from_blobs(blobs_a: np.ndarray, blobs_b: np.ndarray) -> np.ndarray:
+    """Exact Jaccard per (packed sorted-unique uint64 shingle blob)
+    pair — the shared verify kernel of the broadcast and join paths."""
+    n = len(blobs_a)
+    jac = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        a = np.frombuffer(blobs_a[i], dtype=np.uint64)
+        b = np.frombuffer(blobs_b[i], dtype=np.uint64)
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b):
+            # both sorted-unique (np.unique contract): count hits
+            idx = np.searchsorted(b, a)
+            idx[idx == len(b)] = 0
+            inter = int((b[idx] == a).sum())
+            union = len(a) + len(b) - inter
+            jac[i] = inter / union if union else 0.0
+    return jac
 
 
 # --------------------------------------------------------------------------
